@@ -1,0 +1,231 @@
+"""Text-analysis and fingerprinting kernels for training-data pipelines.
+
+Beyond the reference's operator set: language-ID, quality scoring, token
+counting, rolling-hash fingerprints, shingling, MinHash and SimHash — the
+per-record math used by the dedup / analysis stages in
+``llm_scraper_ray.stages``. All deterministic, numpy-vectorized where the
+shape allows; no external model dependencies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+import numpy as np
+
+_TOKEN_WS = re.compile(r"\S+")
+# GPT-2-style pre-tokenizer pattern (public BPE regex, simplified to stdlib re:
+# contractions, letter runs, digit runs, punctuation runs, whitespace runs)
+_TOKEN_BPE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+_WORD = re.compile(r"[a-zA-Z']+")
+_PUNCT = re.compile(r"[^\w\s]")
+
+# Tiny closed-class stopword lists → n-gram-free language heuristic.
+# Public knowledge (most frequent function words per language).
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the of and to in a is that it was for on are with as be at by this have from or had not but what all were when we there".split()
+    ),
+    "es": frozenset(
+        "de la que el en y a los del se las por un para con no una su al es lo como más pero sus le ya o este".split()
+    ),
+    "de": frozenset(
+        "der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als auch es an werden aus er".split()
+    ),
+    "fr": frozenset(
+        "de la le et les des en un du une que est pour qui dans a par plus pas au sur ne se ce il sont".split()
+    ),
+}
+
+
+def count_tokens_ws(text: str) -> int:
+    """Whitespace token count."""
+    return len(_TOKEN_WS.findall(text))
+
+
+def count_tokens_bpe(text: str) -> int:
+    """BPE-ish pre-tokenizer count (GPT-2-style regex)."""
+    return len(_TOKEN_BPE.findall(text))
+
+
+def lang_id(text: str) -> str:
+    """Stopword-hit language heuristic; 'und' (undetermined) when no signal."""
+    words = _WORD.findall(text.lower())
+    if not words:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang, stops in _LANG_STOPWORDS.items():
+        hits = sum(1 for w in words if w in stops)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
+
+
+def quality_features(text: str) -> dict[str, float]:
+    """Heuristic quality signals (C4/Gopher-style, simplified):
+    length, mean word length, punct ratio, stopword ratio, alpha ratio,
+    max single-word frequency share."""
+    n_chars = len(text)
+    words = _WORD.findall(text.lower())
+    n_words = len(words)
+    n_punct = len(_PUNCT.findall(text))
+    n_alpha = sum(ch.isalpha() for ch in text)
+    stops = _LANG_STOPWORDS["en"]
+    n_stop = sum(1 for w in words if w in stops)
+    if n_words:
+        counts: dict[str, int] = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        max_word_share = max(counts.values()) / n_words
+        mean_word_len = sum(len(w) for w in words) / n_words
+    else:
+        max_word_share = 0.0
+        mean_word_len = 0.0
+    return {
+        "n_chars": float(n_chars),
+        "n_words": float(n_words),
+        "mean_word_len": mean_word_len,
+        "punct_ratio": n_punct / n_chars if n_chars else 0.0,
+        "alpha_ratio": n_alpha / n_chars if n_chars else 0.0,
+        "stopword_ratio": n_stop / n_words if n_words else 0.0,
+        "max_word_share": max_word_share,
+    }
+
+
+# -- fingerprints ----------------------------------------------------------
+
+_FNV64_OFFSET = 0xCBF29CE484222325
+_FNV64_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def fnv1a64(data: bytes) -> int:
+    h = _FNV64_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV64_PRIME) & _MASK64
+    return h
+
+
+def rolling_fingerprint(text: str, window: int = 64, base: int = 257) -> int:
+    """Polynomial rolling-hash document fingerprint: XOR of the windowed
+    Rabin–Karp hashes sampled every ``window`` characters (deterministic,
+    order-sensitive, content-derived)."""
+    data = text.encode("utf-8")
+    if not data:
+        return 0
+    if len(data) <= window:
+        return fnv1a64(data)
+    h = 0
+    power = pow(base, window - 1, 1 << 64)
+    acc = 0
+    for i, b in enumerate(data):
+        if i < window:
+            acc = (acc * base + b) & _MASK64
+            if i == window - 1:
+                h ^= acc
+        else:
+            acc = ((acc - data[i - window] * power) * base + b) & _MASK64
+            if (i + 1) % window == 0:
+                h ^= acc
+    return h
+
+
+def content_md5(text: str) -> str:
+    """Exact-dedup content key: md5 hex of the raw text."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+# -- shingles / MinHash / SimHash -----------------------------------------
+
+
+def word_shingles(text: str, k: int = 5) -> set[str]:
+    """Distinct lowercase word k-shingles."""
+    words = _WORD.findall(text.lower())
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """uint64 hashes of the distinct word k-shingles (sorted, deduped)."""
+    sh = word_shingles(text, k)
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    hashes = np.fromiter(
+        (struct.unpack("<Q", hashlib.blake2b(s.encode(), digest_size=8).digest())[0] for s in sh),
+        dtype=np.uint64,
+        count=len(sh),
+    )
+    hashes.sort()
+    return hashes
+
+
+# Universal-hash family for MinHash: h_i(x) = (a_i * x + b_i) mod p with
+# p = 2^31-1, so a, b, (x mod p) are all < 2^31 and every product fits in a
+# uint64 — fully vectorizable with exact integer math. A fixed seed means
+# every worker derives identical coefficients.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_coeffs(num_perm: int = 128, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE31, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE31, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature_matrix(
+    hash_sets: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Vectorized MinHash for a batch: rows = docs, cols = permutations.
+
+    Empty shingle sets get the all-max sentinel signature (never matches a
+    non-empty doc's band except by true collision).
+    """
+    p = np.uint64(_MERSENNE31)
+    out = np.full((len(hash_sets), a.shape[0]), _MERSENNE31, dtype=np.uint64)
+    for row, hs in enumerate(hash_sets):
+        if hs.size == 0:
+            continue
+        x = (hs.astype(np.uint64) % p)
+        t = (np.outer(a, x) + b[:, None]) % p  # (num_perm, n) — products < 2^62
+        out[row] = t.min(axis=1)
+    return out
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of one set of shingle hashes."""
+    return minhash_signature_matrix([hashes], a, b)[0]
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over lowercase word unigram+bigram features."""
+    words = _WORD.findall(text.lower())
+    if not words:
+        return 0
+    feats = words + [words[i] + " " + words[i + 1] for i in range(len(words) - 1)]
+    acc = np.zeros(64, dtype=np.int64)
+    for f in feats:
+        h = struct.unpack("<Q", hashlib.blake2b(f.encode(), digest_size=8).digest())[0]
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    result = 0
+    for i in range(64):
+        if acc[i] > 0:
+            result |= 1 << i
+    return result
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
