@@ -1,0 +1,406 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus (FIXTURES.md F1-F3).
+
+Builds the engine's primary input table with exactly the input_hint schema
+``pages(url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string)`` — synthesized, no external data — derived deterministically
+from an sf_dir's ``documents.parquet`` (doc_id, text, lang), so every scale
+factor yields a reproducible corpus:
+
+  - hosts are Zipf-skewed (``host000.example`` hottest) to model the
+    reference's one-site-dominates-a-batch behavior (SURVEY.md §4 skew row);
+  - published URLs are *messy* variants (uppercase host, default port,
+    dot-segments, percent-encoding, fragments) of a unique canonical URL per
+    doc, exercising F15 canonicalization;
+  - HTML mixes the two reference page shapes — product pages (selector
+    targets of ``config_files/best_buy_config.json`` + ``modules/amazon.py``)
+    and privacy-policy pages (heading/paragraph runs for the
+    ``scrape_pp.py:26-47`` sessionizer) — with inline script/style blocks,
+    comments, entities, tables and a "currently unavailable" skip variant
+    (``scrape_eccomerce.py:66-74``);
+  - each page embeds ``<a href>`` links to other pages (relative, absolute,
+    messy, cross-host, dangling) forming the crawl graph;
+  - the ``text`` column is the E1 cleaner's output — the byte-identity target.
+
+Layout (cached under /tmp, atomic rename + COMPLETE marker):
+
+  pages/bucket=NN/part.parquet   # hash-bucketed by url_sha1[0] % NB for keyed
+                                 # fetch lookup; at cluster scale this is
+                                 # write_parquet(partition_cols=['bucket'])
+  meta.parquet                   # (url_hash, canon_url, host, warc_ts) —
+                                 # the frontier-metadata index
+  seeds.parquet                  # (url, rank) — FIXTURES.md F2
+  politeness.parquet             # (host, max_per_round, robots_disallow) — F3
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq  # noqa: E402
+
+from ..functions.html_text import extract_text
+from ..functions.urls import canonicalize_url, url_sha1
+
+GEN_VERSION = 4
+GEN_SEED = 42
+NUM_BUCKETS = 16
+# 2025-06-01T00:00:00Z in microseconds since epoch (fixed constant — no
+# local-timezone dependence; engine-internal warc_ts is always int64 us,
+# declared as Arrow timestamp[us] only in published tables)
+_TS_BASE_US = 1_748_736_000_000_000
+_30D_US = 30 * 24 * 3600 * 1_000_000
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("url_hash", pa.binary(20)),  # engine key: sha1(canonical url)
+    ]
+)
+
+
+def _rng_for(doc_id: int, salt: int = 0) -> random.Random:
+    return random.Random(GEN_SEED * 1_000_003 + doc_id * 7 + salt)
+
+
+def num_hosts(n_docs: int) -> int:
+    return max(4, n_docs // 64)
+
+
+def page_identity(doc_id: int, n_docs: int) -> tuple[str, str, str]:
+    """(host, path, canonical_url) for a doc — pure, callable anywhere."""
+    rng = _rng_for(doc_id, salt=1)
+    h = num_hosts(n_docs)
+    host_idx = min(h - 1, int(h * (rng.random() ** 4)))  # Zipf-ish: density ∝ k^-3/4
+    host = f"host{host_idx:03d}.example"
+    if rng.random() < 0.05:
+        path = f"/private/item{doc_id}"
+    else:
+        path = f"/cat{rng.randrange(8)}/item{doc_id}"
+    return host, path, f"https://{host}{path}"
+
+
+def messy_url(doc_id: int, n_docs: int, variant_rng: random.Random) -> str:
+    """A published URL variant that canonicalizes back to the canonical URL."""
+    host, path, canon = page_identity(doc_id, n_docs)
+    style = variant_rng.randrange(7)
+    if style == 0:
+        return canon
+    if style == 1:
+        return f"https://{host.upper()}{path}"
+    if style == 2:
+        return f"https://{host}:443{path}"
+    if style == 3:
+        head, _, tail = path.rpartition("/")
+        return f"https://{host}{head}/./{tail}"
+    if style == 4:
+        head, _, tail = path.rpartition("/")
+        return f"https://{host}{head}/x/../{tail}"
+    if style == 5:
+        return canon + "#sec" + str(variant_rng.randrange(9))
+    # percent-encode the 'i' of "item" (unreserved → canonicalizes away)
+    head, _, tail = path.rpartition("/")
+    return f"https://{host}{head}/{tail.replace('item', '%69tem', 1)}"
+
+
+_WORDS_FALLBACK = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do".split()
+
+
+def _words_of(text: str) -> list[str]:
+    w = text.split()
+    return w if w else _WORDS_FALLBACK
+
+
+def render_html(doc_id: int, n_docs: int, doc_text: str) -> str:
+    """Deterministic page HTML for one doc (product or policy template)."""
+    rng = _rng_for(doc_id, salt=2)
+    host, path, canon = page_identity(doc_id, n_docs)
+    words = _words_of(doc_text)
+    pick = lambda k: " ".join(rng.choices(words, k=k))  # noqa: E731
+
+    # outlinks: mixed forms, ~0-12 targets, some dangling
+    n_links = rng.randrange(0, 13)
+    anchors = []
+    for _ in range(n_links):
+        if rng.random() < 0.06:
+            target = n_docs + rng.randrange(50)  # dangling: no such page
+            thost, tpath, _ = page_identity(target % n_docs, n_docs)
+            href = f"https://{thost}/cat0/item{target + n_docs}"
+        else:
+            target = rng.randrange(n_docs)
+            thost, tpath, tcanon = page_identity(target, n_docs)
+            if thost == host and rng.random() < 0.5:
+                href = tpath if rng.random() < 0.5 else ".." + tpath
+            else:
+                href = messy_url(target, n_docs, rng)
+        anchors.append(f'<a href="{href}">{pick(2)}</a>')
+    links_html = "\n".join(anchors)
+
+    style = "<style>body { font-family: 'Helvetica'; } .x > em { color: #333; }</style>"
+    script = f"<script>var t = {{'k': '<b>{doc_id}</b>', 'n': {doc_id} }}; if (t.n > 1) console.log('&amp;');</script>"
+    comment = f"<!-- rendered doc {doc_id} for {host} -->"
+
+    if rng.random() < 0.5:
+        # product template (best_buy_config.json / modules/amazon.py shapes)
+        unavailable = (
+            '<div id="unavailable">This item is currently unavailable.</div>'
+            if rng.random() < 0.05
+            else ""
+        )
+        bullets = "".join(f"<li>{pick(4)}</li>" for _ in range(rng.randrange(2, 6)))
+        spec_rows = "".join(
+            f"<tr><td>{pick(1)}</td><td>{pick(2)}</td></tr>" for _ in range(rng.randrange(2, 5))
+        )
+        body_words = " ".join(words[: rng.randrange(40, 160)])
+        return f"""<!DOCTYPE html>
+<html><head><title>{pick(3)} &amp; more</title>{style}{script}</head>
+<body>{comment}
+{unavailable}
+<div id="main">
+<h1 class="h4">{pick(3).title()} {doc_id}</h1>
+<a class="c-button-link" href="/brand{rng.randrange(20)}">{pick(1).title()} Corp</a>
+<div class="mb-200 pb-200"><ul>{bullets}</ul></div>
+<div class="body-copy-lg">{body_words}</div>
+<table><tr><th>Spec</th><th>Value</th></tr>{spec_rows}</table>
+<img src="/img/{doc_id}.jpg" alt="{pick(2)}"/>
+<code>{{"sku": {doc_id}, "host": "{host}"}}</code>
+<p>Rated 4.{rng.randrange(10)} &lt;stars&gt; by {rng.randrange(5, 500)} buyers.</p>
+</div>
+<nav>{links_html}</nav>
+</body></html>"""
+
+    # privacy-policy template (heading/paragraph runs for the sessionizer)
+    sections = []
+    n_words = len(words)
+    for s in range(rng.randrange(2, 5)):
+        level = rng.choice(["h1", "h2", "h3"])
+        sections.append(f"<{level}>{pick(3).title()}</{level}>")
+        if rng.random() < 0.3:  # consecutive-heading run
+            sections.append(f"<h3>{pick(2).title()}</h3>")
+        for _ in range(rng.randrange(1, 4)):
+            start = rng.randrange(max(1, n_words - 60))
+            sections.append(f"<p>{' '.join(words[start : start + rng.randrange(15, 60)])}</p>")
+    return f"""<!DOCTYPE html>
+<html><head><title>Policy of {host}</title>{style}{script}</head>
+<body>{comment}
+<article>
+{"".join(sections)}
+</article>
+<footer>{links_html}</footer>
+</body></html>"""
+
+
+def render_page_row(doc_id: int, n_docs: int, doc_text: str, lang: str) -> dict:
+    rng = _rng_for(doc_id, salt=3)
+    _, _, canon = page_identity(doc_id, n_docs)
+    html = render_html(doc_id, n_docs, doc_text)
+    return {
+        "url": messy_url(doc_id, n_docs, rng),
+        "warc_ts": _TS_BASE_US + rng.randrange(_30D_US),
+        "html": html.encode("utf-8"),
+        "text": extract_text(html),
+        "lang": lang,
+        "url_hash": url_sha1(canon),
+        "canon_url": canon,
+    }
+
+
+@dataclass
+class PagesCorpus:
+    root: str
+    n_pages: int
+    n_hosts: int
+    num_buckets: int = NUM_BUCKETS
+
+    @property
+    def pages_dir(self) -> str:
+        return os.path.join(self.root, "pages")
+
+    def bucket_path(self, b: int) -> str:
+        return os.path.join(self.pages_dir, f"bucket={b:02d}", "part.parquet")
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.root, "meta.parquet")
+
+    @property
+    def seeds_path(self) -> str:
+        return os.path.join(self.root, "seeds.parquet")
+
+    @property
+    def politeness_path(self) -> str:
+        return os.path.join(self.root, "politeness.parquet")
+
+
+def _cache_root(sf_dir: str, n_docs: int) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache")
+    return os.path.join(base, f"pages-{tag}-n{n_docs}-s{GEN_SEED}-v{GEN_VERSION}")
+
+
+def generate_corpus(sf_dir: str, force: bool = False) -> PagesCorpus:
+    """Build (or reuse cached) pages corpus for an sf_dir. Deterministic.
+
+    Page rendering is distributed over Ray when a session is live and the
+    corpus is large; the output bytes are identical either way because every
+    row derives only from (doc_id, n_docs, doc_text, lang).
+    """
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    n_docs = docs.num_rows
+    root = _cache_root(sf_dir, n_docs)
+    marker = os.path.join(root, "COMPLETE.json")
+    if os.path.exists(marker) and not force:
+        info = json.load(open(marker))
+        return PagesCorpus(root, info["n_pages"], info["n_hosts"])
+
+    tmp = root + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
+
+    doc_ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+
+    rows = _render_rows(doc_ids, texts, langs, n_docs)
+
+    # bucketed pages + meta index
+    buckets: list[list[dict]] = [[] for _ in range(NUM_BUCKETS)]
+    for r in rows:
+        buckets[r["url_hash"][0] % NUM_BUCKETS].append(r)
+    meta_rows = []
+    for b, rs in enumerate(buckets):
+        rs.sort(key=lambda r: r["url_hash"])
+        os.makedirs(os.path.join(tmp, "pages", f"bucket={b:02d}"), exist_ok=True)
+        table = pa.Table.from_pydict(
+            {
+                "url": [r["url"] for r in rs],
+                "warc_ts": pa.array([r["warc_ts"] for r in rs], pa.timestamp("us")),
+                "html": [r["html"] for r in rs],
+                "text": [r["text"] for r in rs],
+                "lang": [r["lang"] for r in rs],
+                "url_hash": pa.array([r["url_hash"] for r in rs], pa.binary(20)),
+            }
+        )
+        pq.write_table(table, os.path.join(tmp, "pages", f"bucket={b:02d}", "part.parquet"))
+        meta_rows.extend(
+            {
+                "url_hash": r["url_hash"],
+                "canon_url": r["canon_url"],
+                "host": r["canon_url"].split("://", 1)[1].split("/", 1)[0],
+                "warc_ts": r["warc_ts"],
+            }
+            for r in rs
+        )
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "url_hash": pa.array([m["url_hash"] for m in meta_rows], pa.binary(20)),
+                "canon_url": [m["canon_url"] for m in meta_rows],
+                "host": [m["host"] for m in meta_rows],
+                "warc_ts": pa.array([m["warc_ts"] for m in meta_rows], pa.timestamp("us")),
+            }
+        ),
+        os.path.join(tmp, "meta.parquet"),
+    )
+
+    # seeds (F2): messy variants of a deterministic doc sample + fetch-misses
+    srng = random.Random(GEN_SEED * 31 + n_docs)
+    n_seeds = max(8, n_docs // 25)
+    seed_docs = srng.sample(range(n_docs), min(n_seeds, n_docs))
+    seed_urls = [messy_url(d, n_docs, srng) for d in seed_docs]
+    seed_urls += [f"https://host000.example/cat0/item{n_docs + 10_000 + i}" for i in range(3)]
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"url": seed_urls, "rank": list(range(len(seed_urls)))}
+        ),
+        os.path.join(tmp, "seeds.parquet"),
+    )
+
+    # politeness (F3): per-host budget + robots for a minority of hosts.
+    # Budgets scale with host size (≈16 rounds drain the hottest host at any
+    # sf) so the crawl's round count is scale-invariant — the analog of the
+    # reference provisioning more SLURM tasks for bigger crawls.
+    h = num_hosts(n_docs)
+    hosts = [f"host{i:03d}.example" for i in range(h)]
+    host_counts: dict[str, int] = {}
+    for m in meta_rows:
+        host_counts[m["host"]] = host_counts.get(m["host"], 0) + 1
+    prng = random.Random(GEN_SEED * 17 + h)
+    budgets = [
+        max(2, host_counts.get(host, 0) // 16 + prng.randrange(0, 3)) for host in hosts
+    ]
+    robots = [["/private"] if prng.random() < 0.25 else [] for _ in hosts]
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "host": hosts,
+                "max_per_round": pa.array(budgets, pa.int32()),
+                "robots_disallow": pa.array(robots, pa.list_(pa.string())),
+            }
+        ),
+        os.path.join(tmp, "politeness.parquet"),
+    )
+
+    with open(os.path.join(tmp, "COMPLETE.json"), "w") as f:
+        json.dump({"n_pages": n_docs, "n_hosts": h, "version": GEN_VERSION}, f)
+    os.rename(tmp, root)
+    return PagesCorpus(root, n_docs, h)
+
+
+def _render_rows(doc_ids, texts, langs, n_docs) -> list[dict]:
+    """Render all page rows; Ray-parallel when worthwhile, else inline."""
+    import ray
+
+    if n_docs >= 4000 and ray.is_initialized():
+        import ray.data as rd
+
+        src = rd.from_arrow(
+            pa.Table.from_pydict({"doc_id": doc_ids, "text": texts, "lang": langs})
+        )
+
+        def render_batch(batch: pa.Table) -> pa.Table:
+            out = [
+                render_page_row(d, n_docs, t, g)
+                for d, t, g in zip(
+                    batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist(),
+                    batch["lang"].to_pylist(),
+                )
+            ]
+            return pa.Table.from_pydict(
+                {
+                    "url": [r["url"] for r in out],
+                    "warc_ts": pa.array([r["warc_ts"] for r in out], pa.int64()),
+                    "html": [r["html"] for r in out],
+                    "text": [r["text"] for r in out],
+                    "lang": [r["lang"] for r in out],
+                    "url_hash": [r["url_hash"] for r in out],
+                    "canon_url": [r["canon_url"] for r in out],
+                }
+            )
+
+        rows = []
+        for batch in src.map_batches(
+            render_batch, batch_format="pyarrow", batch_size=1024
+        ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+            rows.extend(batch.to_pylist())
+        for r in rows:  # Arrow binary → memoryview on to_pylist in some paths
+            if not isinstance(r["html"], bytes):
+                r["html"] = bytes(r["html"])
+            if not isinstance(r["url_hash"], bytes):
+                r["url_hash"] = bytes(r["url_hash"])
+        return rows
+    return [
+        render_page_row(d, n_docs, t, g) for d, t, g in zip(doc_ids, texts, langs)
+    ]
