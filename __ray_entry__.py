@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship fetch+extract crawl on sf0.001;
+``queries()``/``oracle_sql()`` expose the operator surface of
+``llm_scraper_ray.pipelines.queries`` (SURVEY.md §2 + training-data ops).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ``ray.init()``/``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +15,24 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic pages corpus from sf0.001 →
+    full frontier crawl (politeness + seen-set + byte-identical extraction)
+    → extracted rows as a Ray Dataset."""
+    from llm_scraper_ray.pipelines.queries import _crawl_for
+
+    _, result = _crawl_for("/root/testdata/sf0.001")
+    return result.extracted_dataset(
+        columns=["url_hash", "canon_url", "host", "depth", "fetch_status", "text", "n_chars"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from llm_scraper_ray.pipelines.queries import all_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql
+
+    return all_oracle_sql()

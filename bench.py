@@ -1,0 +1,142 @@
+"""Benchmark harness: headline fetch+extract crawl + query suite over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "crawl_urls_per_sec", "value": <headline seconds>, "unit":
+   "sec", "queries": {...per-query secs...}, "sf": ..., "num_cpus": N,
+   "crawl": {urls, rounds, urls_per_sec}}
+
+``--scaling``: runs the headline crawl twice in fresh processes at
+num_cpus 8 and 32 on the same input and reports throughput at both plus
+scaling efficiency (the sandbox stand-in for the N vs 4N-node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _run_bench() -> None:
+    import logging
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from llm_scraper_ray.pipelines.crawl import CrawlEngine
+    from llm_scraper_ray.pipelines.queries import all_queries
+    from llm_scraper_ray.sources.pages import generate_corpus
+
+    # corpus generation is cached; generate (and warm the page cache) untimed.
+    # pages_per_doc multiplies the sf documents table into a crawl-scale
+    # page corpus (sf0.1 → 50k pages at the default 10).
+    ppd = int(os.environ.get("LLMSR_BENCH_PPD", "10"))
+    corpus = generate_corpus(sf_dir, pages_per_doc=ppd)
+
+    # headline: full frontier crawl, fresh run_dir every time
+    run_dir = f"/tmp/llmsr_bench/crawl-{os.path.basename(os.path.normpath(sf_dir))}-c{num_cpus}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    eng = CrawlEngine(
+        corpus,
+        run_dir,
+        fetch_concurrency=max(2, num_cpus // 4),
+        max_rounds=64,
+    )
+    t0 = time.time()
+    result = eng.run(resume=False)
+    crawl_secs = time.time() - t0
+    n_urls = sum(m["selected"] for m in result.metrics)
+
+    # query suite (each timed individually)
+    qsecs: dict[str, float] = {}
+    skip = {"crawl_extracted", "crawl_order", "crawl_metrics"}  # timed above
+    for name, fn in all_queries().items():
+        if name in skip:
+            continue
+        t0 = time.time()
+        try:
+            fn(sf_dir)
+            qsecs[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            qsecs[name] = -1.0
+            print(f"# query {name} failed: {e}", file=sys.stderr)
+
+    total = round(crawl_secs + sum(s for s in qsecs.values() if s > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": {"crawl": round(crawl_secs, 3), **qsecs},
+                "sf": sf_dir,
+                "num_cpus": num_cpus,
+                "crawl": {
+                    "urls": int(n_urls),
+                    "rounds": result.rounds,
+                    "secs": round(crawl_secs, 3),
+                    "urls_per_sec": round(n_urls / crawl_secs, 2) if crawl_secs else 0.0,
+                },
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def _run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo = r_lo["crawl"]["urls_per_sec"]
+    tp_hi = r_hi["crawl"]["urls_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo) if tp_lo else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "urls_per_sec_lo": tp_lo,
+                "urls_per_sec_hi": tp_hi,
+                "crawl_secs_lo": r_lo["crawl"]["secs"],
+                "crawl_secs_hi": r_hi["crawl"]["secs"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _run_scaling()
+    else:
+        _run_bench()

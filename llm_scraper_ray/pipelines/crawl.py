@@ -1,0 +1,535 @@
+"""The Ray-Data crawl loop: iterative frontier rounds with per-round lineage.
+
+Ray-native restatement of the reference's fetch+extract entry point
+(``extract_pages.py:131-164``; SURVEY.md §3.2) under the defined semantics of
+pipelines/spec.py. Each frontier round runs:
+
+  frontier ──pre_dedup──▶ groupby(url_hash).aggregate(Min) ─▶ robots+seen
+  filter (shard actors) ─▶ [salted pre-select] ─▶ groupby(host) top-k select
+  ─▶ flags.parquet ─▶ selected ─▶ mark-seen ─▶ FetchExtract actors (html
+  never leaves the stage) ─▶ extracted.parquet ─▶ link expansion ∪ deferred
+  ─▶ next round's frontier.parquet
+
+Two physical paths implement the SAME spec (tested equal):
+
+  - **distributed** (big rounds): the dataflow above as Ray Data executions —
+    the only path that exists at 10^10-frontier scale;
+  - **driver fast path** (rounds below ``driver_threshold`` candidates):
+    the control plane (dedup/robots/select/expand — pure-kernel pandas) runs
+    on the driver, while the seen-set shard actors and the persistent
+    FetchExtract actor pool still do the stateful/data work. This is the
+    local-mode analog of a scheduler handling metadata-sized stages inline
+    instead of paying full task-graph overhead for 30-row rounds.
+
+FetchExtract actors are created ONCE per run and reused across rounds
+(bucket caches stay warm); batches route to ``actor[bucket % n]`` so each
+actor owns a stable slice of the pages table.
+
+Checkpoint/resume (SURVEY.md F11, §7.4.6): every round directory
+``round-NNNN/`` holds flags, extracted, next frontier, serialized seen
+shards and metrics, sealed by ``_COMPLETE``. ``run(resume=True)`` restarts
+from the last sealed round; replaying a partial round is idempotent (seen
+adds are set-inserts, fetch is deterministic).
+
+Scale notes: per-round shuffles are keyed on ``url_hash`` (dedup) and
+``host`` (politeness) — the two partition keys of SURVEY.md §7.3; hot hosts
+split via ``salt_buckets`` exact two-level top-k
+(stages/frontier.make_salted_preselect). The hash→warc_ts metadata is a
+``ray.put`` broadcast here; at 10^10 URLs it becomes a partitioned join.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from ..functions.urls import path_of
+from ..sources.pages import PagesCorpus
+from ..stages.fetch import FetchExtract
+from ..stages.frontier import (
+    FRONTIER_SCHEMA,
+    candidates_from_urls,
+    expand_links,
+    make_robots_seen_filter,
+    make_salted_preselect,
+    make_select,
+    pre_dedup,
+)
+from ..stages.seen import SeenSet
+
+
+def _to_frontier_table(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "url_hash": pa.array(df["url_hash"], pa.string()),
+            "canon_url": pa.array(df["canon_url"], pa.string()),
+            "host": pa.array(df["host"], pa.string()),
+            "depth": pa.array(df["depth"].astype("int64"), pa.int32()),
+            "warc_ts": pa.array(df["warc_ts"].astype("int64"), pa.int64()),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def _write_empty(path_dir: str, schema: pa.Schema) -> None:
+    os.makedirs(path_dir, exist_ok=True)
+    pq.write_table(schema.empty_table(), os.path.join(path_dir, "empty.parquet"))
+
+
+def _count_rows(path_dir: str) -> int:
+    return pads.dataset(path_dir, format="parquet").count_rows()
+
+
+def _dispatch_fetch(
+    fetch_actors, selected: pd.DataFrame, num_buckets: int, batch_size: int
+) -> pa.Table:
+    """Route selected rows to the persistent FetchExtract actors by pages
+    bucket (``actor[bucket % n]``) so each actor's bucket cache stays hot."""
+    n_act = len(fetch_actors)
+    groups: dict[int, list[int]] = {}
+    for pos, h in enumerate(selected["url_hash"]):
+        b = bytes.fromhex(h)[0] % num_buckets
+        groups.setdefault(b % n_act, []).append(pos)
+    futures = []
+    for a_idx, poss in sorted(groups.items()):
+        sub = selected.iloc[poss]
+        for start in range(0, len(sub), batch_size):
+            futures.append(
+                fetch_actors[a_idx].__call__.remote(sub.iloc[start : start + batch_size])
+            )
+    tables = [t for t in ray.get(futures) if t.num_rows > 0]
+    if not tables:
+        return _EXTRACTED_SCHEMA.empty_table()
+    return pa.concat_tables(tables)
+
+
+_EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("url_hash", pa.string()),
+        ("canon_url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("warc_ts", pa.int64()),
+        ("hrank", pa.int32()),
+        ("fetch_status", pa.string()),
+        ("text", pa.string()),
+        ("n_chars", pa.int32()),
+        ("links", pa.list_(pa.string())),
+    ]
+)
+
+
+@dataclass
+class CrawlResult:
+    run_dir: str
+    rounds: int
+    metrics: list[dict] = field(default_factory=list)
+
+    def _round_dirs(self) -> list[str]:
+        out = []
+        for name in sorted(os.listdir(self.run_dir)):
+            if name.startswith("round-") and name != "round-0000":
+                if os.path.exists(os.path.join(self.run_dir, name, "_COMPLETE")):
+                    out.append(os.path.join(self.run_dir, name))
+        return out
+
+    def extracted_dataset(self, columns: list[str] | None = None) -> rd.Dataset:
+        """All rounds' extracted rows as one Dataset (lazy, streaming)."""
+        files = []
+        for d in self._round_dirs():
+            sub = os.path.join(d, "extracted")
+            files.extend(
+                os.path.join(sub, f) for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
+            )
+        return rd.read_parquet(files, columns=columns)
+
+    def collect_extracted(self) -> pa.Table:
+        """Driver-side table (test scale only)."""
+        parts = [
+            pads.dataset(os.path.join(d, "extracted"), format="parquet")
+            for d in self._round_dirs()
+        ]
+        return pads.dataset(parts).to_table()
+
+    def assemble_order(self) -> list[str]:
+        """Global crawl-order ledger: per round, sort by (hrank, priority)
+        (spec step 7). Driver-side at test scale; at cluster scale this is a
+        per-round distributed sort + offset assignment."""
+        order: list[str] = []
+        for d in self._round_dirs():
+            t = pads.dataset(os.path.join(d, "extracted"), format="parquet").to_table(
+                columns=["url_hash", "depth", "warc_ts", "hrank"]
+            )
+            rows = sorted(
+                zip(
+                    t["hrank"].to_pylist(),
+                    t["depth"].to_pylist(),
+                    (-ts for ts in t["warc_ts"].to_pylist()),
+                    t["url_hash"].to_pylist(),
+                ),
+            )
+            order.extend(r[3] for r in rows)
+        return order
+
+    def seen_digests(self) -> set[bytes]:
+        from ..state.cuckoo import SeenShard
+
+        dirs = self._round_dirs()
+        if not dirs:
+            return set()
+        seen_dir = os.path.join(dirs[-1], "seen")
+        out: set[bytes] = set()
+        for name in os.listdir(seen_dir):
+            with open(os.path.join(seen_dir, name), "rb") as f:
+                out |= SeenShard.from_bytes(f.read()).exact
+        return out
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        corpus: PagesCorpus,
+        run_dir: str,
+        num_shards: int = 8,
+        fetch_concurrency: int = 4,
+        salt_buckets: int = 1,
+        max_rounds: int = 64,
+        batch_size: int = 512,
+        driver_threshold: int = 20_000,
+    ):
+        self.corpus = corpus
+        self.run_dir = run_dir
+        self.num_shards = num_shards
+        self.fetch_concurrency = fetch_concurrency
+        self.salt_buckets = salt_buckets
+        self.max_rounds = max_rounds
+        self.batch_size = batch_size
+        self.driver_threshold = driver_threshold
+
+        pol = pq.read_table(corpus.politeness_path)
+        self.budgets = {
+            h.as_py(): int(m.as_py()) for h, m in zip(pol["host"], pol["max_per_round"])
+        }
+        self.robots = {
+            h.as_py(): list(r.as_py())
+            for h, r in zip(pol["host"], pol["robots_disallow"])
+            if len(r) > 0
+        }
+        meta = pq.read_table(corpus.meta_path, columns=["url_hash", "warc_ts"])
+        self.warc_lookup = {
+            h.as_py().hex(): ts.value for h, ts in zip(meta["url_hash"], meta["warc_ts"])
+        }
+
+    # -- round-state paths -------------------------------------------------
+
+    def _round_dir(self, k: int) -> str:
+        return os.path.join(self.run_dir, f"round-{k:04d}")
+
+    def _last_complete_round(self) -> int:
+        last = -1
+        if not os.path.isdir(self.run_dir):
+            return last
+        for name in os.listdir(self.run_dir):
+            if name.startswith("round-"):
+                k = int(name.split("-")[1])
+                if os.path.exists(os.path.join(self.run_dir, name, "_COMPLETE")):
+                    last = max(last, k)
+        return last
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(self, resume: bool = True) -> CrawlResult:
+        done_marker = os.path.join(self.run_dir, "DONE.json")
+        if not resume:
+            shutil.rmtree(self.run_dir, ignore_errors=True)
+        elif os.path.exists(done_marker):
+            info = json.load(open(done_marker))
+            return CrawlResult(self.run_dir, info["rounds"], info["metrics"])
+
+        seen = SeenSet(self.num_shards)
+        fetch_actor_cls = ray.remote(num_cpus=1)(FetchExtract)
+        fetch_actors = [
+            fetch_actor_cls.remote(
+                pages_dir=self.corpus.pages_dir,
+                num_buckets=self.corpus.num_buckets,
+                budgets=self.budgets,
+            )
+            for _ in range(self.fetch_concurrency)
+        ]
+
+        last = self._last_complete_round() if resume else -1
+        if last < 0:
+            self._init_seeds()
+            last = 0
+        elif last > 0:
+            seen.restore_from(os.path.join(self._round_dir(last), "seen"))
+
+        warc_ref = ray.put(self.warc_lookup)
+        rnd = last
+        finished = False
+        while rnd < self.max_rounds:
+            rnd += 1
+            frontier_path = os.path.join(self._round_dir(rnd - 1), "frontier_next")
+            n_frontier = _count_rows(frontier_path)
+            if n_frontier == 0:
+                rnd -= 1
+                finished = True
+                break
+            t0 = time.time()
+            if n_frontier <= self.driver_threshold:
+                m = self._round_driver(rnd, frontier_path, seen, fetch_actors)
+            else:
+                m = self._round_distributed(rnd, frontier_path, seen, fetch_actors, warc_ref)
+            m["secs"] = round(time.time() - t0, 3)
+            if m["selected"] == 0:
+                finished = True
+                break
+
+        # metrics re-assembled from the sealed round dirs so a resumed run
+        # reports the full history, not just its own rounds
+        metrics = []
+        for name in sorted(os.listdir(self.run_dir)):
+            mp = os.path.join(self.run_dir, name, "metrics.json")
+            if name.startswith("round-") and os.path.exists(mp):
+                metrics.append(json.load(open(mp)))
+
+        if finished:
+            # DONE == frontier exhausted; a max_rounds cap leaves the run
+            # resumable (the kill-and-resume contract, SURVEY.md M4)
+            with open(done_marker + ".tmp", "w") as f:
+                json.dump({"rounds": rnd, "metrics": metrics}, f)
+            os.replace(done_marker + ".tmp", done_marker)
+        return CrawlResult(self.run_dir, rnd, metrics)
+
+    def _init_seeds(self) -> None:
+        d0 = self._round_dir(0)
+        tmp = d0 + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "frontier_next"), exist_ok=True)
+        seeds = pq.read_table(self.corpus.seeds_path)
+        table = candidates_from_urls(seeds["url"].to_pylist(), 0, self.warc_lookup)
+        pq.write_table(table, os.path.join(tmp, "frontier_next", "part-0.parquet"))
+        open(os.path.join(tmp, "_COMPLETE"), "w").close()
+        shutil.rmtree(d0, ignore_errors=True)
+        os.rename(tmp, d0)
+
+    # -- fetch dispatch (shared by both paths) ------------------------------
+
+    def _dispatch_fetch(self, fetch_actors, selected: pd.DataFrame) -> pa.Table:
+        return _dispatch_fetch(
+            fetch_actors, selected, self.corpus.num_buckets, self.batch_size
+        )
+
+    # -- driver fast path ---------------------------------------------------
+
+    def _round_driver(self, rnd, frontier_path, seen: SeenSet, fetch_actors) -> dict:
+        rdir = self._round_dir(rnd)
+        shutil.rmtree(rdir, ignore_errors=True)
+        os.makedirs(rdir, exist_ok=True)
+
+        fr = pads.dataset(frontier_path, format="parquet").to_table().to_pandas()
+        n_candidates = len(fr)
+        # spec step 1: exact dedup keep-min-depth
+        cand = pre_dedup(fr).reset_index(drop=True)
+        # spec steps 2-3: seen + robots
+        digests = [bytes.fromhex(h) for h in cand["url_hash"]]
+        seen_mask = seen.contains_many(digests)
+        status, blocked = [], []
+        for i, (host, canon) in enumerate(zip(cand["host"], cand["canon_url"])):
+            if seen_mask[i]:
+                status.append("seen")
+                continue
+            prefixes = self.robots.get(host)
+            if prefixes and any(path_of(canon).startswith(p) for p in prefixes):
+                status.append("robots")
+                blocked.append(digests[i])
+            else:
+                status.append("ok")
+        if blocked:
+            seen.add_many(blocked)
+        cand["status"] = status
+        # spec steps 4+7: per-host top-k + hrank (same callable as distributed)
+        select_fn = make_select(self.budgets)
+        flags = (
+            cand.groupby("host", group_keys=False)[list(cand.columns)]
+            .apply(select_fn)
+            .reset_index(drop=True)
+        )
+        os.makedirs(os.path.join(rdir, "flags"), exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(flags, preserve_index=False),
+            os.path.join(rdir, "flags", "part-0.parquet"),
+        )
+
+        m = self._metrics_from_flags(rnd, n_candidates, flags)
+        selected = flags[flags["selected"]].sort_values("url_hash")
+        if len(selected) == 0:
+            _write_empty(os.path.join(rdir, "extracted"), _EXTRACTED_SCHEMA)
+            _write_empty(os.path.join(rdir, "frontier_next"), FRONTIER_SCHEMA)
+            seen.snapshot_to(os.path.join(rdir, "seen"))
+            self._seal(rdir, m)
+            return m
+
+        # spec step 5: mark selected seen, then fetch via persistent actors
+        seen.add_many([bytes.fromhex(h) for h in selected["url_hash"]])
+        extracted = self._dispatch_fetch(fetch_actors, selected)
+        os.makedirs(os.path.join(rdir, "extracted"), exist_ok=True)
+        pq.write_table(extracted, os.path.join(rdir, "extracted", "part-0.parquet"))
+
+        # spec steps 8-9: expansion ∪ deferred
+        new_cands = expand_links(
+            extracted["links"].to_pylist(), extracted["depth"].to_pylist(), self.warc_lookup
+        )
+        deferred = _to_frontier_table(
+            flags[(flags["status"] == "ok") & (~flags["selected"])]
+        )
+        os.makedirs(os.path.join(rdir, "frontier_next"), exist_ok=True)
+        pq.write_table(
+            pa.concat_tables([deferred, new_cands]),
+            os.path.join(rdir, "frontier_next", "part-0.parquet"),
+        )
+        m["new_candidates"] = new_cands.num_rows
+
+        seen.snapshot_to(os.path.join(rdir, "seen"))
+        self._seal(rdir, m)
+        return m
+
+    # -- distributed path ---------------------------------------------------
+
+    def _round_distributed(self, rnd, frontier_path, seen: SeenSet, fetch_actors, warc_ref) -> dict:
+        rdir = self._round_dir(rnd)
+        shutil.rmtree(rdir, ignore_errors=True)
+        os.makedirs(rdir, exist_ok=True)
+        flags_dir = os.path.join(rdir, "flags")
+        extracted_dir = os.path.join(rdir, "extracted")
+        next_dir = os.path.join(rdir, "frontier_next")
+
+        robots_seen = make_robots_seen_filter(seen.actors, self.num_shards, self.robots)
+        select_fn = make_select(self.budgets)
+
+        # spec steps 1-4+7 → flags.parquet
+        cand = (
+            rd.read_parquet(frontier_path)
+            .map_batches(pre_dedup, batch_format="pandas")
+            .groupby("url_hash")
+            .aggregate(
+                Min("depth", alias_name="depth"),
+                Min("canon_url", alias_name="canon_url"),
+                Min("host", alias_name="host"),
+                Min("warc_ts", alias_name="warc_ts"),
+            )
+            .map_batches(robots_seen, batch_format="pandas")
+        )
+        if self.salt_buckets > 1:
+            pre_fn = make_salted_preselect(self.budgets, self.salt_buckets)
+            nsalt = self.salt_buckets
+
+            def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["salt"] = [int(h[:2], 16) % nsalt for h in df["url_hash"]]
+                return df
+
+            cand = (
+                cand.map_batches(add_salt, batch_format="pandas")
+                .groupby(["host", "salt"])
+                .map_groups(pre_fn, batch_format="pandas")
+            )
+        cand.groupby("host").map_groups(select_fn, batch_format="pandas").write_parquet(
+            flags_dir
+        )
+
+        flags_small = pads.dataset(flags_dir, format="parquet").to_table(
+            columns=["status", "selected"]
+        )
+        m = self._metrics_from_flags(
+            rnd,
+            _count_rows(frontier_path),
+            pd.DataFrame(
+                {
+                    "status": flags_small["status"].to_pylist(),
+                    "selected": flags_small["selected"].to_pylist(),
+                }
+            ),
+        )
+        if m["selected"] == 0:
+            _write_empty(extracted_dir, _EXTRACTED_SCHEMA)
+            _write_empty(next_dir, FRONTIER_SCHEMA)
+            seen.snapshot_to(os.path.join(rdir, "seen"))
+            self._seal(rdir, m)
+            return m
+
+        # spec steps 5-6: mark seen + fetch via the persistent actor pool.
+        # The closure captures only actor handles + two ints — no broadcast
+        # state is re-shipped per task.
+        actors = seen.actors
+        nsh = self.num_shards
+        nb = self.corpus.num_buckets
+        bsz = self.batch_size
+
+        def mark_seen_and_fetch(batch: pd.DataFrame) -> pa.Table:
+            routes: dict[int, list[bytes]] = {}
+            for h in batch["url_hash"]:
+                d = bytes.fromhex(h)
+                routes.setdefault(d[0] % nsh, []).append(d)
+            ray.get([actors[s].add_many.remote(ds) for s, ds in routes.items()])
+            return _dispatch_fetch(fetch_actors, batch, nb, bsz)
+
+        (
+            rd.read_parquet(flags_dir)
+            .map_batches(lambda df: df[df["selected"]], batch_format="pandas")
+            .map_batches(
+                mark_seen_and_fetch, batch_format="pandas", batch_size=self.batch_size
+            )
+            .write_parquet(extracted_dir)
+        )
+
+        # spec steps 8-9: expansion ∪ deferred → next frontier
+        def expander(batch: pd.DataFrame) -> pa.Table:
+            return expand_links(batch["links"], batch["depth"], ray.get(warc_ref))
+
+        new_cands = rd.read_parquet(
+            extracted_dir, columns=["links", "depth"]
+        ).map_batches(expander, batch_format="pandas")
+        deferred = rd.read_parquet(flags_dir).map_batches(
+            lambda df: _to_frontier_table(df[(df["status"] == "ok") & (~df["selected"])]),
+            batch_format="pandas",
+        )
+        deferred.union(new_cands).write_parquet(next_dir)
+        m["new_candidates"] = _count_rows(next_dir) - m["deferred"]
+
+        seen.snapshot_to(os.path.join(rdir, "seen"))
+        self._seal(rdir, m)
+        return m
+
+    # -- shared helpers -----------------------------------------------------
+
+    @staticmethod
+    def _metrics_from_flags(rnd: int, n_candidates: int, flags: pd.DataFrame) -> dict:
+        status = flags["status"]
+        n_sel = int(flags["selected"].sum())
+        return {
+            "round": rnd,
+            "candidates": int(n_candidates),
+            "unique": int(len(flags)),
+            "seen_dropped": int((status == "seen").sum()),
+            "robots": int((status == "robots").sum()),
+            "selected": n_sel,
+            "deferred": int((status == "ok").sum()) - n_sel,
+        }
+
+    @staticmethod
+    def _seal(rdir: str, metrics: dict) -> None:
+        with open(os.path.join(rdir, "metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        open(os.path.join(rdir, "_COMPLETE"), "w").close()

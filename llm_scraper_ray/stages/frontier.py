@@ -1,0 +1,223 @@
+"""Frontier batch kernels: canonicalize, robots+seen filter, selection, expansion.
+
+These are the per-round transforms of the crawl loop (pipelines/crawl.py),
+implementing steps 1–4 and 8 of pipelines/spec.py as Ray Data
+``map_batches`` / ``groupby().map_groups`` callables. Everything is pure
+given its broadcast inputs except the robots step, which marks blocked
+digests seen via the shard actors (hash-unique per round → race-free).
+
+Engine frontier schema (Arrow):
+  url_hash: string (40-char sha1 hex — hex sort order == byte sort order),
+  canon_url: string, host: string, depth: int32, warc_ts: int64 (us; -1 unknown)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.html_text import extract_text_and_links  # noqa: F401  (fetch stage)
+from ..functions.urls import canonicalize_url, host_of, path_of, url_sha1_hex
+from ..pipelines.spec import DEFAULT_BUDGET
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url_hash", pa.string()),
+        ("canon_url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("warc_ts", pa.int64()),
+    ]
+)
+
+
+def candidates_from_urls(
+    urls: list[str], depth: int, warc_lookup: dict[str, int]
+) -> pa.Table:
+    """Canonicalize raw URLs → frontier rows; non-http(s)/invalid dropped (F14)."""
+    hashes, canons, hosts, depths, tss = [], [], [], [], []
+    for url in urls:
+        canon = canonicalize_url(url)
+        if canon is None:
+            continue
+        h = url_sha1_hex(canon)
+        hashes.append(h)
+        canons.append(canon)
+        hosts.append(host_of(canon))
+        depths.append(depth)
+        tss.append(warc_lookup.get(h, -1))
+    return pa.Table.from_pydict(
+        {
+            "url_hash": pa.array(hashes, pa.string()),
+            "canon_url": pa.array(canons, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(depths, pa.int32()),
+            "warc_ts": pa.array(tss, pa.int64()),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def pre_dedup(batch: pd.DataFrame) -> pd.DataFrame:
+    """Combiner before the dedup shuffle (spec step 1): within-batch
+    keep-min-depth, so the groupby moves one row per (batch, hash) instead of
+    every duplicate. The exact dedup is then a vectorized
+    ``groupby("url_hash").aggregate(Min(...))`` — every non-depth column is a
+    pure function of the hash, so Min reproduces it."""
+    return batch.sort_values(["url_hash", "depth"], kind="stable").drop_duplicates(
+        "url_hash", keep="first"
+    )
+
+
+def make_robots_seen_filter(seen_actors, num_shards: int, robots: dict[str, list[str]]):
+    """Spec steps 2+3 as one map_batches fn: appends ``status`` ∈
+    {ok, seen, robots}; robots-blocked digests are added to the seen shards.
+
+    ``seen_actors`` is the list of SeenShardActor handles (serialized into
+    the task closure); ``robots`` is the broadcast host→prefix map.
+    """
+    import ray
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            batch["status"] = pd.Series([], dtype="object")
+            return batch
+        digests = [bytes.fromhex(h) for h in batch["url_hash"]]
+        # route per shard, one batched contains per shard
+        routes: dict[int, list[int]] = {}
+        for pos, d in enumerate(digests):
+            routes.setdefault(d[0] % num_shards, []).append(pos)
+        seen_mask = [False] * len(digests)
+        futures = {
+            s: seen_actors[s].contains_many.remote([digests[p] for p in poss])
+            for s, poss in routes.items()
+        }
+        for s, poss in routes.items():
+            for p, val in zip(poss, ray.get(futures[s])):
+                seen_mask[p] = val
+        status = []
+        blocked: dict[int, list[bytes]] = {}
+        for i, (host, canon) in enumerate(zip(batch["host"], batch["canon_url"])):
+            if seen_mask[i]:
+                status.append("seen")
+                continue
+            prefixes = robots.get(host)
+            if prefixes and any(path_of(canon).startswith(p) for p in prefixes):
+                status.append("robots")
+                d = digests[i]
+                blocked.setdefault(d[0] % num_shards, []).append(d)
+            else:
+                status.append("ok")
+        if blocked:
+            ray.get(
+                [seen_actors[s].add_many.remote(ds) for s, ds in blocked.items()]
+            )
+        batch = batch.copy()
+        batch["status"] = status
+        return batch
+
+    return fn
+
+
+def _sort_by_priority(df: pd.DataFrame) -> pd.DataFrame:
+    """Normative priority (spec): depth asc, warc_ts desc, url_hash asc."""
+    return df.sort_values(
+        ["depth", "warc_ts", "url_hash"],
+        ascending=[True, False, True],
+        kind="stable",
+    )
+
+
+def make_salted_preselect(budgets: dict[str, int], salt_buckets: int):
+    """Skew-breaking level-1 top-k: within each (host, salt) shuffle group,
+    keep the top ``budget`` candidates by priority (marked pre=True). The
+    union of per-salt top-k supersets contains the global per-host top-k, so
+    level 2 (``make_select``) over pre==True rows is exact while each level-1
+    group carries at most 1/salt_buckets of a hot host's frontier
+    (SURVEY.md §7.4.4)."""
+
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        k = budgets.get(group["host"].iloc[0], DEFAULT_BUDGET)
+        g = group.copy()
+        g["pre"] = False
+        ok = _sort_by_priority(g[g["status"] == "ok"])
+        g.loc[ok.index[:k], "pre"] = True
+        return g
+
+    return fn
+
+
+def make_select(budgets: dict[str, int]):
+    """Spec step 4+7: per-host top-k selection + within-host rank.
+
+    Runs under ``groupby("host").map_groups``. Only rows with status==ok
+    (and pre==True when the salted level-1 ran) are selectable; every input
+    row is emitted with ``selected`` bool and ``hrank`` (0-based rank among
+    selected; -1 otherwise)."""
+
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        k = budgets.get(group["host"].iloc[0], DEFAULT_BUDGET)
+        g = group.copy()
+        g["selected"] = False
+        g["hrank"] = -1
+        mask = g["status"] == "ok"
+        if "pre" in g.columns:
+            mask &= g["pre"]
+        ok = _sort_by_priority(g[mask])
+        sel_idx = ok.index[:k]
+        g.loc[sel_idx, "selected"] = True
+        g.loc[sel_idx, "hrank"] = range(len(sel_idx))
+        return g
+
+    return fn
+
+
+def expand_links(
+    links_iter, depth_iter, warc_lookup: dict[str, int]
+) -> pa.Table:
+    """Spec step 8 core: explode outlink lists → depth+1 frontier rows.
+
+    Canonicalizes each distinct raw URL once (memoized within the call);
+    non-http(s) links are dropped (F14)."""
+    urls: list[str] = []
+    depths: list[int] = []
+    for links, depth in zip(links_iter, depth_iter):
+        if links is None or len(links) == 0:
+            continue
+        urls.extend(links)
+        depths.extend([int(depth) + 1] * len(links))
+    out: dict[str, list] = {k: [] for k in FRONTIER_SCHEMA.names}
+    cache: dict[str, tuple | None] = {}
+    for url, depth in zip(urls, depths):
+        if url in cache:
+            hit = cache[url]
+        else:
+            canon = canonicalize_url(url)
+            if canon is None:
+                hit = None
+            else:
+                h = url_sha1_hex(canon)
+                hit = (h, canon, host_of(canon), warc_lookup.get(h, -1))
+            cache[url] = hit
+        if hit is None:
+            continue
+        out["url_hash"].append(hit[0])
+        out["canon_url"].append(hit[1])
+        out["host"].append(hit[2])
+        out["depth"].append(depth)
+        out["warc_ts"].append(hit[3])
+    return pa.Table.from_pydict(out, schema=FRONTIER_SCHEMA)
+
+
+def make_link_expander(warc_lookup_ref):
+    """map_batches wrapper over ``expand_links``. ``warc_lookup_ref`` is a
+    ``ray.put`` ObjectRef of the hash→warc_ts metadata dict, fetched once per
+    task (zero-copy shared memory; at 10^10 scale this broadcast becomes a
+    hash-partitioned join against the metadata table)."""
+    import ray
+
+    def fn(batch: pd.DataFrame) -> pa.Table:
+        warc_lookup = ray.get(warc_lookup_ref)
+        return expand_links(batch["links"], batch["depth"], warc_lookup)
+
+    return fn

@@ -1,0 +1,95 @@
+"""Driver-mirror check: run each queries() entry and its oracle_sql side by
+side on an sf_dir, compare row count + order-insensitive values.
+
+Usage: python scripts/check_queries.py [sf_dir] [name ...]
+"""
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+    # normalize numeric dtypes
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(6)
+    return df
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+
+    queries = all_queries()
+    oracles = all_oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(sf_dir)
+            if not isinstance(got, pd.DataFrame):
+                got = got.to_pandas()
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        secs = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: {len(got)} rows (rows-only) [{secs:.1f}s]")
+            continue
+        want = con.sql(oracles[name]).df()
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            failures += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            failures += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, atol=1e-6)
+            print(f"ok   {name}: {len(g)} rows MATCH [{secs:.1f}s]")
+        except AssertionError as e:
+            print(f"FAIL {name}: value mismatch: {str(e)[:300]}")
+            failures += 1
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

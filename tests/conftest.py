@@ -1,0 +1,28 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def corpus_sf0001(ray_session):
+    from llm_scraper_ray.sources.pages import generate_corpus
+
+    return generate_corpus("/root/testdata/sf0.001")
