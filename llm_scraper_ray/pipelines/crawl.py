@@ -50,9 +50,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
 
 from ..functions.urls import path_of
 from ..sources.pages import PagesCorpus
@@ -61,6 +61,7 @@ from ..stages.frontier import (
     FRONTIER_SCHEMA,
     candidates_from_urls,
     expand_links,
+    make_host_round_fn,
     make_robots_seen_filter,
     make_salted_preselect,
     make_select,
@@ -145,22 +146,26 @@ class CrawlResult:
         return out
 
     def extracted_dataset(self, columns: list[str] | None = None) -> rd.Dataset:
-        """All rounds' extracted rows as one Dataset (lazy, streaming)."""
+        """All rounds' extracted rows as one Dataset (lazy, streaming).
+
+        Round outputs also ledger deferred/robots/seen rows (hrank == -1,
+        distributed path); fetched rows have hrank >= 0 — filtered at the
+        read via predicate pushdown."""
         files = []
         for d in self._round_dirs():
             sub = os.path.join(d, "extracted")
             files.extend(
                 os.path.join(sub, f) for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
             )
-        return rd.read_parquet(files, columns=columns)
+        return rd.read_parquet(files, columns=columns, filter=pc.field("hrank") >= 0)
 
     def collect_extracted(self) -> pa.Table:
-        """Driver-side table (test scale only)."""
+        """Driver-side table of fetched rows (test scale only)."""
         parts = [
             pads.dataset(os.path.join(d, "extracted"), format="parquet")
             for d in self._round_dirs()
         ]
-        return pads.dataset(parts).to_table()
+        return pads.dataset(parts).to_table(filter=pads.field("hrank") >= 0)
 
     def assemble_order(self) -> list[str]:
         """Global crawl-order ledger: per round, sort by (hrank, priority)
@@ -169,7 +174,8 @@ class CrawlResult:
         order: list[str] = []
         for d in self._round_dirs():
             t = pads.dataset(os.path.join(d, "extracted"), format="parquet").to_table(
-                columns=["url_hash", "depth", "warc_ts", "hrank"]
+                columns=["url_hash", "depth", "warc_ts", "hrank"],
+                filter=pads.field("hrank") >= 0,
             )
             rows = sorted(
                 zip(
@@ -286,12 +292,10 @@ class CrawlEngine:
                 rnd -= 1
                 finished = True
                 break
-            t0 = time.time()
             if n_frontier <= self.driver_threshold:
                 m = self._round_driver(rnd, frontier_path, seen, fetch_actors)
             else:
                 m = self._round_distributed(rnd, frontier_path, seen, fetch_actors, warc_ref)
-            m["secs"] = round(time.time() - t0, 3)
             if m["selected"] == 0:
                 finished = True
                 break
@@ -334,6 +338,7 @@ class CrawlEngine:
     # -- driver fast path ---------------------------------------------------
 
     def _round_driver(self, rnd, frontier_path, seen: SeenSet, fetch_actors) -> dict:
+        t_start = time.time()
         rdir = self._round_dir(rnd)
         shutil.rmtree(rdir, ignore_errors=True)
         os.makedirs(rdir, exist_ok=True)
@@ -373,11 +378,13 @@ class CrawlEngine:
         )
 
         m = self._metrics_from_flags(rnd, n_candidates, flags)
+        m["path"] = "driver"
         selected = flags[flags["selected"]].sort_values("url_hash")
         if len(selected) == 0:
             _write_empty(os.path.join(rdir, "extracted"), _EXTRACTED_SCHEMA)
             _write_empty(os.path.join(rdir, "frontier_next"), FRONTIER_SCHEMA)
             seen.snapshot_to(os.path.join(rdir, "seen"))
+            m["secs"] = round(time.time() - t_start, 3)
             self._seal(rdir, m)
             return m
 
@@ -402,33 +409,35 @@ class CrawlEngine:
         m["new_candidates"] = new_cands.num_rows
 
         seen.snapshot_to(os.path.join(rdir, "seen"))
+        m["secs"] = round(time.time() - t_start, 3)
         self._seal(rdir, m)
         return m
 
     # -- distributed path ---------------------------------------------------
 
     def _round_distributed(self, rnd, frontier_path, seen: SeenSet, fetch_actors, warc_ref) -> dict:
+        """One fused Ray Data execution per round:
+
+          frontier ─pre_dedup─▶ robots+seen status (shard actors, per batch)
+          ─▶ groupby(host).map_groups(dedup + top-k select)   [1 shuffle]
+          ─▶ mark-seen + fetch selected / passthrough others ─▶ round out
+
+        The round output carries every unique candidate with
+        ``fetch_status`` ∈ {hit, miss, deferred, robots, seen} — it is the
+        flags ledger AND the extracted table in one file; the next frontier
+        (deferred ∪ expanded links) and metrics derive from it."""
+        t_start = time.time()
         rdir = self._round_dir(rnd)
         shutil.rmtree(rdir, ignore_errors=True)
         os.makedirs(rdir, exist_ok=True)
-        flags_dir = os.path.join(rdir, "flags")
         extracted_dir = os.path.join(rdir, "extracted")
         next_dir = os.path.join(rdir, "frontier_next")
 
         robots_seen = make_robots_seen_filter(seen.actors, self.num_shards, self.robots)
-        select_fn = make_select(self.budgets)
 
-        # spec steps 1-4+7 → flags.parquet
         cand = (
             rd.read_parquet(frontier_path)
             .map_batches(pre_dedup, batch_format="pandas")
-            .groupby("url_hash")
-            .aggregate(
-                Min("depth", alias_name="depth"),
-                Min("canon_url", alias_name="canon_url"),
-                Min("host", alias_name="host"),
-                Min("warc_ts", alias_name="warc_ts"),
-            )
             .map_batches(robots_seen, batch_format="pandas")
         )
         if self.salt_buckets > 1:
@@ -445,70 +454,110 @@ class CrawlEngine:
                 .groupby(["host", "salt"])
                 .map_groups(pre_fn, batch_format="pandas")
             )
-        cand.groupby("host").map_groups(select_fn, batch_format="pandas").write_parquet(
-            flags_dir
+        flagged = cand.groupby("host").map_groups(
+            make_host_round_fn(self.budgets, salted=self.salt_buckets > 1),
+            batch_format="pandas",
         )
 
-        flags_small = pads.dataset(flags_dir, format="parquet").to_table(
-            columns=["status", "selected"]
-        )
-        m = self._metrics_from_flags(
-            rnd,
-            _count_rows(frontier_path),
-            pd.DataFrame(
-                {
-                    "status": flags_small["status"].to_pylist(),
-                    "selected": flags_small["selected"].to_pylist(),
-                }
-            ),
-        )
-        if m["selected"] == 0:
-            _write_empty(extracted_dir, _EXTRACTED_SCHEMA)
-            _write_empty(next_dir, FRONTIER_SCHEMA)
-            seen.snapshot_to(os.path.join(rdir, "seen"))
-            self._seal(rdir, m)
-            return m
-
-        # spec steps 5-6: mark seen + fetch via the persistent actor pool.
-        # The closure captures only actor handles + two ints — no broadcast
-        # state is re-shipped per task.
+        # mark-seen + fetch selected rows; non-selected rows pass through as
+        # deferred/robots/seen ledger rows. Closure captures handles + ints.
         actors = seen.actors
         nsh = self.num_shards
         nb = self.corpus.num_buckets
         bsz = self.batch_size
 
         def mark_seen_and_fetch(batch: pd.DataFrame) -> pa.Table:
-            routes: dict[int, list[bytes]] = {}
-            for h in batch["url_hash"]:
-                d = bytes.fromhex(h)
-                routes.setdefault(d[0] % nsh, []).append(d)
-            ray.get([actors[s].add_many.remote(ds) for s, ds in routes.items()])
-            return _dispatch_fetch(fetch_actors, batch, nb, bsz)
+            sel = batch[batch["selected"]]
+            rest = batch[~batch["selected"]]
+            tables = []
+            if len(sel):
+                routes: dict[int, list[bytes]] = {}
+                for h in sel["url_hash"]:
+                    d = bytes.fromhex(h)
+                    routes.setdefault(d[0] % nsh, []).append(d)
+                ray.get([actors[s].add_many.remote(ds) for s, ds in routes.items()])
+                tables.append(_dispatch_fetch(fetch_actors, sel, nb, bsz))
+            if len(rest):
+                kind = [
+                    "deferred" if s == "ok" else s for s in rest["status"]
+                ]
+                tables.append(
+                    pa.Table.from_pydict(
+                        {
+                            "url_hash": pa.array(rest["url_hash"], pa.string()),
+                            "canon_url": pa.array(rest["canon_url"], pa.string()),
+                            "host": pa.array(rest["host"], pa.string()),
+                            "depth": pa.array(rest["depth"].astype("int64"), pa.int32()),
+                            "warc_ts": pa.array(rest["warc_ts"].astype("int64"), pa.int64()),
+                            "hrank": pa.array([-1] * len(rest), pa.int32()),
+                            "fetch_status": pa.array(kind, pa.string()),
+                            "text": pa.array([""] * len(rest), pa.string()),
+                            "n_chars": pa.array([0] * len(rest), pa.int32()),
+                            "links": pa.array([[]] * len(rest), pa.list_(pa.string())),
+                        }
+                    )
+                )
+            if not tables:
+                return _EXTRACTED_SCHEMA.empty_table()
+            return pa.concat_tables(tables)
 
-        (
-            rd.read_parquet(flags_dir)
-            .map_batches(lambda df: df[df["selected"]], batch_format="pandas")
-            .map_batches(
-                mark_seen_and_fetch, batch_format="pandas", batch_size=self.batch_size
+        flagged.map_batches(
+            mark_seen_and_fetch, batch_format="pandas", batch_size=self.batch_size
+        ).write_parquet(extracted_dir)
+
+        # metrics from the round output's status column
+        out_status = pads.dataset(extracted_dir, format="parquet").to_table(
+            columns=["fetch_status"]
+        )["fetch_status"].to_pylist()
+        n_sel = sum(s in ("hit", "miss") for s in out_status)
+        m = {
+            "round": rnd,
+            "candidates": _count_rows(frontier_path),
+            "unique": len(out_status),
+            "seen_dropped": sum(s == "seen" for s in out_status),
+            "robots": sum(s == "robots" for s in out_status),
+            "selected": int(n_sel),
+            "deferred": sum(s == "deferred" for s in out_status),
+            "path": "distributed",
+        }
+        if n_sel == 0:
+            _write_empty(next_dir, FRONTIER_SCHEMA)
+            seen.snapshot_to(os.path.join(rdir, "seen"))
+            m["secs"] = round(time.time() - t_start, 3)
+            self._seal(rdir, m)
+            return m
+
+        # spec steps 8-9: deferred ∪ expanded links → next frontier.
+        # Driver-side when the round output is metadata-small, else one more
+        # execution over the round output.
+        if m["unique"] <= max(1, self.driver_threshold):
+            t = pads.dataset(extracted_dir, format="parquet").to_table(
+                columns=["url_hash", "canon_url", "host", "depth", "warc_ts", "fetch_status", "links"]
             )
-            .write_parquet(extracted_dir)
-        )
+            df = t.to_pandas()
+            hits = df[df["fetch_status"] == "hit"]
+            new_cands = expand_links(hits["links"], hits["depth"], self.warc_lookup)
+            deferred_t = _to_frontier_table(df[df["fetch_status"] == "deferred"])
+            os.makedirs(next_dir, exist_ok=True)
+            pq.write_table(
+                pa.concat_tables([deferred_t, new_cands]),
+                os.path.join(next_dir, "part-0.parquet"),
+            )
+        else:
 
-        # spec steps 8-9: expansion ∪ deferred → next frontier
-        def expander(batch: pd.DataFrame) -> pa.Table:
-            return expand_links(batch["links"], batch["depth"], ray.get(warc_ref))
+            def build_next(batch: pd.DataFrame) -> pa.Table:
+                hits = batch[batch["fetch_status"] == "hit"]
+                new = expand_links(hits["links"], hits["depth"], ray.get(warc_ref))
+                deferred_t = _to_frontier_table(batch[batch["fetch_status"] == "deferred"])
+                return pa.concat_tables([deferred_t, new])
 
-        new_cands = rd.read_parquet(
-            extracted_dir, columns=["links", "depth"]
-        ).map_batches(expander, batch_format="pandas")
-        deferred = rd.read_parquet(flags_dir).map_batches(
-            lambda df: _to_frontier_table(df[(df["status"] == "ok") & (~df["selected"])]),
-            batch_format="pandas",
-        )
-        deferred.union(new_cands).write_parquet(next_dir)
+            rd.read_parquet(extracted_dir).map_batches(
+                build_next, batch_format="pandas"
+            ).write_parquet(next_dir)
         m["new_candidates"] = _count_rows(next_dir) - m["deferred"]
 
         seen.snapshot_to(os.path.join(rdir, "seen"))
+        m["secs"] = round(time.time() - t_start, 3)
         self._seal(rdir, m)
         return m
 

@@ -137,11 +137,41 @@ def make_salted_preselect(budgets: dict[str, int], salt_buckets: int):
     (SURVEY.md §7.4.4)."""
 
     def fn(group: pd.DataFrame) -> pd.DataFrame:
-        k = budgets.get(group["host"].iloc[0], DEFAULT_BUDGET)
-        g = group.copy()
+        # duplicates of one url_hash share (host, salt) → dedup is exact here
+        g = group.sort_values(["url_hash", "depth"], kind="stable").drop_duplicates(
+            "url_hash", keep="first"
+        )
+        k = budgets.get(g["host"].iloc[0], DEFAULT_BUDGET)
+        g = g.copy()
         g["pre"] = False
         ok = _sort_by_priority(g[g["status"] == "ok"])
         g.loc[ok.index[:k], "pre"] = True
+        return g
+
+    return fn
+
+
+def make_host_round_fn(budgets: dict[str, int], salted: bool = False):
+    """Fused spec steps 1+4+7 for the distributed path: within one
+    ``groupby("host")`` group — exact dedup (same url_hash ⇒ same host, so
+    host partitioning collocates duplicates), then per-host top-k selection
+    with hrank. One shuffle instead of dedup-shuffle + select-shuffle."""
+
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["url_hash", "depth"], kind="stable").drop_duplicates(
+            "url_hash", keep="first"
+        )
+        k = budgets.get(g["host"].iloc[0], DEFAULT_BUDGET)
+        g = g.copy()
+        g["selected"] = False
+        g["hrank"] = -1
+        mask = g["status"] == "ok"
+        if salted and "pre" in g.columns:
+            mask &= g["pre"]
+        ok = _sort_by_priority(g[mask])
+        sel_idx = ok.index[:k]
+        g.loc[sel_idx, "selected"] = True
+        g.loc[sel_idx, "hrank"] = range(len(sel_idx))
         return g
 
     return fn

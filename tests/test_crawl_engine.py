@@ -111,7 +111,7 @@ def test_politeness_budget_never_exceeded(corpus_sf0001, engine_result):
         import pyarrow.dataset as pads
 
         t = pads.dataset(os.path.join(d, "extracted"), format="parquet").to_table(
-            columns=["host"]
+            columns=["host"], filter=pads.field("hrank") >= 0
         )
         for host, n in collections.Counter(t["host"].to_pylist()).items():
             assert n <= budgets.get(host, 4), (d, host, n)
