@@ -544,50 +544,64 @@ _JACCARD_THRESHOLD = 0.5
 
 
 def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs: distinct word-5-shingles per doc
-    → explode to (shingle, doc) → groupby(shingle) emits co-occurring pairs
-    (combiner: intra-batch pair counts) → groupby(pair) sum → Jaccard =
-    inter / (|A|+|B|-inter) ≥ 0.5. The shuffle key is the shingle — the
-    scalable exact formulation (MinHash-LSH below is the approximate one)."""
+    """Exact n-gram-Jaccard near-dup pairs, shuffle-minimized:
+
+    1. explode docs to (shingle_hash: uint64, doc_id) rows (distinct per doc);
+    2. vectorized Count aggregates give |shingles| per doc AND per-shingle
+       document frequency — the ONLY all-to-all work is hash-keyed counting;
+    3. shingles with frequency ≥2 (the co-occurring minority) are broadcast
+       back as a filter; only their rows take part in pair expansion —
+       near-dup mass, not corpus mass, bounds the quadratic step.
+
+    MinHash-LSH below is the approximate variant of the same threshold."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def shingle_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def shingle_batch(batch: pd.DataFrame) -> pa.Table:
         rows_doc, rows_sh = [], []
         for d, t in zip(batch["doc_id"], batch["text"]):
-            for sh in A.word_shingles(t, _JACCARD_K):
-                rows_doc.append(d)
-                rows_sh.append(sh)
-        return pd.DataFrame({"shingle": rows_sh, "doc_id": rows_doc})
-
-    def pairs_per_shingle(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"])
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "inter": [1] * len(out_a)})
+            for sh in A.shingle_hashes(t, _JACCARD_K):
+                # 63-bit mask: uint64 keys degrade to float64 in pandas
+                # blocks (silent precision loss) — int64-safe keys shuffle
+                rows_doc.append(int(d))
+                rows_sh.append(int(sh) & 0x7FFFFFFFFFFFFFFF)
+        return pa.Table.from_pydict(
+            {"sh": pa.array(rows_sh, pa.int64()), "doc_id": pa.array(rows_doc, pa.int64())}
+        )
 
     shingles = docs.map_batches(shingle_batch, batch_format="pandas")
-    pair_counts = (
-        shingles.groupby("shingle")
-        .map_groups(pairs_per_shingle, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("inter", alias_name="inter"))
+    sizes_df = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh")).to_pandas()
+    sizes = dict(zip(sizes_df["doc_id"], sizes_df["n_sh"]))
+    shared_df = (
+        shingles.groupby("sh")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(lambda df: df[df["n"] >= 2][["sh"]], batch_format="pandas")
         .to_pandas()
     )
-    # |shingles| per doc — small aggregate, broadcast back
-    sizes_df = (
-        shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh")).to_pandas()
-    )
-    sizes = dict(zip(sizes_df["doc_id"], sizes_df["n_sh"]))
-    if len(pair_counts) == 0:
+    if len(shared_df) == 0:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    pair_counts["jaccard"] = [
+    shared_ref = ray.put(set(shared_df["sh"]))
+    shared_rows = (
+        shingles.map_batches(
+            lambda df: df[df["sh"].isin(ray.get(shared_ref))], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    # pair expansion over the co-occurring subset only (driver-side here;
+    # a groupby(sh) stage at cluster scale — the subset is near-dup-bounded)
+    m = shared_rows.merge(shared_rows, on="sh", suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    inter = (
+        m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+        .size()
+        .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b", "size": "inter"})
+    )
+    if len(inter) == 0:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    inter["jaccard"] = [
         round(i / (sizes[a] + sizes[b] - i), 4)
-        for a, b, i in zip(pair_counts["doc_a"], pair_counts["doc_b"], pair_counts["inter"])
+        for a, b, i in zip(inter["doc_a"], inter["doc_b"], inter["inter"])
     ]
-    out = pair_counts[pair_counts["jaccard"] >= _JACCARD_THRESHOLD]
+    out = inter[inter["jaccard"] >= _JACCARD_THRESHOLD]
     return (
         out[["doc_a", "doc_b", "jaccard"]]
         .sort_values(["doc_a", "doc_b"])
@@ -622,62 +636,69 @@ _MINHASH_BANDS = 32  # 32 bands × 4 rows: catches J≥~0.5 with high prob
 
 
 def q_minhash_lsh_dups(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup candidates, Jaccard-verified: shingle → minhash
-    signature (per-batch vectorized) → explode to (band_id, band_hash) →
-    groupby band bucket → candidate pairs → exact-Jaccard verify ≥0.5.
+    """MinHash+LSH near-dup detection, Jaccard-verified:
 
-    No SQL oracle (hash functions); pytest cross-checks the verified pair
-    set against q_ngram_jaccard_pairs (exact) — LSH must find a superset of
-    none / subset semantics: verified pairs ⊆ exact pairs and recall is
-    asserted ≥ 0.9 at the 0.5 threshold."""
+    shingle→minhash signatures (vectorized per batch) → (band, band_hash)
+    bucket rows → vectorized Count per bucket → buckets holding ≥2 docs are
+    broadcast back as a filter → candidate pairs from that minority →
+    exact-Jaccard verification at ≥0.5.
+
+    No SQL oracle (hash-function semantics); pytest cross-checks the
+    verified pairs against q_ngram_jaccard_pairs (exact)."""
     a_co, b_co = A.minhash_coeffs(_MINHASH_PERMS, seed=1)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
 
-    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        hsets = [A.shingle_hashes(t, _JACCARD_K) for t in batch["text"]]
-        sigs = A.minhash_signature_matrix(hsets, a_co, b_co)  # (n, perms)
-        out_doc, out_band, out_hash = [], [], []
+    def sig_batch(batch: pd.DataFrame) -> pa.Table:
         import hashlib as _h
 
+        hsets = [A.shingle_hashes(t, _JACCARD_K) for t in batch["text"]]
+        sigs = A.minhash_signature_matrix(hsets, a_co, b_co)  # (n, perms)
+        out_doc, out_key = [], []
         for i, d in enumerate(batch["doc_id"]):
             if hsets[i].size == 0:
                 continue  # empty docs never bucket
             for b in range(_MINHASH_BANDS):
                 band = sigs[i, b * rows_per_band : (b + 1) * rows_per_band]
-                out_doc.append(d)
-                out_band.append(b)
-                out_hash.append(_h.blake2b(band.tobytes(), digest_size=8).hexdigest())
-        return pd.DataFrame({"band": out_band, "bhash": out_hash, "doc_id": out_doc})
+                digest = _h.blake2b(band.tobytes() + bytes([b]), digest_size=8).digest()
+                out_doc.append(int(d))
+                out_key.append(int.from_bytes(digest, "little") & 0x7FFFFFFFFFFFFFFF)
+        return pa.Table.from_pydict(
+            {"bkey": pa.array(out_key, pa.int64()), "doc_id": pa.array(out_doc, pa.int64())}
+        )
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"]))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
-
-    cands = (
-        docs.map_batches(sig_batch, batch_format="pandas")
-        .groupby(["band", "bhash"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+    buckets = docs.map_batches(sig_batch, batch_format="pandas")
+    shared_df = (
+        buckets.groupby("bkey")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(lambda df: df[df["n"] >= 2][["bkey"]], batch_format="pandas")
         .to_pandas()
     )
-    cands = cands.drop_duplicates(["doc_a", "doc_b"]) if len(cands) else cands
+    if len(shared_df) == 0:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    shared_ref = ray.put(set(shared_df["bkey"]))
+    rows = buckets.map_batches(
+        lambda df: df[df["bkey"].isin(ray.get(shared_ref))], batch_format="pandas"
+    ).to_pandas()
+    m = rows.merge(rows, on="bkey", suffixes=("_a", "_b"))
+    cands = (
+        m[m["doc_id_a"] < m["doc_id_b"]][["doc_id_a", "doc_id_b"]]
+        .drop_duplicates()
+        .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+    )
     if len(cands) == 0:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    # verify candidates with exact Jaccard (broadcast shingle sets of the
-    # candidate docs only — the candidate set is tiny vs the corpus)
-    need = sorted(set(cands["doc_a"]) | set(cands["doc_b"]))
-    need_set = set(need)
+    # verify candidates with exact Jaccard (shingle sets of candidate docs
+    # only — the candidate set is near-dup-bounded, not corpus-bounded)
+    need_set = set(cands["doc_a"]) | set(cands["doc_b"])
+    need_ref = ray.put(need_set)
 
     def shingles_of(batch: pd.DataFrame) -> pd.DataFrame:
+        need = ray.get(need_ref)
         rows = [
-            (d, list(A.word_shingles(t, _JACCARD_K)))
+            (int(d), list(A.word_shingles(t, _JACCARD_K)))
             for d, t in zip(batch["doc_id"], batch["text"])
-            if d in need_set
+            if d in need
         ]
         return pd.DataFrame(rows, columns=["doc_id", "shingles"])
 
@@ -693,46 +714,53 @@ def q_minhash_lsh_dups(sf_dir: str) -> pd.DataFrame:
 
 
 def q_simhash_buckets(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-dup: 64-bit simhash per doc; pairs within Hamming ≤ 6
-    found by 4-way band blocking (16-bit bands: any pair with ≤6 differing
-    bits shares at least one exact band by pigeonhole at ≤3 bands touched…
-    conservatively we use 4 bands → guaranteed for Hamming ≤ 3, probabilistic
-    above). Rows-only (no SQL); pytest checks symmetry + hamming bound."""
+    """SimHash near-dup: 64-bit simhash per doc, 16-bit band blocking (4
+    bands — by pigeonhole any pair within Hamming ≤3 shares an exact band;
+    probabilistic above), bucket-frequency filter, pairs kept at Hamming ≤6.
+    Rows-only; pytest checks symmetry + the Hamming bound."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def sim_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_band, out_key, out_sim = [], [], [], []
+    def sim_batch(batch: pd.DataFrame) -> pa.Table:
+        out_doc, out_key, out_sim = [], [], []
         for d, t in zip(batch["doc_id"], batch["text"]):
             s = A.simhash64(t)
+            s_signed = s - (1 << 64) if s >= (1 << 63) else s  # int64-safe
             for b in range(4):
-                out_doc.append(d)
-                out_band.append(b)
-                out_key.append((s >> (16 * b)) & 0xFFFF)
-                out_sim.append(s)
-        return pd.DataFrame(
-            {"band": out_band, "key": out_key, "doc_id": out_doc, "sim": out_sim}
+                out_doc.append(int(d))
+                out_key.append((b << 16) | ((s >> (16 * b)) & 0xFFFF))
+                out_sim.append(s_signed)
+        return pa.Table.from_pydict(
+            {
+                "bkey": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "sim": pa.array(out_sim, pa.int64()),
+            }
         )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(group["doc_id"], group["sim"]))
-        out = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                (da, sa), (db, sb) = rows[i], rows[j]
-                hd = A.hamming64(int(sa), int(sb))
-                if hd <= 6 and da != db:
-                    out.append((da, db, hd))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
-
-    out = (
-        docs.map_batches(sim_batch, batch_format="pandas")
-        .groupby(["band", "key"])
-        .map_groups(pairs, batch_format="pandas")
+    buckets = docs.map_batches(sim_batch, batch_format="pandas")
+    shared_df = (
+        buckets.groupby("bkey")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(lambda df: df[df["n"] >= 2][["bkey"]], batch_format="pandas")
         .to_pandas()
     )
+    if len(shared_df) == 0:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
+    shared_ref = ray.put(set(shared_df["bkey"]))
+    rows = buckets.map_batches(
+        lambda df: df[df["bkey"].isin(ray.get(shared_ref))], batch_format="pandas"
+    ).to_pandas()
+    m = rows.merge(rows, on="bkey", suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]].drop_duplicates(["doc_id_a", "doc_id_b"])
+    out_rows = []
+    mask = (1 << 64) - 1
+    for da, db, sa, sb in zip(m["doc_id_a"], m["doc_id_b"], m["sim_a"], m["sim_b"]):
+        hd = A.hamming64(int(sa) & mask, int(sb) & mask)
+        if hd <= 6:
+            out_rows.append((da, db, hd))
+    out = pd.DataFrame(out_rows, columns=["doc_a", "doc_b", "hamming"])
     if len(out) == 0:
         return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
-    out = out.drop_duplicates(["doc_a", "doc_b"])
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
