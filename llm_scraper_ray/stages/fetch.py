@@ -29,11 +29,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.html_text import extract_text_and_links
+from ..functions.urls import canonicalize_url, host_of, url_sha1_hex
 from ..state.tokenbucket import TokenBucket
 
 EXTRACTED_FIELDS = [
     "url_hash", "canon_url", "host", "depth", "warc_ts", "hrank",
-    "fetch_status", "text", "n_chars", "links",
+    "fetch_status", "text", "n_chars", "links", "link_hashes", "link_hosts",
 ]
 
 
@@ -48,6 +49,15 @@ class FetchExtract:
         # unpooled map_batches path.
         self._cache: dict[int, dict[bytes, bytes]] = {}
         self._cache_cap = 8
+
+    def ping(self, preload_buckets: list[int] | None = None) -> int:
+        """Actor warm-up: forces process spawn + imports; optionally
+        pre-loads this actor's pages buckets so the first crawl round
+        measures fetching, not cold caches."""
+        n = 0
+        for b in preload_buckets or []:
+            n += len(self._load_bucket(b))
+        return n
 
     def _load_bucket(self, b: int) -> dict[bytes, bytes]:
         """Load one pages bucket as a hash→html dict. At 10^10-URL scale this
@@ -74,6 +84,8 @@ class FetchExtract:
         texts: list[str] = []
         n_chars: list[int] = []
         links_col: list[list[str]] = []
+        lhash_col: list[list[str]] = []
+        lhost_col: list[list[str]] = []
         # group rows by bucket (input sorted by url_hash → 1-2 buckets/batch)
         digests = [bytes.fromhex(h) for h in batch["url_hash"]]
         by_bucket: dict[int, list[int]] = {}
@@ -93,12 +105,27 @@ class FetchExtract:
                 texts.append("")
                 n_chars.append(0)
                 links_col.append([])
+                lhash_col.append([])
+                lhost_col.append([])
                 continue
-            text, links = extract_text_and_links(html, batch["canon_url"].iloc[i])
+            text, raw_links = extract_text_and_links(html, batch["canon_url"].iloc[i])
+            # canonicalize outlinks HERE (in the actor pool, parallel) so the
+            # frontier-expansion step downstream is a pure lookup, not a
+            # per-round single-threaded URL-parsing loop (F15)
+            canons, hashes, hosts = [], [], []
+            for link in raw_links:
+                c = canonicalize_url(link)
+                if c is None:
+                    continue
+                canons.append(c)
+                hashes.append(url_sha1_hex(c))
+                hosts.append(host_of(c))
             statuses.append("hit")
             texts.append(text)
             n_chars.append(len(text))
-            links_col.append(links)
+            links_col.append(canons)
+            lhash_col.append(hashes)
+            lhost_col.append(hosts)
         return pa.Table.from_pydict(
             {
                 "url_hash": pa.array(batch["url_hash"], pa.string()),
@@ -111,5 +138,7 @@ class FetchExtract:
                 "text": pa.array(texts, pa.string()),
                 "n_chars": pa.array(n_chars, pa.int32()),
                 "links": pa.array(links_col, pa.list_(pa.string())),
+                "link_hashes": pa.array(lhash_col, pa.list_(pa.string())),
+                "link_hosts": pa.array(lhost_col, pa.list_(pa.string())),
             }
         )

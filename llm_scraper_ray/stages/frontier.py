@@ -203,51 +203,56 @@ def make_select(budgets: dict[str, int]):
 
 
 def expand_links(
-    links_iter, depth_iter, warc_lookup: dict[str, int]
+    links_iter, hash_iter, host_iter, depth_iter, warc_lookup: dict[str, int]
 ) -> pa.Table:
-    """Spec step 8 core: explode outlink lists → depth+1 frontier rows.
-
-    Canonicalizes each distinct raw URL once (memoized within the call);
-    non-http(s) links are dropped (F14)."""
-    urls: list[str] = []
-    depths: list[int] = []
-    for links, depth in zip(links_iter, depth_iter):
+    """Spec step 8 core: explode PRE-CANONICALIZED outlink lists (the fetch
+    actors canonicalize in parallel — F15) → depth+1 frontier rows. Only
+    dict lookups remain here."""
+    out: dict[str, list] = {k: [] for k in FRONTIER_SCHEMA.names}
+    for links, hashes, hosts, depth in zip(links_iter, hash_iter, host_iter, depth_iter):
         if links is None or len(links) == 0:
             continue
-        urls.extend(links)
-        depths.extend([int(depth) + 1] * len(links))
-    out: dict[str, list] = {k: [] for k in FRONTIER_SCHEMA.names}
-    cache: dict[str, tuple | None] = {}
-    for url, depth in zip(urls, depths):
-        if url in cache:
-            hit = cache[url]
-        else:
-            canon = canonicalize_url(url)
-            if canon is None:
-                hit = None
-            else:
-                h = url_sha1_hex(canon)
-                hit = (h, canon, host_of(canon), warc_lookup.get(h, -1))
-            cache[url] = hit
-        if hit is None:
-            continue
-        out["url_hash"].append(hit[0])
-        out["canon_url"].append(hit[1])
-        out["host"].append(hit[2])
-        out["depth"].append(depth)
-        out["warc_ts"].append(hit[3])
+        d = int(depth) + 1
+        for canon, h, host in zip(links, hashes, hosts):
+            out["url_hash"].append(h)
+            out["canon_url"].append(canon)
+            out["host"].append(host)
+            out["depth"].append(d)
+            out["warc_ts"].append(warc_lookup.get(h, -1))
     return pa.Table.from_pydict(out, schema=FRONTIER_SCHEMA)
 
 
+def select_topk_vectorized(flags: pd.DataFrame, budgets: dict[str, int]) -> pd.DataFrame:
+    """Spec steps 4+7, fully vectorized (driver fast path): one stable sort
+    by (host, priority), per-host running count of ok rows via grouped
+    cumsum, budget lookup via Series.map — no per-group Python calls."""
+    import numpy as np
+
+    df = flags.sort_values(
+        ["host", "depth", "warc_ts", "url_hash"],
+        ascending=[True, True, False, True],
+        kind="stable",
+    ).reset_index(drop=True)
+    ok = df["status"].eq("ok")
+    rank = ok.groupby(df["host"]).cumsum() - 1  # 0-based ok-rank within host
+    k = df["host"].map(budgets).fillna(DEFAULT_BUDGET)
+    sel = ok & (rank < k)
+    df["selected"] = sel
+    df["hrank"] = np.where(sel, rank, -1).astype("int64")
+    return df
+
+
 def make_link_expander(warc_lookup_ref):
-    """map_batches wrapper over ``expand_links``. ``warc_lookup_ref`` is a
-    ``ray.put`` ObjectRef of the hash→warc_ts metadata dict, fetched once per
-    task (zero-copy shared memory; at 10^10 scale this broadcast becomes a
-    hash-partitioned join against the metadata table)."""
+    """map_batches wrapper over ``expand_links`` for the distributed path.
+    ``warc_lookup_ref`` is a ``ray.put`` ObjectRef of the hash→warc_ts
+    metadata dict, fetched once per task (zero-copy shared memory; at 10^10
+    scale this broadcast becomes a hash-partitioned join)."""
     import ray
 
     def fn(batch: pd.DataFrame) -> pa.Table:
         warc_lookup = ray.get(warc_lookup_ref)
-        return expand_links(batch["links"], batch["depth"], warc_lookup)
+        return expand_links(
+            batch["links"], batch["link_hashes"], batch["link_hosts"], batch["depth"], warc_lookup
+        )
 
     return fn

@@ -42,6 +42,9 @@ class SeenShardActor:
     def size(self) -> int:
         return len(self.shard)
 
+    def clear(self) -> None:
+        self.shard = SeenShard(capacity=self.shard.capacity, seed=self.shard.filter.seed)
+
     def snapshot(self) -> bytes:
         return self.shard.to_bytes()
 
@@ -90,6 +93,9 @@ class SeenSet:
 
     def size(self) -> int:
         return sum(ray.get([a.size.remote() for a in self.actors]))
+
+    def clear(self) -> None:
+        ray.get([a.clear.remote() for a in self.actors])
 
     def snapshot_to(self, directory: str) -> None:
         import os

@@ -172,7 +172,7 @@ class SeenShard:
         return len(self.exact)
 
     def to_bytes(self) -> bytes:
-        keys = b"".join(sorted(self.exact))
+        keys = b"".join(self.exact)  # set content only; order is irrelevant
         return pickle.dumps(
             {"filter": self.filter.to_bytes(), "keys": keys, "capacity": self.capacity}
         )
