@@ -70,11 +70,14 @@ def _run_bench() -> None:
     t0 = time.time()
     result = eng.run(resume=False)
     crawl_secs = time.time() - t0
+    eng.shutdown()  # release actor CPU reservations before the query suite
     n_urls = sum(m["selected"] for m in result.metrics)
 
-    # query suite (each timed individually)
+    # query suite (each timed individually; skipped in scaling child runs)
     qsecs: dict[str, float] = {}
     skip = {"crawl_extracted", "crawl_order", "crawl_metrics"}  # timed above
+    if os.environ.get("LLMSR_BENCH_CRAWL_ONLY"):
+        skip = set(all_queries())
     for name, fn in all_queries().items():
         if name in skip:
             continue
@@ -110,7 +113,7 @@ def _run_bench() -> None:
 
 def _run_scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LLMSR_BENCH_CRAWL_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -256,6 +256,18 @@ class CrawlEngine:
             ]
         return self._seen, self._fetch_actors
 
+    def shutdown(self) -> None:
+        """Release the actor pools (their CPU reservations would starve any
+        other Ray work in the session)."""
+        if self._fetch_actors:
+            for a in self._fetch_actors:
+                ray.kill(a)
+        if self._seen is not None:
+            for a in self._seen.actors:
+                ray.kill(a)
+        self._seen = None
+        self._fetch_actors = None
+
     def prepare(self, preload: bool = True) -> None:
         """Warm the actor pools (process spawn + imports + optional bucket
         preload). A long-lived cluster has warm workers; calling this before
