@@ -1045,6 +1045,15 @@ def all_queries():
         # extraction operators over stored HTML
         "extract_fields": q_extract_fields,
         "sessionize_pages": q_sessionize_pages,
+        # triplet / KG pipeline (deterministic model shims)
+        "triplet_extraction": q_triplet_extraction,
+        "triplets_dedup": q_triplets_dedup,
+        "kg_nodes": q_kg_nodes,
+        "kg_top_vertices": q_kg_top_vertices,
+        "judge_panel": q_judge_panel,
+        # multimodal plumbing + sampling
+        "media_features": q_media_features,
+        "doc_sample": q_doc_sample,
     }
 
 
@@ -1069,3 +1078,140 @@ def all_oracle_sql():
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
     }
+
+# ---------------------------------------------------------------------------
+# triplet / knowledge-graph pipeline (SURVEY.md §3.1, M1-M12 shims) and
+# multimodal plumbing — rows-only for the driver (model stand-ins are not
+# SQL), oracle'd by pytest against the deterministic shim semantics
+
+
+def _doc_text_rows(sf_dir: str) -> rd.Dataset:
+    """documents → (url_hash, text) rows: the extracted-content shape the
+    triplet pipeline consumes (surrogate url per doc)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url_hash": pa.array([f"doc{d:08d}" for d in ids], pa.string()),
+                "text": batch["text"],
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+# domain-gate keywords matched to the synthetic documents corpus (the M3
+# gate is a parameterized keyword rule standing in for the IoT few-shot)
+_GATE = ("query", "vector", "stream", "index", "sensor", "smart", "device")
+
+_TRIPLET_COLS = [
+    "url_hash", "subj_type", "subj_name", "pred", "obj_type", "obj_name", "weight", "method",
+]
+
+
+def _triplets_of(sf_dir: str) -> rd.Dataset:
+    from .triplets import triplet_dataset
+
+    return triplet_dataset(_doc_text_rows(sf_dir), gate_keywords=_GATE)
+
+
+def q_triplet_extraction(sf_dir: str) -> pd.DataFrame:
+    """Full analysis chain: IoT gate → NER → triplet gen → validation weight
+    (actor-pool stages; deterministic shims of M1/M2/M3/M8)."""
+    out = _triplets_of(sf_dir).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(columns=_TRIPLET_COLS)
+    return out[_TRIPLET_COLS].sort_values(_TRIPLET_COLS[:6]).reset_index(drop=True)
+
+
+def q_triplets_dedup(sf_dir: str) -> pd.DataFrame:
+    """A2 — distinct triplets with max weight + provenance count (KG.py:450)."""
+    from .triplets import dedup_triplets
+
+    out = dedup_triplets(_triplets_of(sf_dir)).to_pandas()
+    out["weight"] = out["weight"].round(4)
+    return out.sort_values(
+        ["subj_type", "subj_name", "pred", "obj_type", "obj_name"]
+    ).reset_index(drop=True)
+
+
+def q_kg_nodes(sf_dir: str) -> pd.DataFrame:
+    """S12/J4 — KG node table, deduped by sanitized key (KG.py:63-81)."""
+    from .triplets import dedup_triplets, kg_tables
+
+    nodes, _ = kg_tables(dedup_triplets(_triplets_of(sf_dir)))
+    return nodes
+
+
+def q_kg_top_vertices(sf_dir: str) -> pd.DataFrame:
+    """J5/A7/O4 — per-vertex inbound edge count, top-10."""
+    from .triplets import dedup_triplets, kg_tables, top_vertices_by_edges
+
+    _, edges = kg_tables(dedup_triplets(_triplets_of(sf_dir)))
+    return top_vertices_by_edges(edges, k=10)
+
+
+def q_judge_panel(sf_dir: str) -> pd.DataFrame:
+    """M6 — multi-judge vote merge over rendered triplet claims."""
+    from ..stages.llmshim import JudgePanel
+
+    trips = _triplets_of(sf_dir)
+
+    def claims(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "claim": [
+                    f"{s} {p} {o}"
+                    for s, p, o in zip(batch["subj_name"], batch["pred"], batch["obj_name"])
+                ]
+            }
+        )
+
+    out = (
+        trips.map_batches(claims, batch_format="pandas")
+        .map_batches(JudgePanel, concurrency=2, batch_size=512, batch_format="pandas", num_cpus=0.25)
+        .to_pandas()
+    )
+    return out.sort_values("claim").reset_index(drop=True)
+
+
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: documents→binary payloads → decode-stub meta →
+    feature-stub embeddings (list<float32>, ANN-compatible layout). Small
+    batch sizes on the binary column (SURVEY.md §7.4.5)."""
+    from ..stages.multimodal import FeatureExtractStub, MediaDecodeStub
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        kinds = ["image", "audio", "video"]
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array([f"m{d:08d}" for d in ids], pa.string()),
+                "kind": pa.array([kinds[d % 3] for d in ids], pa.string()),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in batch["text"].to_pylist()], pa.binary()
+                ),
+            }
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    decoded = media.map_batches(
+        MediaDecodeStub, concurrency=2, batch_size=64, batch_format="pandas", num_cpus=0.25
+    )
+    feats = decoded.map_batches(
+        FeatureExtractStub, concurrency=2, batch_size=64, batch_format="pandas", num_cpus=0.25
+    ).to_pandas()
+    feats["dim"] = [len(e) for e in feats["embedding"]]
+    feats["e0"] = [round(float(e[0]), 6) for e in feats["embedding"]]
+    return feats[["media_id", "dim", "e0"]].sort_values("media_id").reset_index(drop=True)
+
+
+def q_doc_sample(sf_dir: str) -> pd.DataFrame:
+    """O2 — seeded shuffle + take-50 (``entity_analysis.py:137-138``)."""
+    ds = _read(sf_dir, "documents", ["doc_id"]).random_shuffle(seed=42).limit(50)
+    return ds.to_pandas()

@@ -32,19 +32,33 @@ KG_NODE_TYPES = [
 ]  # KG.py:444
 
 
-def triplet_dataset(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+def triplet_dataset(
+    docs: rd.Dataset,
+    concurrency: int = 2,
+    gate_keywords: tuple[str, ...] | None = None,
+) -> rd.Dataset:
     """text rows (url_hash, text) → validated triplet rows.
 
     Chain of actor-pool map_batches stages; every stage is an actor class
-    with its config in ``__init__`` (SURVEY.md §2.4 mapping)."""
+    with its config in ``__init__`` (SURVEY.md §2.4 mapping).
+    ``gate_keywords`` parameterizes the M3 domain gate (the reference's
+    IoT few-shot prompt ↔ our keyword rule)."""
+    # fractional CPUs: shim stages are light — chained pools must not
+    # reserve the whole session (4 stages x N actors x 1 CPU would starve
+    # the read/write tasks and deadlock small sessions)
     iot = docs.map_batches(
-        IoTClassifier, concurrency=concurrency, batch_size=256, batch_format="pandas"
+        IoTClassifier,
+        fn_constructor_kwargs={"keywords": gate_keywords},
+        concurrency=concurrency, batch_size=256, batch_format="pandas",
+        num_cpus=0.25,
     ).map_batches(lambda df: df[df["is_iot"]][["url_hash", "text"]], batch_format="pandas")
     entities = iot.map_batches(
-        EntityExtractor, concurrency=concurrency, batch_size=256, batch_format="pandas"
+        EntityExtractor, concurrency=concurrency, batch_size=256, batch_format="pandas",
+        num_cpus=0.25,
     )
     trips = entities.map_batches(
-        TripletGenerator, concurrency=concurrency, batch_size=256, batch_format="pandas"
+        TripletGenerator, concurrency=concurrency, batch_size=256, batch_format="pandas",
+        num_cpus=0.25,
     )
     # J1: triplets need their source text for NLI validation — the text
     # travels with the entity rows, so re-attach by url_hash via a broadcast
@@ -52,7 +66,8 @@ def triplet_dataset(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
     # url_hash; ValidationCascade falls back to search weights when text is
     # absent. For full-text NLI, join on url_hash (hash-partitioned at scale).
     validated = trips.map_batches(
-        ValidationCascade, concurrency=concurrency, batch_size=256, batch_format="pandas"
+        ValidationCascade, concurrency=concurrency, batch_size=256, batch_format="pandas",
+        num_cpus=0.25,
     )
     return validated
 

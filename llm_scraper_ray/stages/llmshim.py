@@ -50,14 +50,32 @@ class EntityExtractor:
         self.prompt = prompt
         self.max_entities = max_entities
 
+    _WORD = re.compile(r"[a-z]{3,}")
+    _STOP = frozenset("the and for with from this that are was".split())
+
     def extract(self, text: str) -> list[str]:
         text = remove_think_tags(text)
         seen: dict[str, None] = {}
         for m in _CAP_PHRASE.findall(text):
+            for article in ("The ", "A ", "An "):
+                if m.startswith(article):
+                    m = m[len(article):]
+                    break
             if len(m) > 2 and m not in seen:
                 seen[m] = None
             if len(seen) >= self.max_entities:
                 break
+        if not seen:
+            # lowercase corpora: fall back to the most frequent salient
+            # terms, Title-cased — deterministic stand-in for what a model
+            # NER still returns on case-less text
+            counts: dict[str, int] = {}
+            for w in self._WORD.findall(text.lower()):
+                if w not in self._STOP:
+                    counts[w] = counts.get(w, 0) + 1
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            for w, _ in top[: min(6, self.max_entities)]:
+                seen[w.title()] = None
         return list(seen)
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
@@ -116,8 +134,8 @@ class IoTClassifier:
     keyword rule instead of the few-shot model, suffix-match answer shape,
     default False preserved."""
 
-    def __init__(self, prompt: str = ""):
-        self.keywords = _IOT_KEYWORDS
+    def __init__(self, prompt: str = "", keywords: tuple[str, ...] | None = None):
+        self.keywords = keywords or _IOT_KEYWORDS
 
     def classify(self, product_name: str) -> bool:
         name = product_name.lower()

@@ -1,0 +1,49 @@
+"""Triplet pipeline + KG tables end-to-end on sf0.001 (SURVEY.md §3.1)."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def triplet_df(ray_session):
+    from llm_scraper_ray.pipelines.queries import q_triplet_extraction
+
+    return q_triplet_extraction("/root/testdata/sf0.001")
+
+
+def test_pipeline_produces_valid_triplets(triplet_df):
+    assert len(triplet_df) > 100
+    assert set(triplet_df["subj_type"]) == {"device"}
+    assert set(triplet_df["pred"]) <= {"manufacturedBy", "hasSensor", "compatibleWith"}
+    assert ((triplet_df["weight"] >= 0) & (triplet_df["weight"] <= 100)).all()
+    assert set(triplet_df["method"]) <= {"search", "nli"}
+
+
+def test_pipeline_deterministic(ray_session, triplet_df):
+    from llm_scraper_ray.pipelines.queries import q_triplet_extraction
+
+    again = q_triplet_extraction("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(triplet_df, again)
+
+
+def test_dedup_and_kg(ray_session, triplet_df):
+    from llm_scraper_ray.pipelines.queries import (
+        q_kg_nodes,
+        q_kg_top_vertices,
+        q_triplets_dedup,
+    )
+
+    deduped = q_triplets_dedup("/root/testdata/sf0.001")
+    key = ["subj_type", "subj_name", "pred", "obj_type", "obj_name"]
+    assert len(deduped) == len(triplet_df.drop_duplicates(key))
+    assert not deduped.duplicated(key).any()
+    assert (deduped["n_sources"] >= 1).all()
+
+    nodes = q_kg_nodes("/root/testdata/sf0.001")
+    # J4: unique (type, key); E19: sanitized keys
+    assert not nodes.duplicated(["node_type", "node_key"]).any()
+    assert nodes["node_key"].str.match(r"^[a-zA-Z0-9_-]+$").all()
+
+    top = q_kg_top_vertices("/root/testdata/sf0.001")
+    assert len(top) == 10
+    assert list(top["n_edges"]) == sorted(top["n_edges"], reverse=True)
