@@ -85,3 +85,17 @@ def split_sentences(text: str, min_chars: int = 5) -> list[str]:
 def sanitize_filename(name: str) -> str:
     """E22 — alnum+underscore folder name (``util/media/folder_manager.py:17-30``)."""
     return _FNAME.sub("_", name).strip("_")
+
+
+# E23 — price/time/number patterns (``util/scraper/proxy.py:13-15``)
+PRICE_RE = re.compile(r"[$€£]\s?\d{1,3}(?:,\d{3})*(?:\.\d{2})?")
+TIME_RE = re.compile(r"\b\d{1,2}:\d{2}(?::\d{2})?\s?(?:[AaPp][Mm])?\b")
+NUMBER_RE = re.compile(r"-?\d{1,3}(?:,\d{3})*(?:\.\d+)?")
+
+
+def extract_prices(text: str) -> list[str]:
+    return PRICE_RE.findall(text)
+
+
+def extract_times(text: str) -> list[str]:
+    return TIME_RE.findall(text)

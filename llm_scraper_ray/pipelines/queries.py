@@ -427,13 +427,10 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for d, t in zip(batch["doc_id"], batch["text"]):
-            n = len(t)
-            n_punct = len(A._PUNCT.findall(t))
-            n_alpha = sum(ch.isalpha() for ch in t)
-            rows.append(
-                (d, n, round(n_punct / n, 4) if n else 0.0, round(n_alpha / n, 4) if n else 0.0)
-            )
-        return pd.DataFrame(rows, columns=["doc_id", "n_chars_m", "punct_ratio", "alpha_ratio"])
+            # integer counts, not ratios: Python rounds half-even, DuckDB
+            # half-away — exact .XXXX5 boundaries would hash-mismatch
+            rows.append((d, len(t), len(A._PUNCT.findall(t)), sum(ch.isalpha() for ch in t)))
+        return pd.DataFrame(rows, columns=["doc_id", "n_chars_m", "n_punct", "n_alpha"])
 
     out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
@@ -443,12 +440,8 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
 
 _SQL_DOC_QUALITY = """
 SELECT doc_id, length(text) AS n_chars_m,
-       round(CASE WHEN length(text)=0 THEN 0.0 ELSE
-         (length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]_]', '', 'g'))) * 1.0 / length(text) END, 4)
-         AS punct_ratio,
-       round(CASE WHEN length(text)=0 THEN 0.0 ELSE
-         (length(text) - length(regexp_replace(text, '[[:alpha:]]', '', 'g'))) * 1.0 / length(text) END, 4)
-         AS alpha_ratio
+       length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]_]', '', 'g')) AS n_punct,
+       length(text) - length(regexp_replace(text, '[[:alpha:]]', '', 'g')) AS n_alpha
 FROM documents ORDER BY doc_id
 """
 
@@ -572,14 +565,18 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
         .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b", "size": "inter"})
     )
     if len(inter) == 0:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    inter["jaccard"] = [
-        round(i / (sizes[a] + sizes[b] - i), 4)
+        return pd.DataFrame(columns=["doc_a", "doc_b", "inter", "union_sz"])
+    # integer-exact output (inter, union) — a rounded jaccard like k/32 sits
+    # exactly on a 4dp rounding boundary and Python/DuckDB round differently;
+    # the threshold compare itself is IEEE-identical on both sides
+    inter["union_sz"] = [
+        sizes[a] + sizes[b] - i
         for a, b, i in zip(inter["doc_a"], inter["doc_b"], inter["inter"])
     ]
-    out = inter[inter["jaccard"] >= _JACCARD_THRESHOLD]
+    out = inter[inter["inter"] / inter["union_sz"] >= _JACCARD_THRESHOLD]
+    out = out.astype({"doc_a": "int64", "doc_b": "int64", "inter": "int64", "union_sz": "int64"})
     return (
-        out[["doc_a", "doc_b", "jaccard"]]
+        out[["doc_a", "doc_b", "inter", "union_sz"]]
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
@@ -599,8 +596,8 @@ WITH words AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_a, doc_b,
-       round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+SELECT doc_a, doc_b, i AS inter,
+       sa.n_sh + sb.n_sh - i AS union_sz
 FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5
 ORDER BY doc_a, doc_b
@@ -1054,6 +1051,9 @@ def all_queries():
         # multimodal plumbing + sampling
         "media_features": q_media_features,
         "doc_sample": q_doc_sample,
+        # embedding near-dup + ANN scale path
+        "embedding_dups": q_embedding_dups,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
     }
 
 
@@ -1077,6 +1077,7 @@ def all_oracle_sql():
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
+        "embedding_dups": _SQL_EMBEDDING_DUPS,
     }
 
 # ---------------------------------------------------------------------------
@@ -1215,3 +1216,155 @@ def q_doc_sample(sf_dir: str) -> pd.DataFrame:
     """O2 — seeded shuffle + take-50 (``entity_analysis.py:137-138``)."""
     ds = _read(sf_dir, "documents", ["doc_id"]).random_shuffle(seed=42).limit(50)
     return ds.to_pandas()
+
+# ---------------------------------------------------------------------------
+# embedding near-dup + ANN scale path
+
+# synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.48), so the
+# "near-dup" threshold is set where the corpus actually has mass — the
+# operator (blocked matmul + threshold + pair dedup) is what is exercised
+_EMB_DUP_THRESHOLD = 0.45
+
+
+def q_embedding_dups(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold): blocked float64
+    matmul per batch against the broadcast normalized matrix — the
+    brute-force O(n²/B) formulation (the LSH-bucketed ANN below is the
+    10^9-row path). SQL oracle via list_cosine_similarity."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    all_ref = ray.put((ids, mat))
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        ids_all, mat_all = ray.get(all_ref)
+        b_ids = batch["vec_id"].to_numpy()
+        b_mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = b_mat @ mat_all.T  # (b, N)
+        out_a, out_b, out_s = [], [], []
+        rows, cols = np.nonzero(sims >= _EMB_DUP_THRESHOLD)
+        for r, c in zip(rows, cols):
+            a_id, b_id = int(b_ids[r]), int(ids_all[c])
+            if a_id < b_id:  # each unordered pair once
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_s.append(round(float(sims[r, c]), 4))
+        return pa.Table.from_pydict(
+            {"vec_a": out_a, "vec_b": out_b, "cos_sim": out_s}
+        )
+
+    out = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(pairs_batch, batch_format="pyarrow", batch_size=1024)
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64"),
+             "cos_sim": pd.Series([], dtype="float64")}
+        )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+_SQL_EMBEDDING_DUPS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
+def _lsh_planes(n: int) -> int:
+    """Bucket-count scales with corpus size (~64 vectors per bucket)."""
+    import math
+
+    return max(3, int(math.log2(max(2, n // 64))))
+
+
+def q_embedding_topk_lsh(sf_dir: str) -> pd.DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing. Each vector lands in
+    4 buckets (4 independent plane sets); queries scan only their buckets'
+    members — candidate sets are bucket-bounded instead of corpus-bounded.
+    pytest asserts recall ≥ 0.6 vs the brute-force q_embedding_topk.
+
+    Rows-only (hash semantics are not SQL)."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    dim = len(qt["embedding"][0].as_py())
+    n_planes = _lsh_planes(qt.num_rows)
+    rng = np.random.RandomState(7)
+    planes = [rng.randn(dim, n_planes) for _ in range(4)]
+    planes_ref = ray.put(planes)
+
+    def bucket_batch(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        out_id, out_bucket, out_vec = [], [], []
+        for t_i, p in enumerate(pl):
+            np_ = p.shape[1]
+            bits = (mat @ p) > 0  # (n, planes)
+            keys = bits @ (1 << np.arange(np_))
+            for i in range(len(ids)):
+                out_id.append(int(ids[i]))
+                out_bucket.append(int(t_i) << np_ | int(keys[i]))
+                out_vec.append([float(x) for x in mat[i]])
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(out_bucket, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "embedding": pa.array(out_vec, pa.list_(pa.float64())),
+            }
+        )
+
+    buckets = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]).map_batches(
+        bucket_batch, batch_format="pyarrow", batch_size=2048
+    )
+
+    order = np.argsort(qt["vec_id"].to_numpy())[: _ANN_QUERIES]
+    q_ids = set(int(qt["vec_id"][int(i)].as_py()) for i in order)
+    q_ids_ref = ray.put(q_ids)
+
+    # buckets containing a query vector → gather candidates per query
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        qs = ray.get(q_ids_ref)
+        members = list(zip(group["vec_id"], group["embedding"]))
+        present = [m for m in members if m[0] in qs]
+        if not present:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+        rows = []
+        for q_id, q_vec in present:
+            qv = np.asarray(q_vec, dtype=np.float64)
+            qv = qv / np.linalg.norm(qv)
+            for n_id, n_vec in members:
+                if n_id == q_id:
+                    continue
+                nv = np.asarray(n_vec, dtype=np.float64)
+                sim = float(qv @ (nv / np.linalg.norm(nv)))
+                rows.append((int(q_id), int(n_id), round(sim, 4)))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    cands = (
+        buckets.groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cands) == 0:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "sim", "rank"])
+    cands = cands.drop_duplicates(["query_id", "neighbor_id"])
+    out = cands.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = out.groupby("query_id", as_index=False).head(_ANN_TOPK)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["query_id"] = out["query_id"].astype("int64")
+    out["neighbor_id"] = out["neighbor_id"].astype("int64")
+    return out.reset_index(drop=True)

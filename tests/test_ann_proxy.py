@@ -1,0 +1,56 @@
+"""ANN recall, embedding dups, proxy-pool semantics, E23 regexes."""
+
+from llm_scraper_ray.functions.textnorm import extract_prices, extract_times
+from llm_scraper_ray.state.proxy import ProxyPoolState
+
+
+def test_lsh_recall_vs_bruteforce(ray_session):
+    from llm_scraper_ray.pipelines.queries import q_embedding_topk, q_embedding_topk_lsh
+
+    exact = q_embedding_topk("/root/testdata/sf0.001")
+    approx = q_embedding_topk_lsh("/root/testdata/sf0.001")
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.6, recall  # bucketed ANN trades recall for scan cost
+
+
+def test_embedding_dups_symmetric_unique(ray_session):
+    from llm_scraper_ray.pipelines.queries import q_embedding_dups
+
+    out = q_embedding_dups("/root/testdata/sf0.001")
+    assert (out["vec_a"] < out["vec_b"]).all()
+    assert not out.duplicated(["vec_a", "vec_b"]).any()
+    assert (out["cos_sim"] >= 0.45).all()
+
+
+def test_proxy_pool_rotation():
+    p = ProxyPoolState(["a", "b", "c"])
+    assert p.current() == "a"
+    assert p.report_failure("a") == "b"
+    assert p.report_failure("b") == "c"
+    assert p.report_failure("c") is None
+    p.refill(["c", "d"])  # blacklisted c filtered out
+    assert p.current() == "d"
+
+
+def test_e23_patterns():
+    text = "Now $1,299.99 (was $1,499.99) — sale ends 11:59 PM, doors at 9:00."
+    assert extract_prices(text) == ["$1,299.99", "$1,499.99"]
+    assert extract_times(text) == ["11:59 PM", "9:00"]
+
+
+def test_minhash_lsh_vs_exact_jaccard(ray_session):
+    """LSH-verified pairs ⊆ exact pairs; recall ≥0.9 at the 0.5 threshold."""
+    from llm_scraper_ray.pipelines.queries import (
+        q_minhash_lsh_dups,
+        q_ngram_jaccard_pairs,
+    )
+
+    exact = q_ngram_jaccard_pairs("/root/testdata/sf0.001")
+    lsh = q_minhash_lsh_dups("/root/testdata/sf0.001")
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    assert lsh_pairs <= exact_pairs  # Jaccard-verified → no false positives
+    assert len(exact_pairs) > 0
+    assert len(lsh_pairs & exact_pairs) / len(exact_pairs) >= 0.9
