@@ -875,10 +875,15 @@ def _crawl_for(sf_dir: str):
     hit = _CRAWL_CACHE.get(key)
     if hit is not None:
         return hit
+    from .. import __version__
+    from ..sources.pages import GEN_VERSION
+
     corpus = generate_corpus(sf_dir)
+    # cache key includes code + generator versions: a DONE run from an older
+    # engine must not be resumed as current results
     run_dir = os.path.join(
         os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache"),
-        f"crawlrun-{os.path.basename(key)}-n{corpus.n_pages}",
+        f"crawlrun-{os.path.basename(key)}-n{corpus.n_pages}-e{__version__}-g{GEN_VERSION}",
     )
     eng = CrawlEngine(corpus, run_dir, max_rounds=64)
     result = eng.run(resume=True)
@@ -1054,6 +1059,8 @@ def all_queries():
         # embedding near-dup + ANN scale path
         "embedding_dups": q_embedding_dups,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        # search-driven discovery (F12/F13)
+        "search_discovery": q_search_discovery,
     }
 
 
@@ -1368,3 +1375,37 @@ def q_embedding_topk_lsh(sf_dir: str) -> pd.DataFrame:
     out["query_id"] = out["query_id"].astype("int64")
     out["neighbor_id"] = out["neighbor_id"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def q_search_discovery(sf_dir: str) -> pd.DataFrame:
+    """F12/F13 — search-driven discovery: (host, query) seed rows through a
+    SearchDiscovery actor pool (per-actor corpus index = the browser-session
+    state), emitting frontier-shaped URL rows with pagination ranks."""
+    from ..sources.pages import generate_corpus, num_hosts
+    from ..stages.discovery import SearchDiscovery
+
+    corpus = generate_corpus(sf_dir)
+    h = min(corpus.n_hosts, 8)
+    seeds = pd.DataFrame(
+        [
+            {"host": f"host{i:03d}.example", "query": q}
+            for i in range(h)
+            for q in ("query", "vector", "stream")
+        ]
+    )
+    out = (
+        rd.from_pandas(seeds)
+        .map_batches(
+            SearchDiscovery,
+            fn_constructor_kwargs={
+                "pages_dir": corpus.pages_dir,
+                "num_buckets": corpus.num_buckets,
+            },
+            concurrency=2,
+            batch_size=8,
+            batch_format="pandas",
+            num_cpus=0.5,
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["host", "query", "rank"]).reset_index(drop=True)

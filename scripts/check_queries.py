@@ -44,7 +44,11 @@ def main():
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+    # go through the driver contract module exactly as the driver does
+    import __ray_entry__
+
+    all_queries = __ray_entry__.queries
+    all_oracle_sql = __ray_entry__.oracle_sql
 
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():

@@ -54,3 +54,17 @@ def test_minhash_lsh_vs_exact_jaccard(ray_session):
     assert lsh_pairs <= exact_pairs  # Jaccard-verified → no false positives
     assert len(exact_pairs) > 0
     assert len(lsh_pairs & exact_pairs) / len(exact_pairs) >= 0.9
+
+
+def test_search_discovery_pagination(ray_session, corpus_sf0001):
+    """F12: discovery results are deterministic, deduped, rank-ordered, and
+    every discovered URL really contains the query on the right host."""
+    from llm_scraper_ray.stages.discovery import SearchDiscovery, search_url
+
+    s = SearchDiscovery(corpus_sf0001.pages_dir, corpus_sf0001.num_buckets)
+    hits = s.search("host000.example", "query")
+    assert len(hits) > 0
+    assert hits == s.search("host000.example", "query")  # deterministic
+    assert len(set(hits)) == len(hits)  # VISITED guard dedups
+    assert all("host000.example" in u.lower() for u in hits)
+    assert search_url("h.example", "a b", 2) == "https://h.example/search?q=a+b&page=2"
