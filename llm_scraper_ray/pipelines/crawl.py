@@ -549,6 +549,8 @@ class CrawlEngine:
         flagged.map_batches(
             mark_seen_and_fetch, batch_format="pandas", batch_size=self.batch_size
         ).write_parquet(extracted_dir)
+        if not os.path.isdir(extracted_dir):  # zero-row write emits nothing
+            _write_empty(extracted_dir, _EXTRACTED_SCHEMA)
 
         # metrics from the round output's status column
         out_status = pads.dataset(extracted_dir, format="parquet").to_table(
@@ -606,6 +608,8 @@ class CrawlEngine:
             rd.read_parquet(extracted_dir).map_batches(
                 build_next, batch_format="pandas"
             ).write_parquet(next_dir)
+        if not os.path.isdir(next_dir):  # zero-row write emits nothing
+            _write_empty(next_dir, FRONTIER_SCHEMA)
         m["new_candidates"] = _count_rows(next_dir) - m["deferred"]
 
         seen.snapshot_to(os.path.join(rdir, "seen"))
