@@ -1120,10 +1120,24 @@ _TRIPLET_COLS = [
 ]
 
 
+_TRIPLET_CACHE: dict[str, pd.DataFrame] = {}
+
+
 def _triplets_of(sf_dir: str) -> rd.Dataset:
     from .triplets import triplet_dataset
 
     return triplet_dataset(_doc_text_rows(sf_dir), gate_keywords=_GATE)
+
+
+def _deduped_triplets_df(sf_dir: str) -> pd.DataFrame:
+    """Deduped triplet table, cached per sf_dir (several KG queries share it;
+    the result is small — one row per distinct triplet)."""
+    key = os.path.normpath(sf_dir)
+    if key not in _TRIPLET_CACHE:
+        from .triplets import dedup_triplets
+
+        _TRIPLET_CACHE[key] = dedup_triplets(_triplets_of(sf_dir)).to_pandas()
+    return _TRIPLET_CACHE[key].copy()
 
 
 def q_triplet_extraction(sf_dir: str) -> pd.DataFrame:
@@ -1137,9 +1151,7 @@ def q_triplet_extraction(sf_dir: str) -> pd.DataFrame:
 
 def q_triplets_dedup(sf_dir: str) -> pd.DataFrame:
     """A2 — distinct triplets with max weight + provenance count (KG.py:450)."""
-    from .triplets import dedup_triplets
-
-    out = dedup_triplets(_triplets_of(sf_dir)).to_pandas()
+    out = _deduped_triplets_df(sf_dir)
     out["weight"] = out["weight"].round(4)
     return out.sort_values(
         ["subj_type", "subj_name", "pred", "obj_type", "obj_name"]
@@ -1148,17 +1160,17 @@ def q_triplets_dedup(sf_dir: str) -> pd.DataFrame:
 
 def q_kg_nodes(sf_dir: str) -> pd.DataFrame:
     """S12/J4 — KG node table, deduped by sanitized key (KG.py:63-81)."""
-    from .triplets import dedup_triplets, kg_tables
+    from .triplets import kg_tables
 
-    nodes, _ = kg_tables(dedup_triplets(_triplets_of(sf_dir)))
+    nodes, _ = kg_tables(rd.from_pandas(_deduped_triplets_df(sf_dir)))
     return nodes
 
 
 def q_kg_top_vertices(sf_dir: str) -> pd.DataFrame:
     """J5/A7/O4 — per-vertex inbound edge count, top-10."""
-    from .triplets import dedup_triplets, kg_tables, top_vertices_by_edges
+    from .triplets import kg_tables, top_vertices_by_edges
 
-    _, edges = kg_tables(dedup_triplets(_triplets_of(sf_dir)))
+    _, edges = kg_tables(rd.from_pandas(_deduped_triplets_df(sf_dir)))
     return top_vertices_by_edges(edges, k=10)
 
 
