@@ -2,13 +2,14 @@
 
 Ray-native restatement of the reference's fetch+extract entry point
 (``extract_pages.py:131-164``; SURVEY.md §3.2) under the defined semantics of
-pipelines/spec.py. Each frontier round runs:
+pipelines/spec.py. Each frontier round runs (fused, one execution):
 
-  frontier ──pre_dedup──▶ groupby(url_hash).aggregate(Min) ─▶ robots+seen
-  filter (shard actors) ─▶ [salted pre-select] ─▶ groupby(host) top-k select
-  ─▶ flags.parquet ─▶ selected ─▶ mark-seen ─▶ FetchExtract actors (html
-  never leaves the stage) ─▶ extracted.parquet ─▶ link expansion ∪ deferred
-  ─▶ next round's frontier.parquet
+  frontier ──pre_dedup──▶ robots+seen status (shard actors, per batch)
+  ─▶ [salted pre-select] ─▶ groupby(host).map_groups(dedup + top-k select —
+  same url_hash ⇒ same host, so ONE shuffle covers both) ─▶ mark-seen +
+  FetchExtract actors (html never leaves the stage; outlinks canonicalized
+  in-pool) / passthrough ledger rows ─▶ round out ─▶ deferred ∪ expanded
+  links ─▶ next round's frontier.parquet
 
 Two physical paths implement the SAME spec (tested equal):
 

@@ -149,3 +149,19 @@ def test_resume_equals_uninterrupted(corpus_sf0001, oracle_result, tmp_path_fact
     assert r2.rounds > 5
     assert [h.hex() for h in oracle_result.order] == r2.assemble_order()
     assert oracle_result.seen == r2.seen_digests()
+
+
+def test_mixed_paths_match_oracle(corpus_sf0001, oracle_result, tmp_path_factory):
+    """driver_threshold mid-range → early/late small rounds run the driver
+    fast path while big middle rounds run distributed — the hybrid must be
+    indistinguishable from the oracle end to end."""
+    run_dir = str(tmp_path_factory.mktemp("crawl_mixed") / "run")
+    eng = CrawlEngine(
+        corpus_sf0001, run_dir, max_rounds=MAX_ROUNDS, fetch_concurrency=2,
+        driver_threshold=150,
+    )
+    r = eng.run(resume=False)
+    paths = {m.get("path") for m in r.metrics}
+    assert paths == {"driver", "distributed"}  # both actually exercised
+    assert r.assemble_order() == [h.hex() for h in oracle_result.order]
+    assert r.seen_digests() == oracle_result.seen
