@@ -32,11 +32,13 @@ shards and metrics, sealed by ``_COMPLETE``. ``run(resume=True)`` restarts
 from the last sealed round; replaying a partial round is idempotent (seen
 adds are set-inserts, fetch is deterministic).
 
-Scale notes: per-round shuffles are keyed on ``url_hash`` (dedup) and
-``host`` (politeness) — the two partition keys of SURVEY.md §7.3; hot hosts
-split via ``salt_buckets`` exact two-level top-k
-(stages/frontier.make_salted_preselect). The hash→warc_ts metadata is a
-``ray.put`` broadcast here; at 10^10 URLs it becomes a partitioned join.
+Scale notes: the distributed round's only all-to-all is ONE sort keyed
+(host, url_hash) — collocating both the dedup key and the politeness key;
+per-key groupbys are avoided entirely (Ray's groupby costs ~1 ms/key), and
+hot hosts are skew-safe because sort ranges split them while the
+boundary-host top-k forwarding keeps selection exact. The hash→warc_ts
+metadata is a ``ray.put`` broadcast here; at 10^10 URLs it becomes a
+partitioned join.
 """
 
 from __future__ import annotations
@@ -62,10 +64,7 @@ from ..stages.frontier import (
     FRONTIER_SCHEMA,
     candidates_from_urls,
     expand_links,
-    make_host_round_fn,
     make_robots_seen_filter,
-    make_salted_preselect,
-    make_select,
     pre_dedup,
     select_topk_vectorized,
 )
@@ -115,6 +114,18 @@ def _dispatch_fetch(
     if not tables:
         return _EXTRACTED_SCHEMA.empty_table()
     return pa.concat_tables(tables)
+
+
+def _flags_schema() -> pa.Schema:
+    return pa.schema(
+        list(FRONTIER_SCHEMA)
+        + [
+            ("status", pa.string()),
+            ("selected", pa.bool_()),
+            ("hrank", pa.int64()),
+            ("pass2", pa.bool_()),
+        ]
+    )
 
 
 _EXTRACTED_SCHEMA = pa.schema(
@@ -213,7 +224,8 @@ class CrawlEngine:
         run_dir: str,
         num_shards: int = 8,
         fetch_concurrency: int = 4,
-        salt_buckets: int = 1,
+        salt_buckets: int = 1,  # retained for API compat; skew is now handled
+        # inherently (sort-range splitting + boundary top-k forwarding)
         max_rounds: int = 64,
         batch_size: int = 512,
         driver_threshold: int = 20_000,
@@ -373,6 +385,11 @@ class CrawlEngine:
         shutil.rmtree(d0, ignore_errors=True)
         os.rename(tmp, d0)
 
+    def _budgets_ref(self):
+        if getattr(self, "_budgets_obj_ref", None) is None:
+            self._budgets_obj_ref = ray.put(self.budgets)
+        return self._budgets_obj_ref
+
     # -- fetch dispatch (shared by both paths) ------------------------------
 
     def _dispatch_fetch(self, fetch_actors, selected: pd.DataFrame) -> pa.Table:
@@ -460,48 +477,85 @@ class CrawlEngine:
     # -- distributed path ---------------------------------------------------
 
     def _round_distributed(self, rnd, frontier_path, seen: SeenSet, fetch_actors, warc_ref) -> dict:
-        """One fused Ray Data execution per round:
+        """Distributed round, no per-key groupby anywhere (Ray's groupby
+        aggregate/map_groups costs ~1 ms per distinct key — measured 197 s
+        for a 243k-key dedup — so high-cardinality grouping is replaced by
+        ONE global sort + vectorized per-batch passes):
 
-          frontier ─pre_dedup─▶ robots+seen status (shard actors, per batch)
-          ─▶ groupby(host).map_groups(dedup + top-k select)   [1 shuffle]
-          ─▶ mark-seen + fetch selected / passthrough others ─▶ round out
+          frontier ─pre_dedup─▶ robots+seen status (shard actors, big
+          batches) ─▶ sort(host, url_hash, depth) ─▶ per-batch vectorized
+          dedup + per-host top-k; each batch's first/last (boundary) hosts
+          forward only their batch-local top-k to a driver-side fixup pass
+          (exact: global top-k ⊆ union of batch-local top-k — the same
+          argument that makes hot-host salting exact, so range-split hot
+          hosts are handled inherently) ─▶ flags ledger ─▶ mark-seen +
+          FetchExtract actors / passthrough ─▶ round out ─▶ deferred ∪
+          expanded links ─▶ next frontier.
 
         The round output carries every unique candidate with
-        ``fetch_status`` ∈ {hit, miss, deferred, robots, seen} — it is the
-        flags ledger AND the extracted table in one file; the next frontier
-        (deferred ∪ expanded links) and metrics derive from it."""
+        ``fetch_status`` ∈ {hit, miss, deferred, robots, seen}; frontier and
+        metrics derive from it."""
         t_start = time.time()
         rdir = self._round_dir(rnd)
         shutil.rmtree(rdir, ignore_errors=True)
         os.makedirs(rdir, exist_ok=True)
+        flags_dir = os.path.join(rdir, "flags")
         extracted_dir = os.path.join(rdir, "extracted")
         next_dir = os.path.join(rdir, "frontier_next")
 
         robots_seen = make_robots_seen_filter(seen.actors, self.num_shards, self.robots)
+        budgets_ref = self._budgets_ref()
 
-        cand = (
+        def block_select(df: pd.DataFrame) -> pd.DataFrame:
+            """Vectorized dedup+selection for hosts fully inside this batch;
+            boundary hosts forward their batch-local top-k (pass2)."""
+            budgets = ray.get(budgets_ref)
+            first, last = df["host"].iloc[0], df["host"].iloc[-1]
+            boundary = df["host"].isin((first, last))
+            parts = []
+            inner = df[~boundary]
+            if len(inner):
+                g = inner.drop_duplicates("url_hash", keep="first")  # sorted (hash, depth)
+                g = select_topk_vectorized(g, budgets)
+                g["pass2"] = False
+                parts.append(g)
+            b = df[boundary]
+            if len(b):
+                b = b.drop_duplicates("url_hash", keep="first")
+                marked = select_topk_vectorized(b, budgets)
+                fwd = marked[marked["selected"]].copy()
+                fwd["selected"] = False
+                fwd["hrank"] = -1
+                fwd["pass2"] = True
+                rest = marked[~marked["selected"]].copy()
+                rest["pass2"] = False  # final: deferred / seen / robots
+                parts.extend([fwd, rest])
+            return pd.concat(parts, ignore_index=True)
+
+        (
             rd.read_parquet(frontier_path)
-            .map_batches(pre_dedup, batch_format="pandas")
-            .map_batches(robots_seen, batch_format="pandas")
+            .map_batches(pre_dedup, batch_format="pandas", batch_size=65536)
+            .map_batches(robots_seen, batch_format="pandas", batch_size=65536)
+            .sort(["host", "url_hash", "depth"])
+            .map_batches(block_select, batch_format="pandas", batch_size=65536)
+            .write_parquet(flags_dir)
         )
-        if self.salt_buckets > 1:
-            pre_fn = make_salted_preselect(self.budgets, self.salt_buckets)
-            nsalt = self.salt_buckets
+        if not os.path.isdir(flags_dir):
+            _write_empty(flags_dir, _flags_schema())
 
-            def add_salt(df: pd.DataFrame) -> pd.DataFrame:
-                df = df.copy()
-                df["salt"] = [int(h[:2], 16) % nsalt for h in df["url_hash"]]
-                return df
-
-            cand = (
-                cand.map_batches(add_salt, batch_format="pandas")
-                .groupby(["host", "salt"])
-                .map_groups(pre_fn, batch_format="pandas")
+        # driver fixup: exact selection for boundary hosts (bounded by
+        # k × batches per host — metadata-sized by construction)
+        fixup = pads.dataset(flags_dir, format="parquet").to_table(
+            filter=pads.field("pass2") == True  # noqa: E712
+        ).to_pandas()
+        if len(fixup):
+            fixup = fixup.drop_duplicates("url_hash", keep="first")
+            fixup = select_topk_vectorized(fixup, ray.get(budgets_ref))
+            fixup["pass2"] = False
+            pq.write_table(
+                pa.Table.from_pandas(fixup, preserve_index=False),
+                os.path.join(flags_dir, "pass2-fix.parquet"),
             )
-        flagged = cand.groupby("host").map_groups(
-            make_host_round_fn(self.budgets, salted=self.salt_buckets > 1),
-            batch_format="pandas",
-        )
 
         # mark-seen + fetch selected rows; non-selected rows pass through as
         # deferred/robots/seen ledger rows. Closure captures handles + ints.
@@ -547,9 +601,14 @@ class CrawlEngine:
                 return _EXTRACTED_SCHEMA.empty_table()
             return pa.concat_tables(tables)
 
-        flagged.map_batches(
-            mark_seen_and_fetch, batch_format="pandas", batch_size=self.batch_size
-        ).write_parquet(extracted_dir)
+        (
+            rd.read_parquet(flags_dir)
+            .map_batches(lambda df: df[~df["pass2"]], batch_format="pandas", batch_size=65536)
+            .map_batches(
+                mark_seen_and_fetch, batch_format="pandas", batch_size=max(4096, self.batch_size)
+            )
+            .write_parquet(extracted_dir)
+        )
         if not os.path.isdir(extracted_dir):  # zero-row write emits nothing
             _write_empty(extracted_dir, _EXTRACTED_SCHEMA)
 

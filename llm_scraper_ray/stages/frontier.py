@@ -128,80 +128,6 @@ def _sort_by_priority(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def make_salted_preselect(budgets: dict[str, int], salt_buckets: int):
-    """Skew-breaking level-1 top-k: within each (host, salt) shuffle group,
-    keep the top ``budget`` candidates by priority (marked pre=True). The
-    union of per-salt top-k supersets contains the global per-host top-k, so
-    level 2 (``make_select``) over pre==True rows is exact while each level-1
-    group carries at most 1/salt_buckets of a hot host's frontier
-    (SURVEY.md §7.4.4)."""
-
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        # duplicates of one url_hash share (host, salt) → dedup is exact here
-        g = group.sort_values(["url_hash", "depth"], kind="stable").drop_duplicates(
-            "url_hash", keep="first"
-        )
-        k = budgets.get(g["host"].iloc[0], DEFAULT_BUDGET)
-        g = g.copy()
-        g["pre"] = False
-        ok = _sort_by_priority(g[g["status"] == "ok"])
-        g.loc[ok.index[:k], "pre"] = True
-        return g
-
-    return fn
-
-
-def make_host_round_fn(budgets: dict[str, int], salted: bool = False):
-    """Fused spec steps 1+4+7 for the distributed path: within one
-    ``groupby("host")`` group — exact dedup (same url_hash ⇒ same host, so
-    host partitioning collocates duplicates), then per-host top-k selection
-    with hrank. One shuffle instead of dedup-shuffle + select-shuffle."""
-
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["url_hash", "depth"], kind="stable").drop_duplicates(
-            "url_hash", keep="first"
-        )
-        k = budgets.get(g["host"].iloc[0], DEFAULT_BUDGET)
-        g = g.copy()
-        g["selected"] = False
-        g["hrank"] = -1
-        mask = g["status"] == "ok"
-        if salted and "pre" in g.columns:
-            mask &= g["pre"]
-        ok = _sort_by_priority(g[mask])
-        sel_idx = ok.index[:k]
-        g.loc[sel_idx, "selected"] = True
-        g.loc[sel_idx, "hrank"] = range(len(sel_idx))
-        return g
-
-    return fn
-
-
-def make_select(budgets: dict[str, int]):
-    """Spec step 4+7: per-host top-k selection + within-host rank.
-
-    Runs under ``groupby("host").map_groups``. Only rows with status==ok
-    (and pre==True when the salted level-1 ran) are selectable; every input
-    row is emitted with ``selected`` bool and ``hrank`` (0-based rank among
-    selected; -1 otherwise)."""
-
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        k = budgets.get(group["host"].iloc[0], DEFAULT_BUDGET)
-        g = group.copy()
-        g["selected"] = False
-        g["hrank"] = -1
-        mask = g["status"] == "ok"
-        if "pre" in g.columns:
-            mask &= g["pre"]
-        ok = _sort_by_priority(g[mask])
-        sel_idx = ok.index[:k]
-        g.loc[sel_idx, "selected"] = True
-        g.loc[sel_idx, "hrank"] = range(len(sel_idx))
-        return g
-
-    return fn
-
-
 def expand_links(
     links_iter, hash_iter, host_iter, depth_iter, warc_lookup: dict[str, int]
 ) -> pa.Table:
