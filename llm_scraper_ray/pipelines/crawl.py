@@ -665,9 +665,13 @@ class CrawlEngine:
                 deferred_t = _to_frontier_table(batch[batch["fetch_status"] == "deferred"])
                 return pa.concat_tables([deferred_t, new])
 
-            rd.read_parquet(extracted_dir).map_batches(
-                build_next, batch_format="pandas"
-            ).write_parquet(next_dir)
+            rd.read_parquet(
+                extracted_dir,
+                columns=["url_hash", "canon_url", "host", "depth", "warc_ts",
+                         "fetch_status", "links", "link_hashes", "link_hosts"],
+            ).map_batches(build_next, batch_format="pandas", batch_size=65536).write_parquet(
+                next_dir
+            )
         if not os.path.isdir(next_dir):  # zero-row write emits nothing
             _write_empty(next_dir, FRONTIER_SCHEMA)
         m["new_candidates"] = _count_rows(next_dir) - m["deferred"]
