@@ -65,6 +65,7 @@ def _run_bench() -> None:
         fetch_concurrency=max(2, num_cpus - 2),
         driver_threshold=200_000,
         max_rounds=64,
+        budget_scale=float(os.environ.get("LLMSR_BENCH_BUDGET_SCALE", "4")),
     )
     eng.prepare()  # warm actor pools + bucket caches (session setup, untimed)
     t0 = time.time()

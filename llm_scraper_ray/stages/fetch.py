@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..functions import analysis as A
 from ..functions.html_text import extract_text_and_links
 from ..functions.urls import canonicalize_url, host_of, url_sha1_hex
 from ..state.tokenbucket import TokenBucket
@@ -35,20 +36,28 @@ from ..state.tokenbucket import TokenBucket
 EXTRACTED_FIELDS = [
     "url_hash", "canon_url", "host", "depth", "warc_ts", "hrank",
     "fetch_status", "text", "n_chars", "links", "link_hashes", "link_hosts",
+    "lang_pred", "n_tokens", "alpha_ratio", "stopword_ratio", "simhash", "fp64",
 ]
 
 
 class FetchExtract:
-    def __init__(self, pages_dir: str, num_buckets: int, budgets: dict[str, int] | None = None):
+    def __init__(
+        self,
+        pages_dir: str,
+        num_buckets: int,
+        budgets: dict[str, int] | None = None,
+        cache_cap: int | None = None,
+    ):
         self.pages_dir = pages_dir
         self.num_buckets = num_buckets
         self.bucket = TokenBucket(budgets or {}, default=1 << 30)
         # bucket → hash→html dict; actors serve a stable slice of buckets
-        # (routing in pipelines/crawl._dispatch_fetch), so this cache is
-        # bounded by NB/n_actors buckets; cap as a safety net for the
-        # unpooled map_batches path.
+        # (routing in pipelines/crawl._dispatch_fetch). The cap MUST cover
+        # the actor's slice (ceil(NB / n_actors)) or every round thrashes
+        # bucket reloads — an undersized cap measured 6x throughput loss on
+        # small pools.
         self._cache: dict[int, dict[bytes, bytes]] = {}
-        self._cache_cap = 8
+        self._cache_cap = cache_cap if cache_cap is not None else num_buckets
 
     def ping(self, preload_buckets: list[int] | None = None) -> int:
         """Actor warm-up: forces process spawn + imports; optionally
@@ -86,6 +95,12 @@ class FetchExtract:
         links_col: list[list[str]] = []
         lhash_col: list[list[str]] = []
         lhost_col: list[list[str]] = []
+        langs: list[str] = []
+        n_tokens: list[int] = []
+        alpha_ratios: list[float] = []
+        stop_ratios: list[float] = []
+        simhashes: list[int] = []
+        fps: list[int] = []
         # group rows by bucket (input sorted by url_hash → 1-2 buckets/batch)
         digests = [bytes.fromhex(h) for h in batch["url_hash"]]
         by_bucket: dict[int, list[int]] = {}
@@ -107,6 +122,12 @@ class FetchExtract:
                 links_col.append([])
                 lhash_col.append([])
                 lhost_col.append([])
+                langs.append("und")
+                n_tokens.append(0)
+                alpha_ratios.append(0.0)
+                stop_ratios.append(0.0)
+                simhashes.append(0)
+                fps.append(0)
                 continue
             text, raw_links = extract_text_and_links(html, batch["canon_url"].iloc[i])
             # canonicalize outlinks HERE (in the actor pool, parallel) so the
@@ -126,6 +147,17 @@ class FetchExtract:
             links_col.append(canons)
             lhash_col.append(hashes)
             lhost_col.append(hosts)
+            # full per-page analysis in the same pass (the training-data
+            # pipeline work a real crawl ships with every page): language-ID,
+            # quality signals, simhash + rolling fingerprint, token count
+            q = A.quality_features(text)
+            langs.append(A.lang_id(text))
+            n_tokens.append(A.count_tokens_ws(text))
+            alpha_ratios.append(q["alpha_ratio"])
+            stop_ratios.append(q["stopword_ratio"])
+            s = A.simhash64(text)
+            simhashes.append(s - (1 << 64) if s >= (1 << 63) else s)
+            fps.append(A.rolling_fingerprint(text) & 0x7FFFFFFFFFFFFFFF)
         return pa.Table.from_pydict(
             {
                 "url_hash": pa.array(batch["url_hash"], pa.string()),
@@ -140,5 +172,11 @@ class FetchExtract:
                 "links": pa.array(links_col, pa.list_(pa.string())),
                 "link_hashes": pa.array(lhash_col, pa.list_(pa.string())),
                 "link_hosts": pa.array(lhost_col, pa.list_(pa.string())),
+                "lang_pred": pa.array(langs, pa.string()),
+                "n_tokens": pa.array(n_tokens, pa.int32()),
+                "alpha_ratio": pa.array(alpha_ratios, pa.float64()),
+                "stopword_ratio": pa.array(stop_ratios, pa.float64()),
+                "simhash": pa.array(simhashes, pa.int64()),
+                "fp64": pa.array(fps, pa.int64()),
             }
         )
