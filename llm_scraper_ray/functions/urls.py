@@ -125,8 +125,23 @@ def canonicalize_url(url: str) -> str | None:
     if not netloc:
         return None
     userinfo, sep, hostport = netloc.rpartition("@")
-    host, _, port = hostport.partition(":")
-    host = host.lower().rstrip(".")
+    if hostport.startswith("["):
+        # IPv6 literal: "[addr]" or "[addr]:port" — a bare partition(":")
+        # would mangle it into host "[" + garbage port (ADVICE r01)
+        end = hostport.find("]")
+        if end == -1:
+            return None
+        host = hostport[: end + 1].lower()
+        rest = hostport[end + 1 :]
+        if rest == "":
+            port = ""
+        elif rest.startswith(":"):
+            port = rest[1:]
+        else:
+            return None
+    else:
+        host, _, port = hostport.partition(":")
+        host = host.lower().rstrip(".")
     if not host:
         return None
     if port == _DEFAULT_PORTS.get(scheme) or port == "":
@@ -156,6 +171,8 @@ def host_of(canonical_url: str) -> str:
     rest = canonical_url.split("://", 1)[1]
     authority = rest.split("/", 1)[0].split("?", 1)[0]
     hostport = authority.rpartition("@")[2]
+    if hostport.startswith("["):  # IPv6 literal incl. brackets
+        return hostport[: hostport.find("]") + 1]
     return hostport.partition(":")[0]
 
 

@@ -127,6 +127,7 @@ def _flags_schema() -> pa.Schema:
             ("selected", pa.bool_()),
             ("hrank", pa.int64()),
             ("pass2", pa.bool_()),
+            ("fix", pa.bool_()),
         ]
     )
 
@@ -325,9 +326,13 @@ class CrawlEngine:
             return last
         for name in os.listdir(self.run_dir):
             if name.startswith("round-"):
-                k = int(name.split("-")[1])
+                # a stale "round-0000.tmp" from a crash inside _init_seeds
+                # must not wedge every subsequent resume (ADVICE r01)
+                suffix = name.split("-", 1)[1]
+                if not suffix.isdigit():
+                    continue
                 if os.path.exists(os.path.join(self.run_dir, name, "_COMPLETE")):
-                    last = max(last, k)
+                    last = max(last, int(suffix))
         return last
 
     # -- main loop ---------------------------------------------------------
@@ -525,9 +530,14 @@ class CrawlEngine:
 
         def block_select(df: pd.DataFrame) -> pd.DataFrame:
             """Vectorized dedup+selection for hosts fully inside this batch;
-            boundary hosts forward their batch-local top-k (pass2)."""
+            boundary hosts forward their batch-local top-k (pass2). The
+            batch's first/last url_hash ("edge" hashes) may have duplicate
+            rows straddling the batch boundary — ALL their rows are forwarded
+            too, so the fixup pass owns their dedup + fate and no url_hash
+            can be both finalized here and fetched there (ADVICE r01)."""
             budgets = ray.get(budgets_ref)
             first, last = df["host"].iloc[0], df["host"].iloc[-1]
+            edge_hashes = (df["url_hash"].iloc[0], df["url_hash"].iloc[-1])
             boundary = df["host"].isin((first, last))
             parts = []
             inner = df[~boundary]
@@ -540,14 +550,17 @@ class CrawlEngine:
             if len(b):
                 b = b.drop_duplicates("url_hash", keep="first")
                 marked = select_topk_vectorized(b, budgets)
-                fwd = marked[marked["selected"]].copy()
+                fwd_mask = marked["selected"] | marked["url_hash"].isin(edge_hashes)
+                fwd = marked[fwd_mask].copy()
                 fwd["selected"] = False
                 fwd["hrank"] = -1
                 fwd["pass2"] = True
-                rest = marked[~marked["selected"]].copy()
+                rest = marked[~fwd_mask].copy()
                 rest["pass2"] = False  # final: deferred / seen / robots
                 parts.extend([fwd, rest])
-            return pd.concat(parts, ignore_index=True)
+            out = pd.concat(parts, ignore_index=True)
+            out["fix"] = False
+            return out
 
         (
             rd.read_parquet(frontier_path)
@@ -561,14 +574,20 @@ class CrawlEngine:
             _write_empty(flags_dir, _flags_schema())
 
         # driver fixup: exact selection for boundary hosts (bounded by
-        # k × batches per host — metadata-sized by construction)
+        # (k + dup copies of 2 edge hashes) × batches — metadata-sized by
+        # construction). Sort before dedup so the min-depth copy wins
+        # deterministically regardless of parquet file-discovery order.
         fixup = pads.dataset(flags_dir, format="parquet").to_table(
             filter=pads.field("pass2") == True  # noqa: E712
         ).to_pandas()
+        fixup_hashes: set[str] = set()
         if len(fixup):
+            fixup = fixup.sort_values(["host", "url_hash", "depth"], kind="stable")
             fixup = fixup.drop_duplicates("url_hash", keep="first")
             fixup = select_topk_vectorized(fixup, ray.get(budgets_ref))
             fixup["pass2"] = False
+            fixup["fix"] = True
+            fixup_hashes = set(fixup["url_hash"])
             pq.write_table(
                 pa.Table.from_pandas(fixup, preserve_index=False),
                 os.path.join(flags_dir, "pass2-fix.parquet"),
@@ -624,9 +643,22 @@ class CrawlEngine:
                 return _EXTRACTED_SCHEMA.empty_table()
             return pa.concat_tables(tables)
 
+        # Each url_hash must appear exactly once in the ledger: drop pass2
+        # rows (superseded by the fixup), and — belt-and-braces against any
+        # batch-layout surprise — drop non-fixup rows whose hash the fixup
+        # pass owns. fixup_hashes is metadata-sized (boundary top-k only).
+        fixup_ref = ray.put(fixup_hashes)
+
+        def final_flags(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[~df["pass2"]]
+            owned = ray.get(fixup_ref)
+            if owned:
+                df = df[df["fix"] | ~df["url_hash"].isin(owned)]
+            return df
+
         (
             rd.read_parquet(flags_dir)
-            .map_batches(lambda df: df[~df["pass2"]], batch_format="pandas", batch_size=65536)
+            .map_batches(final_flags, batch_format="pandas", batch_size=65536)
             .map_batches(
                 mark_seen_and_fetch, batch_format="pandas", batch_size=max(4096, self.batch_size)
             )

@@ -1,0 +1,443 @@
+"""Distributed cross-document near-duplicate detection (training-data ops).
+
+The reference has no cross-document near-dedup (SURVEY.md §2.8 — its E10
+fuzzy dedup is within-document, ``content_cleaner.py:8-24``); these operators
+are the engine's additions for LLM-training-data pipelines, built
+shuffle-first for 100 TB:
+
+  - ONE shared shingle pass per corpus (cached, materialized): every doc's
+    distinct 63-bit shingle hashes + set size — n-gram-Jaccard, MinHash-LSH
+    and the exact verification stage all reuse it;
+  - pair expansion is fully distributed: shingle/bucket rows carry a coarse
+    ``bucket = key % NB`` partition column, and ONE ``groupby(bucket)``
+    (NB keys — per-key groupby cost is flat) co-locates every row of a
+    given shingle so document-frequency counting, the df cap and the
+    quadratic self-merge all happen inside vectorized per-group pandas;
+  - a document-frequency cap (``DF_CAP``) drops boilerplate shingles /
+    over-full LSH buckets before expansion — without it a df=10^6 shingle
+    emits 10^12 pairs (standard MinHash-LSH practice). At the test scales
+    max df is 4, so capped == uncapped and the SQL oracle (which applies
+    the same cap) stays hash-identical;
+  - per-doc constants (set sizes) TRAVEL WITH the shuffled rows instead of
+    being re-joined afterwards — no sizes broadcast (O(corpus) driver
+    memory) and no second all-to-all;
+  - nothing materializes on the driver before the pair threshold; the
+    final thresholded result is near-dup-mass-sized by construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions import analysis as A
+
+JACCARD_K = 5  # word-shingle width
+JACCARD_THRESHOLD = 0.5
+DF_CAP = 50  # drop shingles/buckets present in more docs (boilerplate guard)
+NUM_BUCKETS = 64  # coarse partition count for the pair-expansion groupby
+_MASK63 = 0x7FFFFFFFFFFFFFFF  # int64-safe keys (uint64 degrades to float64
+# in pandas blocks — silent precision loss breaks groupbys)
+
+MINHASH_PERMS = 128
+MINHASH_BANDS = 32  # 32 bands x 4 rows: catches J>=~0.5 with high prob
+
+_PAIR_MIX = 1_000_003  # pair → partition key mixer
+
+
+def _read_docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared shingle pass (cached per sf_dir)
+
+_SHINGLE_CACHE: dict[str, rd.Dataset] = {}
+
+
+def doc_shingles(sf_dir: str) -> rd.Dataset:
+    """Materialized (doc_id:int64, shingles:list<int64> sorted distinct,
+    n_sh:int64) — computed once per corpus, shared by every near-dup
+    operator (shingling is the priciest per-doc kernel; round-1 ran it
+    three times per suite). At 100 TB this table would persist to Parquet
+    next to the corpus; here it pins in the object store."""
+    key = os.path.normpath(sf_dir)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    def shingle_batch(batch: pa.Table) -> pa.Table:
+        ids, lists, sizes = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            hs = A.shingle_hashes(t, JACCARD_K)
+            masked = (hs & np.uint64(_MASK63)).astype(np.int64)
+            masked.sort()
+            ids.append(int(d))
+            lists.append(masked)
+            sizes.append(int(masked.size))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingles": pa.array([list(m) for m in lists], pa.list_(pa.int64())),
+                "n_sh": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    ds = _read_docs(sf_dir).map_batches(shingle_batch, batch_format="pyarrow").materialize()
+    _SHINGLE_CACHE[key] = ds
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs
+
+
+def _empty_ngram() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "inter": pd.Series([], dtype="int64"),
+            "union_sz": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs, distributed end-to-end:
+
+    1. explode the shared shingle table to (sh, doc_id, n_sh) rows with a
+       coarse ``bucket = sh % NB`` partition column;
+    2. ``groupby(bucket).map_groups``: every row of a shingle lands in one
+       group → vectorized df count, the 2..DF_CAP keep-band, and the
+       self-merge pair expansion run per group; partial intersections are
+       pre-summed per (pair, bucket);
+    3. partials hash to ``pbucket`` and a second NB-key groupby sums them
+       into exact intersections — set sizes rode along, so union + the
+       threshold are a final vectorized filter, no sizes join/broadcast.
+
+    The SQL oracle applies the identical df cap (inert at test scale —
+    max df 4 — so the hash compare is exact)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_sh: list[int] = []
+        out_doc: list[int] = []
+        out_n: list[int] = []
+        for d, sh, n in zip(
+            batch["doc_id"].to_pylist(),
+            batch["shingles"].to_pylist(),
+            batch["n_sh"].to_pylist(),
+        ):
+            out_sh.extend(sh)
+            out_doc.extend([d] * len(sh))
+            out_n.extend([n] * len(sh))
+        t = pa.Table.from_pydict(
+            {
+                "sh": pa.array(out_sh, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "n_sh": pa.array(out_n, pa.int64()),
+            }
+        )
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["sh"], NUM_BUCKETS - 1), pa.int64())
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["sh"].value_counts()
+        kept = vc[(vc >= 2) & (vc <= DF_CAP)].index
+        g = g[g["sh"].isin(kept)]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("doc_a", "doc_b", "n_a", "n_b", "inter", "pbucket")}
+            )
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        pp = (
+            m.groupby(["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"], as_index=False)
+            .size()
+            .rename(
+                columns={
+                    "doc_id_a": "doc_a", "doc_id_b": "doc_b",
+                    "n_sh_a": "n_a", "n_sh_b": "n_b", "size": "inter",
+                }
+            )
+        )
+        pp["pbucket"] = (
+            (pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % NUM_BUCKETS
+        ).astype("int64")
+        return pp.astype("int64")
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False)["inter"].sum()
+        agg["union_sz"] = agg["n_a"] + agg["n_b"] - agg["inter"]
+        out = agg[agg["inter"] >= JACCARD_THRESHOLD * agg["union_sz"]]
+        return out[["doc_a", "doc_b", "inter", "union_sz"]].astype("int64")
+
+    out = (
+        doc_shingles(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(sum_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return _empty_ngram()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(2, length(w) - 3))) AS i
+        FROM words WHERE length(w) > 0)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), kept AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) BETWEEN 2 AND {DF_CAP}
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM kept)
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, i AS inter,
+       sa.n_sh + sb.n_sh - i AS union_sz
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate variant of the same threshold)
+
+
+def _empty_pairs(val_col: str, val_dtype: str = "float64") -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            val_col: pd.Series([], dtype=val_dtype),
+        }
+    )
+
+
+def minhash_lsh_dups(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup detection, Jaccard-verified, distributed:
+
+    signatures from the shared shingle table (vectorized per batch) →
+    (band, band_hash) bucket rows → the same NB-key grouped pattern as
+    ngram_jaccard_pairs (bucket-frequency 2..DF_CAP keep-band, in-group
+    candidate pair emission) → cross-band pair dedup (second NB-key
+    groupby) → exact-Jaccard verification by joining the candidate pairs
+    back to the candidate docs' shingle sets (Dataset.join, both sides
+    near-dup-mass-bounded after a broadcast semi-filter of the shingle
+    table). No SQL oracle (hash semantics); pytest cross-checks vs the
+    exact pairs."""
+    import hashlib as _h
+
+    import ray
+
+    a_co, b_co = A.minhash_coeffs(MINHASH_PERMS, seed=1)
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        hsets = [
+            np.asarray(s, dtype=np.uint64) for s in batch["shingles"].to_pylist()
+        ]
+        sigs = A.minhash_signature_matrix(hsets, a_co, b_co)  # (n, perms)
+        out_doc, out_key = [], []
+        for i, d in enumerate(batch["doc_id"].to_pylist()):
+            if hsets[i].size == 0:
+                continue  # empty docs never bucket
+            for b in range(MINHASH_BANDS):
+                band = sigs[i, b * rows_per_band : (b + 1) * rows_per_band]
+                digest = _h.blake2b(band.tobytes() + bytes([b]), digest_size=8).digest()
+                out_doc.append(int(d))
+                out_key.append(int.from_bytes(digest, "little") & _MASK63)
+        t = pa.Table.from_pydict(
+            {"bkey": pa.array(out_key, pa.int64()), "doc_id": pa.array(out_doc, pa.int64())}
+        )
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["bkey"], NUM_BUCKETS - 1), pa.int64())
+        )
+
+    def bucket_cands(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["bkey"].value_counts()
+        kept = vc[(vc >= 2) & (vc <= DF_CAP)].index
+        g = g[g["bkey"].isin(kept)]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_a", "doc_b", "pbucket")}
+            )
+        m = g.merge(g, on="bkey", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        pp = (
+            m[["doc_id_a", "doc_id_b"]]
+            .drop_duplicates()
+            .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+        )
+        pp["pbucket"] = (
+            (pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % NUM_BUCKETS
+        ).astype("int64")
+        return pp.astype("int64")
+
+    def dedup_cands(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["doc_a", "doc_b"]].drop_duplicates().astype("int64")
+
+    shingles = doc_shingles(sf_dir)
+    cands = (
+        shingles.map_batches(sig_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_cands, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedup_cands, batch_format="pandas")
+        .materialize()
+    )
+    if cands.count() == 0:
+        return _empty_pairs("jaccard")
+
+    # verification: candidate-doc shingle sets only (near-dup-mass-bounded;
+    # the broadcast set is candidate ids, never the corpus)
+    need = set()
+    for b in cands.iter_batches(batch_format="pandas"):
+        need.update(int(x) for x in b["doc_a"])
+        need.update(int(x) for x in b["doc_b"])
+    need_ref = ray.put(need)
+
+    # shingle sets pack to binary blobs: list columns round-trip through
+    # pandas as tensor-extension types pyarrow's join kernel rejects, and a
+    # blob is one contiguous buffer per row anyway
+    def only_needed(batch: pd.DataFrame) -> pa.Table:
+        keep = ray.get(need_ref)
+        sel = batch[batch["doc_id"].isin(keep)]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(sel["doc_id"].astype("int64"), pa.int64()),
+                "blob": pa.array(
+                    [np.asarray(s, dtype=np.int64).tobytes() for s in sel["shingles"]],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    filtered = shingles.map_batches(only_needed, batch_format="pandas").materialize()
+
+    def _rename(key_name: str, blob_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([key_name, blob_name])
+
+        return fn
+
+    sh_a = filtered.map_batches(_rename("ja", "blob_a"), batch_format="pyarrow")
+    sh_b = filtered.map_batches(_rename("jb", "blob_b"), batch_format="pyarrow")
+    joined = cands.join(
+        sh_a, "inner", num_partitions=8, on=("doc_a",), right_on=("ja",)
+    ).join(sh_b, "inner", num_partitions=8, on=("doc_b",), right_on=("jb",))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        jac = []
+        for sa, sb in zip(batch["blob_a"], batch["blob_b"]):
+            aa = np.frombuffer(sa, dtype=np.int64)
+            bb = np.frombuffer(sb, dtype=np.int64)
+            inter = np.intersect1d(aa, bb, assume_unique=True).size
+            denom = aa.size + bb.size - inter
+            jac.append(round(inter / denom, 4) if denom else 1.0)
+        out = pd.DataFrame(
+            {"doc_a": batch["doc_a"], "doc_b": batch["doc_b"], "jaccard": jac}
+        )
+        return out[out["jaccard"] >= JACCARD_THRESHOLD]
+
+    out = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return _empty_pairs("jaccard")
+    out = out.astype({"doc_a": "int64", "doc_b": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash blocking
+
+
+def simhash_buckets(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup: 64-bit simhash per doc, 16-bit band blocking (4
+    bands — by pigeonhole any pair within Hamming <=3 shares an exact band;
+    probabilistic above), then the same NB-key grouped pair expansion with
+    the bucket-frequency keep-band; Hamming computed in-group (the sims
+    ride with the rows), pairs kept at Hamming <=6, cross-band dedup.
+    Rows-only; pytest checks symmetry + the Hamming bound."""
+
+    def sim_batch(batch: pd.DataFrame) -> pa.Table:
+        out_doc, out_key, out_sim, out_bucket = [], [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            s = A.simhash64(t)
+            s_signed = s - (1 << 64) if s >= (1 << 63) else s  # int64-safe
+            for b in range(4):
+                key = (b << 16) | ((s >> (16 * b)) & 0xFFFF)
+                out_doc.append(int(d))
+                out_key.append(key)
+                out_sim.append(s_signed)
+                out_bucket.append(key % NUM_BUCKETS)
+        return pa.Table.from_pydict(
+            {
+                "bkey": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "sim": pa.array(out_sim, pa.int64()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+            }
+        )
+
+    def bucket_ham(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["bkey"].value_counts()
+        kept = vc[(vc >= 2) & (vc <= DF_CAP)].index
+        g = g[g["bkey"].isin(kept)]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("doc_a", "doc_b", "hamming", "pbucket")}
+            )
+        m = g.merge(g, on="bkey", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]].drop_duplicates(["doc_id_a", "doc_id_b"])
+        x = np.bitwise_xor(
+            m["sim_a"].to_numpy().astype(np.uint64), m["sim_b"].to_numpy().astype(np.uint64)
+        )
+        # vectorized popcount: per-byte table lookup over the uint64 view
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(m), 8 * 8).sum(axis=1) if len(m) else np.array([], dtype=np.int64)
+        pp = pd.DataFrame(
+            {"doc_a": m["doc_id_a"].to_numpy(), "doc_b": m["doc_id_b"].to_numpy(), "hamming": ham.astype(np.int64)}
+        )
+        pp = pp[pp["hamming"] <= 6]
+        pp["pbucket"] = ((pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % NUM_BUCKETS).astype("int64")
+        return pp.astype("int64")
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["doc_a", "doc_b", "hamming"]].drop_duplicates(["doc_a", "doc_b"]).astype("int64")
+
+    out = (
+        _read_docs(sf_dir)
+        .map_batches(sim_batch, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_ham, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return _empty_pairs("hamming", "int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -508,234 +508,12 @@ def q_doc_quality_full(sf_dir: str) -> pd.DataFrame:
 # near-duplicate detection (cross-document — beyond the reference's E10
 # within-document dedup; SURVEY.md §2.8 notes the reference has none)
 
-_JACCARD_K = 5  # word-shingle width
-_JACCARD_THRESHOLD = 0.5
-
-
-def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs, shuffle-minimized:
-
-    1. explode docs to (shingle_hash: uint64, doc_id) rows (distinct per doc);
-    2. vectorized Count aggregates give |shingles| per doc AND per-shingle
-       document frequency — the ONLY all-to-all work is hash-keyed counting;
-    3. shingles with frequency ≥2 (the co-occurring minority) are broadcast
-       back as a filter; only their rows take part in pair expansion —
-       near-dup mass, not corpus mass, bounds the quadratic step.
-
-    MinHash-LSH below is the approximate variant of the same threshold."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def shingle_batch(batch: pd.DataFrame) -> pa.Table:
-        rows_doc, rows_sh = [], []
-        for d, t in zip(batch["doc_id"], batch["text"]):
-            for sh in A.shingle_hashes(t, _JACCARD_K):
-                # 63-bit mask: uint64 keys degrade to float64 in pandas
-                # blocks (silent precision loss) — int64-safe keys shuffle
-                rows_doc.append(int(d))
-                rows_sh.append(int(sh) & 0x7FFFFFFFFFFFFFFF)
-        return pa.Table.from_pydict(
-            {"sh": pa.array(rows_sh, pa.int64()), "doc_id": pa.array(rows_doc, pa.int64())}
-        )
-
-    shingles = docs.map_batches(shingle_batch, batch_format="pandas")
-    sizes_df = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh")).to_pandas()
-    sizes = dict(zip(sizes_df["doc_id"], sizes_df["n_sh"]))
-    shared_df = (
-        shingles.groupby("sh")
-        .aggregate(Count(alias_name="n"))
-        .map_batches(lambda df: df[df["n"] >= 2][["sh"]], batch_format="pandas")
-        .to_pandas()
-    )
-    if len(shared_df) == 0:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    shared_ref = ray.put(set(shared_df["sh"]))
-    shared_rows = (
-        shingles.map_batches(
-            lambda df: df[df["sh"].isin(ray.get(shared_ref))], batch_format="pandas"
-        )
-        .to_pandas()
-    )
-    # pair expansion over the co-occurring subset only (driver-side here;
-    # a groupby(sh) stage at cluster scale — the subset is near-dup-bounded)
-    m = shared_rows.merge(shared_rows, on="sh", suffixes=("_a", "_b"))
-    m = m[m["doc_id_a"] < m["doc_id_b"]]
-    inter = (
-        m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
-        .size()
-        .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b", "size": "inter"})
-    )
-    if len(inter) == 0:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "inter", "union_sz"])
-    # integer-exact output (inter, union) — a rounded jaccard like k/32 sits
-    # exactly on a 4dp rounding boundary and Python/DuckDB round differently;
-    # the threshold compare itself is IEEE-identical on both sides
-    inter["union_sz"] = [
-        sizes[a] + sizes[b] - i
-        for a, b, i in zip(inter["doc_a"], inter["doc_b"], inter["inter"])
-    ]
-    out = inter[inter["inter"] / inter["union_sz"] >= _JACCARD_THRESHOLD]
-    out = out.astype({"doc_a": "int64", "doc_b": "int64", "inter": "int64", "union_sz": "int64"})
-    return (
-        out[["doc_a", "doc_b", "inter", "union_sz"]]
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
-
-
-_SQL_NGRAM_JACCARD = """
-WITH words AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-  FROM (SELECT doc_id, w, unnest(range(1, greatest(2, length(w) - 3))) AS i
-        FROM words WHERE length(w) > 0)
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+from .neardup import (  # noqa: E402  (distributed near-dup operators)
+    SQL_NGRAM_JACCARD as _SQL_NGRAM_JACCARD,
+    minhash_lsh_dups as q_minhash_lsh_dups,
+    ngram_jaccard_pairs as q_ngram_jaccard_pairs,
+    simhash_buckets as q_simhash_buckets,
 )
-SELECT doc_a, doc_b, i AS inter,
-       sa.n_sh + sb.n_sh - i AS union_sz
-FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5
-ORDER BY doc_a, doc_b
-"""
-
-
-_MINHASH_PERMS = 128
-_MINHASH_BANDS = 32  # 32 bands × 4 rows: catches J≥~0.5 with high prob
-
-
-def q_minhash_lsh_dups(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup detection, Jaccard-verified:
-
-    shingle→minhash signatures (vectorized per batch) → (band, band_hash)
-    bucket rows → vectorized Count per bucket → buckets holding ≥2 docs are
-    broadcast back as a filter → candidate pairs from that minority →
-    exact-Jaccard verification at ≥0.5.
-
-    No SQL oracle (hash-function semantics); pytest cross-checks the
-    verified pairs against q_ngram_jaccard_pairs (exact)."""
-    a_co, b_co = A.minhash_coeffs(_MINHASH_PERMS, seed=1)
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
-
-    def sig_batch(batch: pd.DataFrame) -> pa.Table:
-        import hashlib as _h
-
-        hsets = [A.shingle_hashes(t, _JACCARD_K) for t in batch["text"]]
-        sigs = A.minhash_signature_matrix(hsets, a_co, b_co)  # (n, perms)
-        out_doc, out_key = [], []
-        for i, d in enumerate(batch["doc_id"]):
-            if hsets[i].size == 0:
-                continue  # empty docs never bucket
-            for b in range(_MINHASH_BANDS):
-                band = sigs[i, b * rows_per_band : (b + 1) * rows_per_band]
-                digest = _h.blake2b(band.tobytes() + bytes([b]), digest_size=8).digest()
-                out_doc.append(int(d))
-                out_key.append(int.from_bytes(digest, "little") & 0x7FFFFFFFFFFFFFFF)
-        return pa.Table.from_pydict(
-            {"bkey": pa.array(out_key, pa.int64()), "doc_id": pa.array(out_doc, pa.int64())}
-        )
-
-    buckets = docs.map_batches(sig_batch, batch_format="pandas")
-    shared_df = (
-        buckets.groupby("bkey")
-        .aggregate(Count(alias_name="n"))
-        .map_batches(lambda df: df[df["n"] >= 2][["bkey"]], batch_format="pandas")
-        .to_pandas()
-    )
-    if len(shared_df) == 0:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    shared_ref = ray.put(set(shared_df["bkey"]))
-    rows = buckets.map_batches(
-        lambda df: df[df["bkey"].isin(ray.get(shared_ref))], batch_format="pandas"
-    ).to_pandas()
-    m = rows.merge(rows, on="bkey", suffixes=("_a", "_b"))
-    cands = (
-        m[m["doc_id_a"] < m["doc_id_b"]][["doc_id_a", "doc_id_b"]]
-        .drop_duplicates()
-        .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
-    )
-    if len(cands) == 0:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    # verify candidates with exact Jaccard (shingle sets of candidate docs
-    # only — the candidate set is near-dup-bounded, not corpus-bounded)
-    need_set = set(cands["doc_a"]) | set(cands["doc_b"])
-    need_ref = ray.put(need_set)
-
-    def shingles_of(batch: pd.DataFrame) -> pd.DataFrame:
-        need = ray.get(need_ref)
-        rows = [
-            (int(d), list(A.word_shingles(t, _JACCARD_K)))
-            for d, t in zip(batch["doc_id"], batch["text"])
-            if d in need
-        ]
-        return pd.DataFrame(rows, columns=["doc_id", "shingles"])
-
-    sh_df = docs.map_batches(shingles_of, batch_format="pandas").to_pandas()
-    sh_of = {d: set(s) for d, s in zip(sh_df["doc_id"], sh_df["shingles"])}
-    jac = [
-        round(A.jaccard(sh_of[a], sh_of[b]), 4)
-        for a, b in zip(cands["doc_a"], cands["doc_b"])
-    ]
-    cands = cands.assign(jaccard=jac)
-    out = cands[cands["jaccard"] >= _JACCARD_THRESHOLD]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-
-
-def q_simhash_buckets(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-dup: 64-bit simhash per doc, 16-bit band blocking (4
-    bands — by pigeonhole any pair within Hamming ≤3 shares an exact band;
-    probabilistic above), bucket-frequency filter, pairs kept at Hamming ≤6.
-    Rows-only; pytest checks symmetry + the Hamming bound."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def sim_batch(batch: pd.DataFrame) -> pa.Table:
-        out_doc, out_key, out_sim = [], [], []
-        for d, t in zip(batch["doc_id"], batch["text"]):
-            s = A.simhash64(t)
-            s_signed = s - (1 << 64) if s >= (1 << 63) else s  # int64-safe
-            for b in range(4):
-                out_doc.append(int(d))
-                out_key.append((b << 16) | ((s >> (16 * b)) & 0xFFFF))
-                out_sim.append(s_signed)
-        return pa.Table.from_pydict(
-            {
-                "bkey": pa.array(out_key, pa.int64()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "sim": pa.array(out_sim, pa.int64()),
-            }
-        )
-
-    buckets = docs.map_batches(sim_batch, batch_format="pandas")
-    shared_df = (
-        buckets.groupby("bkey")
-        .aggregate(Count(alias_name="n"))
-        .map_batches(lambda df: df[df["n"] >= 2][["bkey"]], batch_format="pandas")
-        .to_pandas()
-    )
-    if len(shared_df) == 0:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
-    shared_ref = ray.put(set(shared_df["bkey"]))
-    rows = buckets.map_batches(
-        lambda df: df[df["bkey"].isin(ray.get(shared_ref))], batch_format="pandas"
-    ).to_pandas()
-    m = rows.merge(rows, on="bkey", suffixes=("_a", "_b"))
-    m = m[m["doc_id_a"] < m["doc_id_b"]].drop_duplicates(["doc_id_a", "doc_id_b"])
-    out_rows = []
-    mask = (1 << 64) - 1
-    for da, db, sa, sb in zip(m["doc_id_a"], m["doc_id_b"], m["sim_a"], m["sim_b"]):
-        hd = A.hamming64(int(sa) & mask, int(sb) & mask)
-        if hd <= 6:
-            out_rows.append((da, db, hd))
-    out = pd.DataFrame(out_rows, columns=["doc_a", "doc_b", "hamming"])
-    if len(out) == 0:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-
 
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
@@ -770,8 +548,14 @@ def q_embedding_topk(sf_dir: str) -> pd.DataFrame:
         sims = q_norm_ @ mat.T  # (Q, n)
         out_q, out_n, out_s = [], [], []
         k = min(_ANN_TOPK + 1, sims.shape[1])
+        # rank on ROUNDED sims (the global ranking and the SQL oracle both
+        # rank 4dp-rounded values): keep every row whose rounded sim ties
+        # the batch's k-th rounded sim, so a raw-sim loser that rounds into
+        # the cut can't be dropped batch-locally (ADVICE r01)
+        sims_r = np.round(sims, 4)
         for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            thr = np.partition(sims_r[qi], -k)[-k]
+            idx = np.nonzero(sims_r[qi] >= thr)[0]
             for j in idx:
                 if ids[j] == q_ids_[qi]:
                     continue  # exclude self
