@@ -837,6 +837,9 @@ def all_queries():
         "kg_nodes": q_kg_nodes,
         "kg_top_vertices": q_kg_top_vertices,
         "judge_panel": q_judge_panel,
+        "triplet_validation_text": q_triplet_validation_text,
+        "precision_recall_eval": q_precision_recall_eval,
+        "extract_cascade": q_extract_cascade,
         # multimodal plumbing + sampling
         "media_features": q_media_features,
         "doc_sample": q_doc_sample,
@@ -956,6 +959,45 @@ def q_kg_top_vertices(sf_dir: str) -> pd.DataFrame:
 
     _, edges = kg_tables(rd.from_pandas(_deduped_triplets_df(sf_dir)))
     return top_vertices_by_edges(edges, k=10)
+
+
+def q_triplet_validation_text(sf_dir: str) -> pd.DataFrame:
+    """M8+J1 — per-method validation stats of the text-joined cascade:
+    the NLI branch scores sentences of the ACTUAL source text (attached by
+    the hash-partitioned url_hash join in triplet_dataset), so its weights
+    are non-degenerate. One compact row per method."""
+    out = _triplets_of(sf_dir).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(columns=["method", "n", "mean_weight", "n_nonzero"])
+    g = out.groupby("method", as_index=False).agg(
+        n=("weight", "size"),
+        mean_weight=("weight", "mean"),
+        n_nonzero=("weight", lambda s: int((s > 0).sum())),
+    )
+    g["mean_weight"] = g["mean_weight"].round(4)
+    return g.sort_values("method").reset_index(drop=True)
+
+
+def q_precision_recall_eval(sf_dir: str) -> pd.DataFrame:
+    """M9/A5 — macro precision/recall/F1 eval (reference
+    ``precision_recall.py:187-311,495-518``); rows-only (fuzzy-judge
+    semantics are not SQL); pytest checks against a sequential oracle."""
+    from .evalpr import precision_recall_eval
+
+    # threshold 90: the fuzzy judge's partial_ratio saturates below it on
+    # triplets sharing subject+predicate (the reference's known leniency at
+    # 60-70, precision_recall.py:436) — 90 discriminates per-object
+    return precision_recall_eval(_doc_text_rows(sf_dir), threshold=90.0)
+
+
+def q_extract_cascade(sf_dir: str) -> pd.DataFrame:
+    """E8 — schema → module → LLM 3-tier fallback extraction cascade
+    (``crawl4ai_extraction.py:99-184``) over the stored pages corpus."""
+    from ..sources.pages import generate_corpus
+    from .evalpr import extract_cascade
+
+    corpus = generate_corpus(sf_dir)
+    return extract_cascade(corpus.pages_dir, _PRODUCT_CONFIG)
 
 
 def q_judge_panel(sf_dir: str) -> pd.DataFrame:

@@ -36,6 +36,7 @@ def triplet_dataset(
     docs: rd.Dataset,
     concurrency: int = 2,
     gate_keywords: tuple[str, ...] | None = None,
+    join_partitions: int = 8,
 ) -> rd.Dataset:
     """text rows (url_hash, text) → validated triplet rows.
 
@@ -60,14 +61,23 @@ def triplet_dataset(
         TripletGenerator, concurrency=concurrency, batch_size=256, batch_format="pandas",
         num_cpus=0.25,
     )
-    # J1: triplets need their source text for NLI validation — the text
-    # travels with the entity rows, so re-attach by url_hash via a broadcast
-    # of the (small) per-batch frame is unnecessary: TripletGenerator keeps
-    # url_hash; ValidationCascade falls back to search weights when text is
-    # absent. For full-text NLI, join on url_hash (hash-partitioned at scale).
-    validated = trips.map_batches(
+    # J1: the validation cascade's NLI branch scores sentences of the
+    # SOURCE text (reference ``validation_pipeline.py:7-29`` via
+    # ``precision_recall.py:32-47``'s url→{text, triplets} dict), so the
+    # triplet rows re-attach their document by a hash-partitioned join on
+    # url_hash — large⋈large at corpus scale, never a text broadcast.
+    with_text = trips.join(
+        docs, "inner", num_partitions=join_partitions, on=("url_hash",)
+    )
+    validated = with_text.map_batches(
         ValidationCascade, concurrency=concurrency, batch_size=256, batch_format="pandas",
         num_cpus=0.25,
+    ).map_batches(
+        lambda df: df[[
+            "url_hash", "subj_type", "subj_name", "pred", "obj_type",
+            "obj_name", "weight", "method",
+        ]],
+        batch_format="pandas",
     )
     return validated
 

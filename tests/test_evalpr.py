@@ -1,0 +1,113 @@
+"""J1 text-join validation, M9/A5 precision-recall eval, E8 cascade."""
+
+import ast
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_validation_cascade_uses_real_text(ray_session):
+    """M8: after the J1 url_hash join the NLI branch sees the source text —
+    its weights must be non-degenerate (round-1 defect: all 0.0)."""
+    from llm_scraper_ray.pipelines.queries import q_triplet_validation_text
+
+    out = q_triplet_validation_text(SF)
+    by_m = out.set_index("method")
+    assert "nli" in by_m.index and "search" in by_m.index
+    assert by_m.loc["nli", "n_nonzero"] == by_m.loc["nli", "n"]
+    assert by_m.loc["nli", "mean_weight"] > 0
+
+
+def test_cascade_parity_with_sequential_oracle(ray_session):
+    """The distributed join+cascade must equal a sequential pass of the
+    same shims over (triplet, source text)."""
+    from llm_scraper_ray.pipelines.queries import _GATE, q_triplet_extraction
+    from llm_scraper_ray.stages.llmshim import (
+        EntityExtractor,
+        IoTClassifier,
+        TripletGenerator,
+        ValidationCascade,
+    )
+
+    out = q_triplet_extraction(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    gate = IoTClassifier(keywords=_GATE)
+    ner, gen, casc = EntityExtractor(), TripletGenerator(), ValidationCascade()
+    expected_rows = []
+    for d, text in zip(docs["doc_id"], docs["text"]):
+        if not gate.classify(text):
+            continue
+        for trip in gen.generate(ner.extract(text)):
+            w, m = casc.validate(trip, text)
+            (st, sn), p, (ot, on) = trip
+            expected_rows.append((f"doc{d:08d}", st, sn, p, ot, on, w, m))
+    expected = (
+        pd.DataFrame(
+            expected_rows,
+            columns=["url_hash", "subj_type", "subj_name", "pred", "obj_type",
+                     "obj_name", "weight", "method"],
+        )
+        .sort_values(["url_hash", "subj_type", "subj_name", "pred", "obj_type", "obj_name"])
+        .reset_index(drop=True)
+    )
+    got = out.sort_values(
+        ["url_hash", "subj_type", "subj_name", "pred", "obj_type", "obj_name"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expected)
+
+
+def test_precision_recall_eval(ray_session):
+    """Macro P/R/F1: per-URL parity with a sequential judge + non-trivial
+    macro values (neither vacuous 1.0 nor 0.0)."""
+    from llm_scraper_ray.pipelines.evalpr import PrecisionRecallEval
+    from llm_scraper_ray.pipelines.queries import q_precision_recall_eval
+
+    macro = q_precision_recall_eval(SF)
+    assert macro.loc[0, "n_urls"] == 500
+    assert 0.0 < macro.loc[0, "macro_precision"] < 1.0
+    assert 0.0 < macro.loc[0, "macro_recall"] < 1.0
+    assert 0.0 < macro.loc[0, "macro_f1"] < 1.0
+
+    # spot parity: eval_one equals an independent judge computation
+    ev = PrecisionRecallEval(threshold=90.0)
+    text = "SmartCam Hub works with MotionSensor and AcmeCorp and LightBulb Pro."
+    n_gen, n_ref, p, r, f1 = ev.eval_one("u1", text)
+    gen = ev.gen.generate(ev.ner.extract(text))
+    assert n_gen == len(gen) and n_ref >= 1
+    if p + r:
+        assert f1 == round(2 * p * r / (p + r), 4)
+
+
+def test_extract_cascade_tiers(ray_session, corpus_sf0001):
+    """E8: each page lands in exactly one tier; tier assignment equals a
+    sequential oracle of the same kernels on a sample."""
+    from llm_scraper_ray.functions.content import MODULES
+    from llm_scraper_ray.functions.dom import parse_dom
+    from llm_scraper_ray.functions.fields import extract_fields
+    from llm_scraper_ray.functions.fuzzy import deduplicate_fields
+    from llm_scraper_ray.pipelines.queries import _PRODUCT_CONFIG, q_extract_cascade
+
+    out = q_extract_cascade(SF)
+    assert not out.duplicated("url_hash").any()
+    n_pages = corpus_sf0001.n_pages
+    assert len(out) == n_pages
+    assert set(out["tier"]) <= {"schema", "module", "llm"}
+    assert len(set(out["tier"])) >= 2  # the fallback tiers actually fire
+
+    # oracle a sample of pages
+    t = pq.read_table(
+        f"{corpus_sf0001.pages_dir}/bucket=00/part.parquet", columns=["url_hash", "html"]
+    )
+    by_hash = out.set_index("url_hash")
+    for h, html in list(zip(t["url_hash"].to_pylist(), t["html"].to_pylist()))[:40]:
+        fields = deduplicate_fields(extract_fields(bytes(html), _PRODUCT_CONFIG))
+        if fields:
+            expect = "schema"
+        else:
+            text, _ = MODULES["generic"].parse_products(parse_dom(bytes(html)))
+            product = ast.literal_eval(text)
+            expect = "module" if any(v for v in product.values()) else "llm"
+        assert by_hash.loc[h.hex(), "tier"] == expect, h.hex()
