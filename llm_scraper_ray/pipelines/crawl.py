@@ -37,8 +37,9 @@ Scale notes: the distributed round's only all-to-all is ONE sort keyed
 per-key groupbys are avoided entirely (Ray's groupby costs ~1 ms/key), and
 hot hosts are skew-safe because sort ranges split them while the
 boundary-host top-k forwarding keeps selection exact. The hash→warc_ts
-metadata is a ``ray.put`` broadcast here; at 10^10 URLs it becomes a
-partitioned join.
+metadata is served by disk-backed row-group range reads over the bucketed
+pages layout (state/rangeindex.WarcIndex, process-local caches) — no
+O(corpus) dict on the driver or in any broadcast.
 """
 
 from __future__ import annotations
@@ -65,8 +66,11 @@ from ..stages.frontier import (
     candidates_from_urls,
     expand_links,
     make_robots_seen_filter,
+    make_robots_seen_filter_arrow,
     pre_dedup,
+    pre_dedup_arrow,
     select_topk_vectorized,
+    warc_index_for,
 )
 from ..stages.seen import SeenSet
 
@@ -234,8 +238,6 @@ class CrawlEngine:
         run_dir: str,
         num_shards: int = 8,
         fetch_concurrency: int = 4,
-        salt_buckets: int = 1,  # retained for API compat; skew is now handled
-        # inherently (sort-range splitting + boundary top-k forwarding)
         max_rounds: int = 64,
         batch_size: int = 512,
         driver_threshold: int = 20_000,
@@ -245,7 +247,6 @@ class CrawlEngine:
         self.run_dir = run_dir
         self.num_shards = num_shards
         self.fetch_concurrency = fetch_concurrency
-        self.salt_buckets = salt_buckets
         self.max_rounds = max_rounds
         self.batch_size = batch_size
         self.driver_threshold = driver_threshold
@@ -263,10 +264,10 @@ class CrawlEngine:
             for h, r in zip(pol["host"], pol["robots_disallow"])
             if len(r) > 0
         }
-        meta = pq.read_table(corpus.meta_path, columns=["url_hash", "warc_ts"])
-        self.warc_lookup = {
-            h.as_py().hex(): ts.value for h, ts in zip(meta["url_hash"], meta["warc_ts"])
-        }
+        # warc_ts metadata is served by disk-backed range reads over the
+        # bucketed pages layout — no O(corpus) driver dict, no broadcast
+        # (round-1 liability; VERDICT r01 item 5)
+        self.warc_index = warc_index_for(corpus.pages_dir, corpus.num_buckets)
         self._seen: SeenSet | None = None
         self._fetch_actors: list | None = None
 
@@ -275,7 +276,10 @@ class CrawlEngine:
             self._seen = SeenSet(self.num_shards)
             cls = ray.remote(num_cpus=1)(FetchExtract)
             nb = self.corpus.num_buckets
-            cap = -(-nb // max(1, self.fetch_concurrency)) + 2  # actor's slice + slack
+            # cache_cap counts ROW GROUPS: cover the actor's bucket slice
+            # with headroom for multi-row-group buckets (test corpora are
+            # ~1 rg/bucket; at scale the cap is the actor's memory bound)
+            cap = (-(-nb // max(1, self.fetch_concurrency)) + 2) * 4
             self._fetch_actors = [
                 cls.remote(
                     pages_dir=self.corpus.pages_dir,
@@ -360,7 +364,6 @@ class CrawlEngine:
             seen.restore_from(os.path.join(self._round_dir(last), "seen"))
         ray.get(warmups)
 
-        warc_ref = ray.put(self.warc_lookup)
         rnd = last
         finished = False
         while rnd < self.max_rounds:
@@ -374,7 +377,7 @@ class CrawlEngine:
             if n_frontier <= self.driver_threshold:
                 m = self._round_driver(rnd, frontier_path, seen, fetch_actors)
             else:
-                m = self._round_distributed(rnd, frontier_path, seen, fetch_actors, warc_ref)
+                m = self._round_distributed(rnd, frontier_path, seen, fetch_actors)
             if m["selected"] == 0:
                 finished = True
                 break
@@ -401,7 +404,7 @@ class CrawlEngine:
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(os.path.join(tmp, "frontier_next"), exist_ok=True)
         seeds = pq.read_table(self.corpus.seeds_path)
-        table = candidates_from_urls(seeds["url"].to_pylist(), 0, self.warc_lookup)
+        table = candidates_from_urls(seeds["url"].to_pylist(), 0, self.warc_index)
         pq.write_table(table, os.path.join(tmp, "frontier_next", "part-0.parquet"))
         open(os.path.join(tmp, "_COMPLETE"), "w").close()
         shutil.rmtree(d0, ignore_errors=True)
@@ -479,7 +482,7 @@ class CrawlEngine:
             extracted["link_hashes"].to_pylist(),
             extracted["link_hosts"].to_pylist(),
             extracted["depth"].to_pylist(),
-            self.warc_lookup,
+            self.warc_index,
         )
         deferred = _to_frontier_table(
             flags[(flags["status"] == "ok") & (~flags["selected"])]
@@ -498,7 +501,7 @@ class CrawlEngine:
 
     # -- distributed path ---------------------------------------------------
 
-    def _round_distributed(self, rnd, frontier_path, seen: SeenSet, fetch_actors, warc_ref) -> dict:
+    def _round_distributed(self, rnd, frontier_path, seen: SeenSet, fetch_actors) -> dict:
         """Distributed round, no per-key groupby anywhere (Ray's groupby
         aggregate/map_groups costs ~1 ms per distinct key — measured 197 s
         for a 243k-key dedup — so high-cardinality grouping is replaced by
@@ -525,7 +528,9 @@ class CrawlEngine:
         extracted_dir = os.path.join(rdir, "extracted")
         next_dir = os.path.join(rdir, "frontier_next")
 
-        robots_seen = make_robots_seen_filter(seen.actors, self.num_shards, self.robots)
+        robots_seen = make_robots_seen_filter_arrow(
+            seen.actors, self.num_shards, self.robots
+        )
         budgets_ref = self._budgets_ref()
 
         def block_select(df: pd.DataFrame) -> pd.DataFrame:
@@ -562,10 +567,13 @@ class CrawlEngine:
             out["fix"] = False
             return out
 
+        # pre_dedup + robots/seen run on zero-copy Arrow batches (no pandas
+        # block conversion on the raw frontier — the round's widest data);
+        # block_select needs pandas (grouped cumsum) and runs post-dedup
         (
             rd.read_parquet(frontier_path)
-            .map_batches(pre_dedup, batch_format="pandas", batch_size=65536)
-            .map_batches(robots_seen, batch_format="pandas", batch_size=65536)
+            .map_batches(pre_dedup_arrow, batch_format="pyarrow", batch_size=65536)
+            .map_batches(robots_seen, batch_format="pyarrow", batch_size=65536)
             .sort(["host", "url_hash", "depth"])
             .map_batches(block_select, batch_format="pandas", batch_size=65536)
             .write_parquet(flags_dir)
@@ -710,12 +718,18 @@ class CrawlEngine:
                 os.path.join(next_dir, "part-0.parquet"),
             )
         else:
+            pages_dir = self.corpus.pages_dir
+            nb = self.corpus.num_buckets
 
             def build_next(batch: pd.DataFrame) -> pa.Table:
+                # warc_ts via the process-local disk-backed WarcIndex
+                # (worker processes persist across rounds → warm caches);
+                # no O(corpus) broadcast anywhere
+                idx = warc_index_for(pages_dir, nb)
                 hits = batch[batch["fetch_status"] == "hit"]
                 new = expand_links(
                     hits["links"], hits["link_hashes"], hits["link_hosts"], hits["depth"],
-                    ray.get(warc_ref),
+                    idx,
                 )
                 deferred_t = _to_frontier_table(batch[batch["fetch_status"] == "deferred"])
                 return pa.concat_tables([deferred_t, new])

@@ -139,14 +139,17 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
     cust = _small_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _small_table(sf_dir, "nation", ["n_nationkey", "n_name"])
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    lookup_ref = ray.put({ck: n2name[nk] for ck, nk in c2n.items()})
+    # broadcast as parallel Arrow arrays → the lookup is a vectorized
+    # index_in + take, no per-row Python (VERDICT r01 item 5)
+    keys_arr = pa.array(cust["c_custkey"], pa.int64())
+    names_arr = pa.array([n2name[nk] for nk in cust["c_nationkey"]], pa.string())
+    lookup_ref = ray.put((keys_arr, names_arr))
 
     def attach(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lookup_ref)
-        names = [lut.get(ck) for ck in batch["o_custkey"].to_pylist()]
-        return batch.append_column("n_name", pa.array(names, pa.string())).drop_columns(
+        keys, names = ray.get(lookup_ref)
+        idx = pc.index_in(batch["o_custkey"], value_set=keys)
+        return batch.append_column("n_name", pc.take(names, idx)).drop_columns(
             ["o_custkey"]
         )
 
@@ -497,6 +500,9 @@ def q_doc_quality_full(sf_dir: str) -> pd.DataFrame:
         rows = [A.quality_features(t) for t in batch["text"]]
         out = pd.DataFrame(rows).round(4)
         out.insert(0, "doc_id", list(batch["doc_id"]))
+        # BPE-ish token count alongside the whitespace count (both are
+        # standard budget signals for training-data curation)
+        out["n_tokens_bpe"] = [A.count_tokens_bpe(t) for t in batch["text"]]
         return out
 
     out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -836,6 +842,7 @@ def all_queries():
         "triplets_dedup": q_triplets_dedup,
         "kg_nodes": q_kg_nodes,
         "kg_top_vertices": q_kg_top_vertices,
+        "kg_export": q_kg_export,
         "judge_panel": q_judge_panel,
         "triplet_validation_text": q_triplet_validation_text,
         "precision_recall_eval": q_precision_recall_eval,
@@ -953,6 +960,19 @@ def q_kg_nodes(sf_dir: str) -> pd.DataFrame:
     return nodes
 
 
+def q_kg_export(sf_dir: str) -> pd.DataFrame:
+    """S8/S12 — the KG terminal sink: node + edge collections written as
+    JSON-lines datasets; returns the load manifest (rows-only)."""
+    from .triplets import kg_tables, write_kg_json
+
+    nodes, edges = kg_tables(rd.from_pandas(_deduped_triplets_df(sf_dir)))
+    out_dir = os.path.join(
+        "/tmp/llmsr_kg", os.path.basename(os.path.normpath(sf_dir))
+    )
+    manifest = write_kg_json(nodes, edges, out_dir)
+    return pd.DataFrame([manifest])
+
+
 def q_kg_top_vertices(sf_dir: str) -> pd.DataFrame:
     """J5/A7/O4 — per-vertex inbound edge count, top-10."""
     from .triplets import kg_tables, top_vertices_by_edges
@@ -1028,7 +1048,7 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: documents→binary payloads → decode-stub meta →
     feature-stub embeddings (list<float32>, ANN-compatible layout). Small
     batch sizes on the binary column (SURVEY.md §7.4.5)."""
-    from ..stages.multimodal import FeatureExtractStub, MediaDecodeStub
+    from ..stages.multimodal import FeatureExtractStub, FrameSampleStub, MediaDecodeStub
 
     def to_media(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -1054,7 +1074,20 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     feats["dim"] = [len(e) for e in feats["embedding"]]
     feats["e0"] = [round(float(e[0]), 6) for e in feats["embedding"]]
-    return feats[["media_id", "dim", "e0"]].sort_values("media_id").reset_index(drop=True)
+    # video rows additionally flow through the frame sampler (one row in →
+    # N frame rows out; small batches on the binary column)
+    frames = (
+        media.filter(expr="kind == 'video'")
+        .map_batches(
+            FrameSampleStub, concurrency=2, batch_size=64, batch_format="pandas", num_cpus=0.25
+        )
+        .groupby("media_id")
+        .aggregate(Count(alias_name="n_frames"))
+        .to_pandas()
+    )
+    out = feats.merge(frames, on="media_id", how="left")
+    out["n_frames"] = out["n_frames"].fillna(0).astype("int64")
+    return out[["media_id", "dim", "e0", "n_frames"]].sort_values("media_id").reset_index(drop=True)
 
 
 def q_doc_sample(sf_dir: str) -> pd.DataFrame:

@@ -13,6 +13,8 @@ body for a model client and nothing else changes).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -135,6 +137,31 @@ def kg_tables(triplets: rd.Dataset) -> tuple[pd.DataFrame, pd.DataFrame]:
         .reset_index(drop=True)
     )
     return nodes, edges
+
+
+def write_kg_json(nodes: pd.DataFrame, edges: pd.DataFrame, out_dir: str) -> dict:
+    """S12 terminal stage + S8 JSON sink: the reference loads nodes (deduped
+    by key) then edges into ArangoDB (``KG.py:447-471``); with no graph DB
+    here the load becomes partitioned JSON-lines collections a bulk importer
+    consumes — one directory per collection, resumable by re-writing a
+    directory."""
+    import shutil
+
+    import ray.data as rd
+
+    paths = {}
+    for name, df in (("nodes", nodes), ("edges", edges)):
+        p = os.path.join(out_dir, name)
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p, exist_ok=True)
+        rd.from_pandas(df).write_json(p)
+        paths[name] = p
+    return {
+        "nodes": len(nodes),
+        "edges": len(edges),
+        "node_files": len(os.listdir(paths["nodes"])),
+        "edge_files": len(os.listdir(paths["edges"])),
+    }
 
 
 def top_vertices_by_edges(edges: pd.DataFrame, k: int = 10) -> pd.DataFrame:

@@ -46,7 +46,7 @@ import pyarrow.parquet as pq  # noqa: E402
 from ..functions.html_text import extract_text
 from ..functions.urls import canonicalize_url, url_sha1
 
-GEN_VERSION = 8
+GEN_VERSION = 9
 GEN_SEED = 42
 NUM_BUCKETS = 256  # fetch parallelism is bucket-affine; 256 keeps bucket→actor assignment balanced (≤6% skew at 30 actors)
 # 2025-06-01T00:00:00Z in microseconds since epoch (fixed constant — no
@@ -285,59 +285,105 @@ def generate_corpus(
 
     base_texts = docs["text"].to_pylist()
     base_langs = docs["lang"].to_pylist()
-    nb = docs.num_rows
-    doc_ids = list(range(n_docs))
-    # page j of doc d reuses the doc's words, rotated deterministically so
-    # every page's text (and HTML) is distinct but derived from sf data only
-    texts = []
-    langs = []
-    for pid in doc_ids:
-        words = base_texts[pid % nb].split()
-        rot = (pid // nb) * 17 % max(1, len(words))
-        texts.append(" ".join(words[rot:] + words[:rot]))
-        langs.append(base_langs[pid % nb])
 
-    rows = _render_rows(doc_ids, texts, langs, n_docs, body_weight)
+    # STREAMING bucket build (round-1 liability: all rows through driver
+    # RAM): rendered batches route to per-bucket accumulators that spill to
+    # unsorted chunk files whenever the global in-memory row count crosses
+    # _FLUSH_ROWS; each bucket then externally sorts (read chunks → sort →
+    # one part.parquet) and appends its meta slice. Driver memory is bounded
+    # by _FLUSH_ROWS rendered rows + one bucket, at any corpus size. Final
+    # bytes are identical to the materialize-everything build (same rows,
+    # same per-bucket sort, same writer call).
+    _FLUSH_ROWS = 32_768
+    pending: list[list[pa.Table]] = [[] for _ in range(NUM_BUCKETS)]
+    pending_rows = 0
+    chunk_n = [0] * NUM_BUCKETS
 
-    # bucketed pages + meta index
-    buckets: list[list[dict]] = [[] for _ in range(NUM_BUCKETS)]
-    for r in rows:
-        buckets[r["url_hash"][0] % NUM_BUCKETS].append(r)
-    meta_rows = []
-    for b, rs in enumerate(buckets):
-        rs.sort(key=lambda r: r["url_hash"])
-        os.makedirs(os.path.join(tmp, "pages", f"bucket={b:02d}"), exist_ok=True)
+    def _flush_all():
+        nonlocal pending_rows
+        for b in range(NUM_BUCKETS):
+            if not pending[b]:
+                continue
+            d = os.path.join(tmp, "pages", f"bucket={b:02d}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.concat_tables(pending[b]),
+                os.path.join(d, f"chunk-{chunk_n[b]:04d}.parquet"),
+            )
+            chunk_n[b] += 1
+            pending[b] = []
+        pending_rows = 0
+
+    for t in _iter_rendered(base_texts, base_langs, n_docs, body_weight):
+        hashes = t["url_hash"].to_pylist()
+        bucket_ids = pa.array([h[0] % NUM_BUCKETS for h in hashes], pa.int32())
+        import pyarrow.compute as pc
+
+        for b in pc.unique(bucket_ids).to_pylist():
+            pending[b].append(t.filter(pc.equal(bucket_ids, b)))
+        pending_rows += t.num_rows
+        if pending_rows >= _FLUSH_ROWS:
+            _flush_all()
+    _flush_all()
+
+    host_counts: dict[str, int] = {}
+    meta_writer = pq.ParquetWriter(
+        os.path.join(tmp, "meta.parquet"),
+        pa.schema(
+            [
+                ("url_hash", pa.binary(20)),
+                ("canon_url", pa.string()),
+                ("host", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+            ]
+        ),
+    )
+    for b in range(NUM_BUCKETS):
+        d = os.path.join(tmp, "pages", f"bucket={b:02d}")
+        os.makedirs(d, exist_ok=True)
+        chunks = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.startswith("chunk-")
+        )
+        if chunks:
+            t = pa.concat_tables([pq.read_table(c) for c in chunks])
+            # combine_chunks: chunk boundaries depend on arrival order (the
+            # Ray render path is order-nondeterministic); one contiguous
+            # layout keeps the written parquet bytes deterministic too
+            t = t.sort_by("url_hash").combine_chunks()
+        else:
+            t = _RENDER_SCHEMA.empty_table()
         table = pa.Table.from_pydict(
             {
-                "url": [r["url"] for r in rs],
-                "warc_ts": pa.array([r["warc_ts"] for r in rs], pa.timestamp("us")),
-                "html": [r["html"] for r in rs],
-                "text": [r["text"] for r in rs],
-                "lang": [r["lang"] for r in rs],
-                "url_hash": pa.array([r["url_hash"] for r in rs], pa.binary(20)),
+                "url": t["url"],
+                "warc_ts": t["warc_ts"].cast(pa.timestamp("us")),
+                "html": t["html"].cast(pa.binary()),
+                "text": t["text"],
+                "lang": t["lang"],
+                "url_hash": t["url_hash"].cast(pa.binary(20)),
             }
         )
-        pq.write_table(table, os.path.join(tmp, "pages", f"bucket={b:02d}", "part.parquet"))
-        meta_rows.extend(
-            {
-                "url_hash": r["url_hash"],
-                "canon_url": r["canon_url"],
-                "host": r["canon_url"].split("://", 1)[1].split("/", 1)[0],
-                "warc_ts": r["warc_ts"],
-            }
-            for r in rs
+        # small row groups: the fetch actors range-read by url_hash row-group
+        # statistics — group size bounds per-lookup read amplification AND
+        # the actor's cache granularity at 10^10-URL bucket sizes
+        pq.write_table(table, os.path.join(d, "part.parquet"), row_group_size=512)
+        for c in chunks:
+            os.remove(c)
+        bucket_hosts = [
+            u.split("://", 1)[1].split("/", 1)[0] for u in t["canon_url"].to_pylist()
+        ]
+        for hh in bucket_hosts:
+            host_counts[hh] = host_counts.get(hh, 0) + 1
+        meta_writer.write_table(
+            pa.Table.from_pydict(
+                {
+                    "url_hash": table["url_hash"],
+                    "canon_url": t["canon_url"],
+                    "host": pa.array(bucket_hosts, pa.string()),
+                    "warc_ts": table["warc_ts"],
+                }
+            )
         )
-    pq.write_table(
-        pa.Table.from_pydict(
-            {
-                "url_hash": pa.array([m["url_hash"] for m in meta_rows], pa.binary(20)),
-                "canon_url": [m["canon_url"] for m in meta_rows],
-                "host": [m["host"] for m in meta_rows],
-                "warc_ts": pa.array([m["warc_ts"] for m in meta_rows], pa.timestamp("us")),
-            }
-        ),
-        os.path.join(tmp, "meta.parquet"),
-    )
+    meta_writer.close()
 
     # seeds (F2): messy variants of a deterministic doc sample + fetch-misses
     srng = random.Random(GEN_SEED * 31 + n_docs)
@@ -358,9 +404,6 @@ def generate_corpus(
     # reference provisioning more SLURM tasks for bigger crawls.
     h = num_hosts(n_docs)
     hosts = [f"host{i:03d}.example" for i in range(h)]
-    host_counts: dict[str, int] = {}
-    for m in meta_rows:
-        host_counts[m["host"]] = host_counts.get(m["host"], 0) + 1
     prng = random.Random(GEN_SEED * 17 + h)
     budgets = [
         max(2, host_counts.get(host, 0) // 16 + prng.randrange(0, 3)) for host in hosts
@@ -383,50 +426,75 @@ def generate_corpus(
     return PagesCorpus(root, n_docs, h)
 
 
-def _render_rows(doc_ids, texts, langs, n_docs, weight: int = 1) -> list[dict]:
-    """Render all page rows; Ray-parallel when worthwhile, else inline."""
+_RENDER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.int64()),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("url_hash", pa.binary(20)),
+        ("canon_url", pa.string()),
+    ]
+)
+
+
+def _page_text(base_texts: list[str], pid: int) -> str:
+    """Page pid's text: the source doc's words, rotated deterministically —
+    every page distinct, derived from sf data only."""
+    words = base_texts[pid % len(base_texts)].split()
+    rot = (pid // len(base_texts)) * 17 % max(1, len(words))
+    return " ".join(words[rot:] + words[:rot])
+
+
+def _rows_table(rows: list[dict]) -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "url": [r["url"] for r in rows],
+            "warc_ts": [r["warc_ts"] for r in rows],
+            "html": [r["html"] for r in rows],
+            "text": [r["text"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+            "url_hash": [r["url_hash"] for r in rows],
+            "canon_url": [r["canon_url"] for r in rows],
+        },
+        schema=_RENDER_SCHEMA,
+    )
+
+
+def _iter_rendered(base_texts, base_langs, n_docs, weight: int = 1):
+    """Yield rendered page rows as Arrow tables, STREAMING — no all-rows
+    list anywhere (round-1 liability at >1M-page corpora). Ray-parallel
+    when a session is live and the corpus is large (only the base sf docs
+    broadcast; page texts derive in-task), else chunked inline. Output rows
+    are identical either way; arrival order is irrelevant because the
+    caller re-sorts per bucket."""
     import ray
 
+    nb = len(base_texts)
     if n_docs >= 4000 and ray.is_initialized():
         import ray.data as rd
 
-        src = rd.from_arrow(
-            pa.Table.from_pydict({"doc_id": doc_ids, "text": texts, "lang": langs})
-        )
+        base_ref = ray.put((base_texts, base_langs))
 
         def render_batch(batch: pa.Table) -> pa.Table:
-            out = [
-                render_page_row(d, n_docs, t, g, weight)
-                for d, t, g in zip(
-                    batch["doc_id"].to_pylist(),
-                    batch["text"].to_pylist(),
-                    batch["lang"].to_pylist(),
+            bt, bl = ray.get(base_ref)
+            rows = []
+            for pid in batch["id"].to_pylist():
+                rows.append(
+                    render_page_row(pid, n_docs, _page_text(bt, pid), bl[pid % nb], weight)
                 )
-            ]
-            return pa.Table.from_pydict(
-                {
-                    "url": [r["url"] for r in out],
-                    "warc_ts": pa.array([r["warc_ts"] for r in out], pa.int64()),
-                    "html": [r["html"] for r in out],
-                    "text": [r["text"] for r in out],
-                    "lang": [r["lang"] for r in out],
-                    "url_hash": [r["url_hash"] for r in out],
-                    "canon_url": [r["canon_url"] for r in out],
-                }
-            )
+            return _rows_table(rows)
 
-        rows = []
-        for batch in src.map_batches(
+        yield from rd.range(n_docs).map_batches(
             render_batch, batch_format="pyarrow", batch_size=1024
-        ).iter_batches(batch_size=4096, batch_format="pyarrow"):
-            rows.extend(batch.to_pylist())
-        for r in rows:  # Arrow binary → memoryview on to_pylist in some paths
-            if not isinstance(r["html"], bytes):
-                r["html"] = bytes(r["html"])
-            if not isinstance(r["url_hash"], bytes):
-                r["url_hash"] = bytes(r["url_hash"])
-        return rows
-    return [
-        render_page_row(d, n_docs, t, g, weight)
-        for d, t, g in zip(doc_ids, texts, langs)
-    ]
+        ).iter_batches(batch_size=4096, batch_format="pyarrow")
+        return
+    for start in range(0, n_docs, 2048):
+        rows = [
+            render_page_row(
+                pid, n_docs, _page_text(base_texts, pid), base_langs[pid % nb], weight
+            )
+            for pid in range(start, min(start + 2048, n_docs))
+        ]
+        yield _rows_table(rows)

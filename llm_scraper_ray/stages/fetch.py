@@ -12,9 +12,10 @@ Design notes for 100 TB scale:
     leave the stage (SURVEY.md §7.4.5: drop the wide binary column as early
     as possible);
   - the selected set is sorted by ``url_hash`` before this stage, so each
-    batch touches one or two hash buckets; the actor reads a bucket file
-    with a min≤hash≤max range filter (row-group pruning against the sorted
-    bucket layout) and LRU-caches the last bucket table;
+    batch touches few hash buckets and few row groups within them; the
+    actor prunes to the row groups whose [min,max] hash statistics cover
+    the batch's digests and LRU-caches decoded row groups — per-actor
+    memory is row-group-bounded, never bucket-bounded;
   - per-actor ``TokenBucket`` guards the per-host lease even under task
     replays (the global budget is enforced by the selection shuffle).
 """
@@ -48,16 +49,25 @@ class FetchExtract:
         budgets: dict[str, int] | None = None,
         cache_cap: int | None = None,
     ):
+        from ..state.rangeindex import BucketRangeReader
+
         self.pages_dir = pages_dir
         self.num_buckets = num_buckets
         self.bucket = TokenBucket(budgets or {}, default=1 << 30)
-        # bucket → hash→html dict; actors serve a stable slice of buckets
-        # (routing in pipelines/crawl._dispatch_fetch). The cap MUST cover
-        # the actor's slice (ceil(NB / n_actors)) or every round thrashes
-        # bucket reloads — an undersized cap measured 6x throughput loss on
-        # small pools.
-        self._cache: dict[int, dict[bytes, bytes]] = {}
-        self._cache_cap = cache_cap if cache_cap is not None else num_buckets
+        # Range-read layout (state/rangeindex.py): per batch the actor
+        # prunes to just the row groups whose [min,max] hash statistics
+        # cover its digests. Per-actor memory is bounded by cache_cap ROW
+        # GROUPS — never a whole bucket (at 10^10 URLs a bucket is ~100s of
+        # GB; a row group stays ~MBs). Actors serve a stable slice of
+        # buckets (routing in pipelines/crawl._dispatch_fetch) so the cache
+        # stays hot across rounds; an undersized cap measured 6x loss.
+        self.reader = BucketRangeReader(
+            pages_dir,
+            num_buckets,
+            "html",
+            cache_cap=cache_cap if cache_cap is not None else 1024,
+            decode=lambda v: v.as_py(),
+        )
 
     def ping(self, preload_buckets: list[int] | None = None) -> int:
         """Actor warm-up: forces process spawn + imports; optionally
@@ -65,27 +75,16 @@ class FetchExtract:
         measures fetching, not cold caches."""
         n = 0
         for b in preload_buckets or []:
-            n += len(self._load_bucket(b))
+            pf, _, _, rgs = self.reader._bucket_meta(b)
+            if pf is None:
+                continue
+            for rg in rgs:
+                n += len(self.reader._rg_table(b, pf, rg))
         return n
 
-    def _load_bucket(self, b: int) -> dict[bytes, bytes]:
-        """Load one pages bucket as a hash→html dict. At 10^10-URL scale this
-        becomes a row-group-pruned range read (buckets are written sorted by
-        url_hash) instead of a whole-bucket load."""
-        hit = self._cache.get(b)
-        if hit is not None:
-            return hit
-        path = os.path.join(self.pages_dir, f"bucket={b:02d}", "part.parquet")
-        if not os.path.exists(path):
-            return {}
-        t = pq.read_table(path, columns=["url_hash", "html"])
-        table = {
-            h.as_py(): html.as_py() for h, html in zip(t["url_hash"], t["html"])
-        }
-        if len(self._cache) >= self._cache_cap:
-            self._cache.pop(next(iter(self._cache)))
-        self._cache[b] = table
-        return table
+    def lookup_bucket(self, b: int, digs: list[bytes]) -> dict[bytes, bytes | None]:
+        """Keyed fetch for one bucket: row groups pruned by hash range."""
+        return self.reader.lookup_bucket(b, digs)
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         n = len(batch)
@@ -108,9 +107,9 @@ class FetchExtract:
             by_bucket.setdefault(d[0] % self.num_buckets, []).append(i)
         html_of: dict[int, bytes | None] = {}
         for b, idxs in by_bucket.items():
-            table = self._load_bucket(b)
+            got = self.lookup_bucket(b, [digests[i] for i in idxs])
             for i in idxs:
-                html_of[i] = table.get(digests[i])
+                html_of[i] = got[digests[i]]
         for i in range(n):
             host = batch["host"].iloc[i]
             self.bucket.try_take(host)  # per-actor lease guard (never binding here)

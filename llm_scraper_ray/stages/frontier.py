@@ -31,11 +31,17 @@ FRONTIER_SCHEMA = pa.schema(
 )
 
 
-def candidates_from_urls(
-    urls: list[str], depth: int, warc_lookup: dict[str, int]
-) -> pa.Table:
+def _ts_of(warc_lookup, hex_hashes: list[str]) -> list[int]:
+    """Batch warc_ts resolution: a WarcIndex (disk-backed range reads) or a
+    plain dict both work — -1 for unknown hashes (dangling links)."""
+    if hasattr(warc_lookup, "ts_for_hex"):
+        return warc_lookup.ts_for_hex(hex_hashes)
+    return [warc_lookup.get(h, -1) for h in hex_hashes]
+
+
+def candidates_from_urls(urls: list[str], depth: int, warc_lookup) -> pa.Table:
     """Canonicalize raw URLs → frontier rows; non-http(s)/invalid dropped (F14)."""
-    hashes, canons, hosts, depths, tss = [], [], [], [], []
+    hashes, canons, hosts, depths = [], [], [], []
     for url in urls:
         canon = canonicalize_url(url)
         if canon is None:
@@ -45,7 +51,7 @@ def candidates_from_urls(
         canons.append(canon)
         hosts.append(host_of(canon))
         depths.append(depth)
-        tss.append(warc_lookup.get(h, -1))
+    tss = _ts_of(warc_lookup, hashes)
     return pa.Table.from_pydict(
         {
             "url_hash": pa.array(hashes, pa.string()),
@@ -67,6 +73,67 @@ def pre_dedup(batch: pd.DataFrame) -> pd.DataFrame:
     return batch.sort_values(["url_hash", "depth"], kind="stable").drop_duplicates(
         "url_hash", keep="first"
     )
+
+
+def pre_dedup_arrow(batch: pa.Table) -> pa.Table:
+    """pre_dedup on zero-copy Arrow batches (the distributed path's hot
+    frontier stage — no pandas block conversion): sort by (hash, depth),
+    keep each hash's first row via a shifted not-equal mask."""
+    import pyarrow.compute as pc
+
+    if batch.num_rows <= 1:
+        return batch
+    t = batch.sort_by([("url_hash", "ascending"), ("depth", "ascending")])
+    uh = t["url_hash"].combine_chunks()
+    first = pc.not_equal(uh.slice(1), uh.slice(0, len(uh) - 1))
+    mask = pa.chunked_array([pa.array([True]), first])
+    return t.filter(mask)
+
+
+def make_robots_seen_filter_arrow(seen_actors, num_shards: int, robots: dict[str, list[str]]):
+    """Arrow-batch variant of make_robots_seen_filter (appends ``status``)
+    — the per-row robots prefix checks remain Python (tiny closed-form
+    work), but blocks never convert to pandas."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("status", pa.array([], pa.string()))
+        digests = [bytes.fromhex(h) for h in batch["url_hash"].to_pylist()]
+        routes: dict[int, list[int]] = {}
+        for pos, d in enumerate(digests):
+            routes.setdefault(d[0] % num_shards, []).append(pos)
+        seen_mask = [False] * n
+        futures = {
+            s: seen_actors[s].contains_many.remote([digests[p] for p in poss])
+            for s, poss in routes.items()
+        }
+        for s, poss in routes.items():
+            for p, val in zip(poss, ray.get(futures[s])):
+                seen_mask[p] = val
+        status = []
+        blocked: dict[int, list[bytes]] = {}
+        for i, (host, canon) in enumerate(
+            zip(batch["host"].to_pylist(), batch["canon_url"].to_pylist())
+        ):
+            if seen_mask[i]:
+                status.append("seen")
+                continue
+            prefixes = robots.get(host)
+            if prefixes and any(path_of(canon).startswith(p) for p in prefixes):
+                status.append("robots")
+                d = digests[i]
+                blocked.setdefault(d[0] % num_shards, []).append(d)
+            else:
+                status.append("ok")
+        if blocked:
+            ray.get(
+                [seen_actors[s].add_many.remote(ds) for s, ds in blocked.items()]
+            )
+        return batch.append_column("status", pa.array(status, pa.string()))
+
+    return fn
 
 
 def make_robots_seen_filter(seen_actors, num_shards: int, robots: dict[str, list[str]]):
@@ -129,11 +196,11 @@ def _sort_by_priority(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def expand_links(
-    links_iter, hash_iter, host_iter, depth_iter, warc_lookup: dict[str, int]
+    links_iter, hash_iter, host_iter, depth_iter, warc_lookup
 ) -> pa.Table:
     """Spec step 8 core: explode PRE-CANONICALIZED outlink lists (the fetch
-    actors canonicalize in parallel — F15) → depth+1 frontier rows. Only
-    dict lookups remain here."""
+    actors canonicalize in parallel — F15) → depth+1 frontier rows; one
+    batched warc_ts resolution at the end (WarcIndex range reads or dict)."""
     out: dict[str, list] = {k: [] for k in FRONTIER_SCHEMA.names}
     for links, hashes, hosts, depth in zip(links_iter, hash_iter, host_iter, depth_iter):
         if links is None or len(links) == 0:
@@ -144,7 +211,7 @@ def expand_links(
             out["canon_url"].append(canon)
             out["host"].append(host)
             out["depth"].append(d)
-            out["warc_ts"].append(warc_lookup.get(h, -1))
+    out["warc_ts"] = _ts_of(warc_lookup, out["url_hash"])
     return pa.Table.from_pydict(out, schema=FRONTIER_SCHEMA)
 
 
@@ -168,17 +235,19 @@ def select_topk_vectorized(flags: pd.DataFrame, budgets: dict[str, int]) -> pd.D
     return df
 
 
-def make_link_expander(warc_lookup_ref):
-    """map_batches wrapper over ``expand_links`` for the distributed path.
-    ``warc_lookup_ref`` is a ``ray.put`` ObjectRef of the hash→warc_ts
-    metadata dict, fetched once per task (zero-copy shared memory; at 10^10
-    scale this broadcast becomes a hash-partitioned join)."""
-    import ray
+_WARC_INDEXES: dict = {}
 
-    def fn(batch: pd.DataFrame) -> pa.Table:
-        warc_lookup = ray.get(warc_lookup_ref)
-        return expand_links(
-            batch["links"], batch["link_hashes"], batch["link_hosts"], batch["depth"], warc_lookup
-        )
 
-    return fn
+def warc_index_for(pages_dir: str, num_buckets: int):
+    """Process-local WarcIndex (one per worker process, reused across the
+    round's tasks and across rounds — Ray reuses worker processes, so the
+    row-group cache stays warm without any actor lifecycle management).
+    This replaces the round-1 ``ray.put`` broadcast of a driver-built
+    hash→warc_ts dict: no O(corpus) structure exists anywhere now."""
+    from ..state.rangeindex import WarcIndex
+
+    key = (pages_dir, num_buckets)
+    idx = _WARC_INDEXES.get(key)
+    if idx is None:
+        idx = _WARC_INDEXES[key] = WarcIndex(pages_dir, num_buckets)
+    return idx

@@ -38,7 +38,8 @@ def test_distributed_path_matches_oracle(corpus_sf0001, tmp_path_factory):
 
 
 def test_salted_selection_matches_oracle(corpus_sf0001, tmp_path_factory):
-    """Hot-host salting (two-level exact top-k) must not change results."""
+    """Hot-host handling (sort-range splitting + boundary top-k forwarding)
+    must not change results under a small distributed batch size."""
     run_dir = str(tmp_path_factory.mktemp("crawl_salt") / "run")
     eng = CrawlEngine(
         corpus_sf0001,
@@ -46,7 +47,6 @@ def test_salted_selection_matches_oracle(corpus_sf0001, tmp_path_factory):
         max_rounds=3,
         fetch_concurrency=2,
         driver_threshold=0,
-        salt_buckets=4,
     )
     r = eng.run(resume=False)
     o = oracle_crawl(corpus_sf0001, max_rounds=3)
