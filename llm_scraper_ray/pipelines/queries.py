@@ -525,6 +525,14 @@ from .neardup import (  # noqa: E402  (distributed near-dup operators)
 # similarity search over embeddings
 
 
+def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix, zero-copy via the list
+    child buffer (np.stack over to_pylist measured ~10x slower)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), -1).astype(np.float64)
+
+
 _ANN_QUERIES = 5
 _ANN_TOPK = 10
 
@@ -549,7 +557,7 @@ def q_embedding_topk(sf_dir: str) -> pd.DataFrame:
     def topk_batch(batch: pa.Table) -> pa.Table:
         q_ids_, q_norm_ = ray.get(q_ref)
         ids = batch["vec_id"].to_numpy()
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        mat = _emb_matrix(batch["embedding"])
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = q_norm_ @ mat.T  # (Q, n)
         out_q, out_n, out_s = [], [], []
@@ -612,7 +620,7 @@ def q_embedding_centroids(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pa.Table:
         labels = batch["label"].to_numpy()
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        mat = _emb_matrix(batch["embedding"])
         out_label, out_pos, out_sum, out_n = [], [], [], []
         for lab in np.unique(labels):
             sel = mat[labels == lab]
@@ -677,6 +685,7 @@ def _crawl_for(sf_dir: str):
     )
     eng = CrawlEngine(corpus, run_dir, max_rounds=64)
     result = eng.run(resume=True)
+    eng.shutdown()  # actor CPU reservations would starve later queries
     _CRAWL_CACHE[key] = (corpus, result)
     return corpus, result
 
@@ -915,12 +924,22 @@ _TRIPLET_COLS = [
 
 
 _TRIPLET_CACHE: dict[str, pd.DataFrame] = {}
+_TRIPLET_DS_CACHE: dict[str, rd.Dataset] = {}
 
 
 def _triplets_of(sf_dir: str) -> rd.Dataset:
-    from .triplets import triplet_dataset
+    """Validated triplet rows, MATERIALIZED once per sf_dir — four queries
+    (extraction, dedup chain, judge panel, validation stats) share the one
+    actor-pool run instead of re-executing the whole shim chain."""
+    key = os.path.normpath(sf_dir)
+    ds = _TRIPLET_DS_CACHE.get(key)
+    if ds is None:
+        from .triplets import triplet_dataset
 
-    return triplet_dataset(_doc_text_rows(sf_dir), gate_keywords=_GATE)
+        ds = _TRIPLET_DS_CACHE[key] = triplet_dataset(
+            _doc_text_rows(sf_dir), gate_keywords=_GATE
+        ).materialize()
+    return ds
 
 
 def _deduped_triplets_df(sf_dir: str) -> pd.DataFrame:
@@ -1121,7 +1140,7 @@ def q_embedding_dups(sf_dir: str) -> pd.DataFrame:
     def pairs_batch(batch: pa.Table) -> pa.Table:
         ids_all, mat_all = ray.get(all_ref)
         b_ids = batch["vec_id"].to_numpy()
-        b_mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        b_mat = _emb_matrix(batch["embedding"])
         b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
         sims = b_mat @ mat_all.T  # (b, N)
         out_a, out_b, out_s = [], [], []
@@ -1166,10 +1185,14 @@ def _lsh_planes(n: int) -> int:
 
 
 def q_embedding_topk_lsh(sf_dir: str) -> pd.DataFrame:
-    """ANN scale path: random-hyperplane LSH bucketing. Each vector lands in
-    4 buckets (4 independent plane sets); queries scan only their buckets'
-    members — candidate sets are bucket-bounded instead of corpus-bounded.
-    pytest asserts recall ≥ 0.6 vs the brute-force q_embedding_topk.
+    """ANN scale path: random-hyperplane LSH bucketing, ZERO shuffles.
+
+    The query side is tiny (Q vectors), so its 4×Q bucket keys broadcast;
+    each batch hashes its own vectors, keeps only members of a query
+    bucket (candidate sets are bucket-bounded, not corpus-bounded) and
+    scores them against the broadcast query matrix locally — corpus
+    vectors never leave their batch, nothing groups by a high-cardinality
+    key. pytest asserts recall ≥ 0.6 vs the brute-force q_embedding_topk.
 
     Rows-only (hash semantics are not SQL)."""
     import pyarrow.parquet as pq
@@ -1180,71 +1203,63 @@ def q_embedding_topk_lsh(sf_dir: str) -> pd.DataFrame:
     n_planes = _lsh_planes(qt.num_rows)
     rng = np.random.RandomState(7)
     planes = [rng.randn(dim, n_planes) for _ in range(4)]
-    planes_ref = ray.put(planes)
 
-    def bucket_batch(batch: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
+    def lsh_keys(mat: np.ndarray) -> np.ndarray:
+        """(n, dim) → (n, 4) int64 bucket keys (table id in the high bits)."""
+        cols = []
+        for t_i, p in enumerate(planes):
+            bits = (mat @ p) > 0
+            keys = bits @ (1 << np.arange(p.shape[1]))
+            cols.append((t_i << p.shape[1]) | keys.astype(np.int64))
+        return np.stack(cols, axis=1)
+
+    order = np.argsort(qt["vec_id"].to_numpy())[: _ANN_QUERIES]
+    q_ids = qt["vec_id"].to_numpy()[order]
+    q_mat = np.stack(
+        [np.asarray(qt["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_keys = lsh_keys(q_mat)  # (Q, 4)
+    bcast = ray.put((planes, q_ids, q_norm, q_keys))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        pl, q_ids_, q_norm_, q_keys_ = ray.get(bcast)
         ids = batch["vec_id"].to_numpy()
-        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-        out_id, out_bucket, out_vec = [], [], []
-        for t_i, p in enumerate(pl):
-            np_ = p.shape[1]
-            bits = (mat @ p) > 0  # (n, planes)
-            keys = bits @ (1 << np.arange(np_))
-            for i in range(len(ids)):
-                out_id.append(int(ids[i]))
-                out_bucket.append(int(t_i) << np_ | int(keys[i]))
-                out_vec.append([float(x) for x in mat[i]])
+        mat = _emb_matrix(batch["embedding"])
+        keys = lsh_keys(mat)  # (n, 4)
+        nmat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            # candidate = shares ≥1 bucket with the query (any of 4 tables)
+            cand = (keys == q_keys_[qi][None, :]).any(axis=1)
+            cand &= ids != q_ids_[qi]
+            if not cand.any():
+                continue
+            sims = nmat[cand] @ q_norm_[qi]
+            for n_id, s in zip(ids[cand], sims):
+                out_q.append(int(q_ids_[qi]))
+                out_n.append(int(n_id))
+                out_s.append(round(float(s), 4))
         return pa.Table.from_pydict(
             {
-                "bucket": pa.array(out_bucket, pa.int64()),
-                "vec_id": pa.array(out_id, pa.int64()),
-                "embedding": pa.array(out_vec, pa.list_(pa.float64())),
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
             }
         )
 
-    buckets = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]).map_batches(
-        bucket_batch, batch_format="pyarrow", batch_size=2048
-    )
-
-    order = np.argsort(qt["vec_id"].to_numpy())[: _ANN_QUERIES]
-    q_ids = set(int(qt["vec_id"][int(i)].as_py()) for i in order)
-    q_ids_ref = ray.put(q_ids)
-
-    # buckets containing a query vector → gather candidates per query
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        qs = ray.get(q_ids_ref)
-        members = list(zip(group["vec_id"], group["embedding"]))
-        present = [m for m in members if m[0] in qs]
-        if not present:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
-        rows = []
-        for q_id, q_vec in present:
-            qv = np.asarray(q_vec, dtype=np.float64)
-            qv = qv / np.linalg.norm(qv)
-            for n_id, n_vec in members:
-                if n_id == q_id:
-                    continue
-                nv = np.asarray(n_vec, dtype=np.float64)
-                sim = float(qv @ (nv / np.linalg.norm(nv)))
-                rows.append((int(q_id), int(n_id), round(sim, 4)))
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
-
     cands = (
-        buckets.groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(score_batch, batch_format="pyarrow", batch_size=2048)
         .to_pandas()
     )
     if len(cands) == 0:
         return pd.DataFrame(columns=["query_id", "neighbor_id", "sim", "rank"])
-    cands = cands.drop_duplicates(["query_id", "neighbor_id"])
     out = cands.sort_values(
         ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
     )
     out = out.groupby("query_id", as_index=False).head(_ANN_TOPK)
     out["rank"] = out.groupby("query_id").cumcount() + 1
-    out["query_id"] = out["query_id"].astype("int64")
-    out["neighbor_id"] = out["neighbor_id"].astype("int64")
     return out.reset_index(drop=True)
 
 

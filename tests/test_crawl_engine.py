@@ -20,7 +20,9 @@ def oracle_result(corpus_sf0001):
 def engine_result(corpus_sf0001, tmp_path_factory):
     run_dir = str(tmp_path_factory.mktemp("crawl") / "run")
     eng = CrawlEngine(corpus_sf0001, run_dir, max_rounds=MAX_ROUNDS, fetch_concurrency=2)
-    return eng.run(resume=False)
+    result = eng.run(resume=False)
+    eng.shutdown()
+    return result
 
 
 def test_distributed_path_matches_oracle(corpus_sf0001, tmp_path_factory):
@@ -32,6 +34,7 @@ def test_distributed_path_matches_oracle(corpus_sf0001, tmp_path_factory):
         corpus_sf0001, run_dir, max_rounds=4, fetch_concurrency=2, driver_threshold=0
     )
     r = eng.run(resume=False)
+    eng.shutdown()  # release actor CPU reservations (4-CPU session!)
     o = oracle_crawl(corpus_sf0001, max_rounds=4)
     assert r.assemble_order() == [h.hex() for h in o.order]
     assert r.seen_digests() == o.seen
@@ -49,6 +52,7 @@ def test_salted_selection_matches_oracle(corpus_sf0001, tmp_path_factory):
         driver_threshold=0,
     )
     r = eng.run(resume=False)
+    eng.shutdown()
     o = oracle_crawl(corpus_sf0001, max_rounds=3)
     assert r.assemble_order() == [h.hex() for h in o.order]
     assert r.seen_digests() == o.seen
@@ -62,6 +66,17 @@ def test_crawl_order_equal(oracle_result, engine_result):
     engine_order = engine_result.assemble_order()
     oracle_order = [h.hex() for h in oracle_result.order]
     assert engine_order == oracle_order
+
+
+def test_order_dataset_equals_assemble_order(engine_result):
+    """The distributed order ledger (per-round Dataset sort) must equal the
+    driver-side assembly row for row."""
+    got = [
+        h
+        for b in engine_result.order_dataset().iter_batches(batch_format="pandas")
+        for h in b["url_hash"]
+    ]
+    assert got == engine_result.assemble_order()
 
 
 def test_extracted_text_byte_identical(oracle_result, engine_result):
@@ -142,10 +157,12 @@ def test_resume_equals_uninterrupted(corpus_sf0001, oracle_result, tmp_path_fact
     run_dir = str(tmp_path_factory.mktemp("crawl_resume") / "run")
     partial = CrawlEngine(corpus_sf0001, run_dir, max_rounds=5, fetch_concurrency=2)
     r1 = partial.run(resume=False)
+    partial.shutdown()
     assert r1.rounds == 5
     # resume with the full budget — must continue from round 6, not restart
     full = CrawlEngine(corpus_sf0001, run_dir, max_rounds=MAX_ROUNDS, fetch_concurrency=2)
     r2 = full.run(resume=True)
+    full.shutdown()
     assert r2.rounds > 5
     assert [h.hex() for h in oracle_result.order] == r2.assemble_order()
     assert oracle_result.seen == r2.seen_digests()
@@ -161,6 +178,7 @@ def test_mixed_paths_match_oracle(corpus_sf0001, oracle_result, tmp_path_factory
         driver_threshold=150,
     )
     r = eng.run(resume=False)
+    eng.shutdown()
     paths = {m.get("path") for m in r.metrics}
     assert paths == {"driver", "distributed"}  # both actually exercised
     assert r.assemble_order() == [h.hex() for h in oracle_result.order]

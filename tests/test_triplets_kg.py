@@ -20,9 +20,17 @@ def test_pipeline_produces_valid_triplets(triplet_df):
 
 
 def test_pipeline_deterministic(ray_session, triplet_df):
-    from llm_scraper_ray.pipelines.queries import q_triplet_extraction
+    """Recompute the full actor-pool chain (bypassing the materialized
+    query cache) — distributed execution must be run-to-run identical."""
+    from llm_scraper_ray.pipelines.queries import _GATE, _TRIPLET_COLS, _doc_text_rows
+    from llm_scraper_ray.pipelines.triplets import triplet_dataset
 
-    again = q_triplet_extraction("/root/testdata/sf0.001")
+    again = (
+        triplet_dataset(_doc_text_rows("/root/testdata/sf0.001"), gate_keywords=_GATE)
+        .to_pandas()[_TRIPLET_COLS]
+        .sort_values(_TRIPLET_COLS[:6])
+        .reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(triplet_df, again)
 
 
