@@ -64,7 +64,7 @@ from ..stages.fetch import FetchExtract
 from ..stages.frontier import (
     FRONTIER_SCHEMA,
     candidates_from_urls,
-    expand_links,
+    expand_links_ts,
     make_robots_seen_filter,
     make_robots_seen_filter_arrow,
     pre_dedup,
@@ -110,9 +110,10 @@ def _dispatch_fetch(
     futures = []
     for a_idx, poss in sorted(groups.items()):
         sub = selected.iloc[poss]
-        # at least 3 chunks per actor: overlapping chunks shrink the
-        # per-round straggler tail on uneven bucket loads
-        chunk = max(32, min(batch_size, -(-len(sub) // 3)))
+        # one call per (caller, actor) up to batch_size: callers are already
+        # many (map tasks), so further 3-way splitting only multiplied tiny
+        # actor calls (measured: per-actor rate dropped 2.5x at 30 actors)
+        chunk = max(64, min(max(2048, batch_size), len(sub)))
         for start in range(0, len(sub), chunk):
             futures.append(
                 fetch_actors[a_idx].__call__.remote(sub.iloc[start : start + chunk])
@@ -150,6 +151,7 @@ _EXTRACTED_SCHEMA = pa.schema(
         ("links", pa.list_(pa.string())),
         ("link_hashes", pa.list_(pa.string())),
         ("link_hosts", pa.list_(pa.string())),
+        ("link_warcts", pa.list_(pa.int64())),
         ("lang_pred", pa.string()),
         ("n_tokens", pa.int32()),
         ("alpha_ratio", pa.float64()),
@@ -309,7 +311,12 @@ class CrawlEngine:
     def _ensure_actors(self) -> tuple[SeenSet, list]:
         if self._seen is None:
             self._seen = SeenSet(self.num_shards)
-            cls = ray.remote(num_cpus=1)(FetchExtract)
+            # fractional reservation: fetch and the control-plane executions
+            # ALTERNATE within a round, so full-CPU actors would starve the
+            # sort/select/expand tasks (at 32 CPUs, 30 actors left 2 slots —
+            # measured 0.44 scaling efficiency; phases interleave fine when
+            # the pool reserves half and the OS schedules the busy phase)
+            cls = ray.remote(num_cpus=0.5)(FetchExtract)
             nb = self.corpus.num_buckets
             # cache_cap counts ROW GROUPS: cover the actor's bucket slice
             # with headroom for multi-row-group buckets (test corpora are
@@ -352,6 +359,15 @@ class CrawlEngine:
                 else None
             )
             futures.append(a.ping.remote(owned))
+        # also warm the Ray Data worker pool: the session's FIRST streaming
+        # execution otherwise pays worker spawn + imports (~4-5 s) inside
+        # round 1's flags phase — a long-lived cluster has warm workers
+        (
+            rd.range(2048, override_num_blocks=8)
+            .map_batches(lambda b: b, batch_format="pyarrow")
+            .sort("id")
+            .count()
+        )
         ray.get(futures)
 
     # -- round-state paths -------------------------------------------------
@@ -512,12 +528,12 @@ class CrawlEngine:
         pq.write_table(extracted, os.path.join(rdir, "extracted", "part-0.parquet"))
 
         # spec steps 8-9: expansion ∪ deferred
-        new_cands = expand_links(
+        new_cands = expand_links_ts(
             extracted["links"].to_pylist(),
             extracted["link_hashes"].to_pylist(),
             extracted["link_hosts"].to_pylist(),
+            extracted["link_warcts"].to_pylist(),
             extracted["depth"].to_pylist(),
-            self.warc_index,
         )
         deferred = _to_frontier_table(
             flags[(flags["status"] == "ok") & (~flags["selected"])]
@@ -605,8 +621,19 @@ class CrawlEngine:
         # pre_dedup + robots/seen run on zero-copy Arrow batches (no pandas
         # block conversion on the raw frontier — the round's widest data);
         # block_select needs pandas (grouped cumsum) and runs post-dedup
+        # Control-plane executions run over METADATA-sized rows (no html):
+        # capping their block count matters more than parallelism — at 32
+        # CPUs the un-capped flags+next phases ran 2x SLOWER than at 8
+        # (more sort partitions, more tiny output files, which the next
+        # round then re-reads as more tiny blocks). Blocks stay row-bounded
+        # (65536), so the cap never risks memory at scale — a 10^10-URL
+        # round simply gets more blocks from the row bound.
+        n_frontier = _count_rows(frontier_path)
+        ctrl_blocks = max(4, min(32, -(-n_frontier // 65536)))
+
+        t_phase = time.time()
         (
-            rd.read_parquet(frontier_path)
+            rd.read_parquet(frontier_path, override_num_blocks=ctrl_blocks)
             .map_batches(pre_dedup_arrow, batch_format="pyarrow", batch_size=65536)
             .map_batches(robots_seen, batch_format="pyarrow", batch_size=65536)
             .sort(["host", "url_hash", "depth"])
@@ -615,11 +642,13 @@ class CrawlEngine:
         )
         if not os.path.isdir(flags_dir):
             _write_empty(flags_dir, _flags_schema())
+        secs_flags = round(time.time() - t_phase, 3)
 
         # driver fixup: exact selection for boundary hosts (bounded by
         # (k + dup copies of 2 edge hashes) × batches — metadata-sized by
         # construction). Sort before dedup so the min-depth copy wins
         # deterministically regardless of parquet file-discovery order.
+        t_phase = time.time()
         fixup = pads.dataset(flags_dir, format="parquet").to_table(
             filter=pads.field("pass2") == True  # noqa: E712
         ).to_pandas()
@@ -673,6 +702,7 @@ class CrawlEngine:
                             "links": pa.array([[]] * len(rest), pa.list_(pa.string())),
                             "link_hashes": pa.array([[]] * len(rest), pa.list_(pa.string())),
                             "link_hosts": pa.array([[]] * len(rest), pa.list_(pa.string())),
+                            "link_warcts": pa.array([[]] * len(rest), pa.list_(pa.int64())),
                             "lang_pred": pa.array(["und"] * len(rest), pa.string()),
                             "n_tokens": pa.array([0] * len(rest), pa.int32()),
                             "alpha_ratio": pa.array([0.0] * len(rest), pa.float64()),
@@ -699,19 +729,24 @@ class CrawlEngine:
                 df = df[df["fix"] | ~df["url_hash"].isin(owned)]
             return df
 
+        secs_fixup = round(time.time() - t_phase, 3)
+
         # stream straight to the lineage write (a materialize barrier here
         # measured 55% slower: it stops the write from overlapping fetch);
         # downstream passes re-read the files column-pruned
+        t_phase = time.time()
         (
-            rd.read_parquet(flags_dir)
+            rd.read_parquet(flags_dir, override_num_blocks=ctrl_blocks)
             .map_batches(final_flags, batch_format="pandas", batch_size=65536)
             .map_batches(
-                mark_seen_and_fetch, batch_format="pandas", batch_size=max(4096, self.batch_size)
+                mark_seen_and_fetch, batch_format="pandas", batch_size=max(65536, self.batch_size)
             )
             .write_parquet(extracted_dir)
         )
         if not os.path.isdir(extracted_dir):  # zero-row write emits nothing
             _write_empty(extracted_dir, _EXTRACTED_SCHEMA)
+
+        secs_fetch = round(time.time() - t_phase, 3)
 
         # metrics from the round output's status column
         out_status = pads.dataset(extracted_dir, format="parquet").to_table(
@@ -727,6 +762,9 @@ class CrawlEngine:
             "selected": int(n_sel),
             "deferred": sum(s == "deferred" for s in out_status),
             "path": "distributed",
+            "secs_flags": secs_flags,
+            "secs_fixup": secs_fixup,
+            "secs_fetch": secs_fetch,
         }
         if n_sel == 0:
             _write_empty(next_dir, FRONTIER_SCHEMA)
@@ -738,16 +776,18 @@ class CrawlEngine:
         # spec steps 8-9: deferred ∪ expanded links → next frontier.
         # Driver-side when the round output is metadata-small, else one more
         # execution over the round output.
+        t_phase = time.time()
         if m["unique"] <= max(1, self.driver_threshold):
             t = pads.dataset(extracted_dir, format="parquet").to_table(
                 columns=["url_hash", "canon_url", "host", "depth", "warc_ts",
-                         "fetch_status", "links", "link_hashes", "link_hosts"]
+                         "fetch_status", "links", "link_hashes", "link_hosts",
+                         "link_warcts"]
             )
             df = t.to_pandas()
             hits = df[df["fetch_status"] == "hit"]
-            new_cands = expand_links(
-                hits["links"], hits["link_hashes"], hits["link_hosts"], hits["depth"],
-                self.warc_index,
+            new_cands = expand_links_ts(
+                hits["links"], hits["link_hashes"], hits["link_hosts"],
+                hits["link_warcts"], hits["depth"],
             )
             deferred_t = _to_frontier_table(df[df["fetch_status"] == "deferred"])
             os.makedirs(next_dir, exist_ok=True)
@@ -756,31 +796,33 @@ class CrawlEngine:
                 os.path.join(next_dir, "part-0.parquet"),
             )
         else:
-            pages_dir = self.corpus.pages_dir
-            nb = self.corpus.num_buckets
 
             def build_next(batch: pd.DataFrame) -> pa.Table:
-                # warc_ts via the process-local disk-backed WarcIndex
-                # (worker processes persist across rounds → warm caches);
-                # no O(corpus) broadcast anywhere
-                idx = warc_index_for(pages_dir, nb)
+                # outlink warc_ts rides in from the fetch actors — the
+                # expansion is pure list assembly, no lookup state
                 hits = batch[batch["fetch_status"] == "hit"]
-                new = expand_links(
-                    hits["links"], hits["link_hashes"], hits["link_hosts"], hits["depth"],
-                    idx,
+                new = expand_links_ts(
+                    hits["links"], hits["link_hashes"], hits["link_hosts"],
+                    hits["link_warcts"], hits["depth"],
                 )
                 deferred_t = _to_frontier_table(batch[batch["fetch_status"] == "deferred"])
                 return pa.concat_tables([deferred_t, new])
 
+            # rows here carry outlink lists (~KBs/row, no text/html): bound
+            # blocks at 16384 rows instead of the thin-row 65536 cap
+            link_blocks = max(4, min(32, -(-m["unique"] // 16384)))
             rd.read_parquet(
                 extracted_dir,
                 columns=["url_hash", "canon_url", "host", "depth", "warc_ts",
-                         "fetch_status", "links", "link_hashes", "link_hosts"],
+                         "fetch_status", "links", "link_hashes", "link_hosts",
+                         "link_warcts"],
+                override_num_blocks=link_blocks,
             ).map_batches(build_next, batch_format="pandas", batch_size=65536).write_parquet(
                 next_dir
             )
         if not os.path.isdir(next_dir):  # zero-row write emits nothing
             _write_empty(next_dir, FRONTIER_SCHEMA)
+        m["secs_next"] = round(time.time() - t_phase, 3)
         m["new_candidates"] = _count_rows(next_dir) - m["deferred"]
 
         seen.snapshot_to(os.path.join(rdir, "seen"))
@@ -806,6 +848,11 @@ class CrawlEngine:
 
     @staticmethod
     def _seal(rdir: str, metrics: dict) -> None:
+        try:  # driver RSS per round: catches driver-heap bloat regressions
+            with open("/proc/self/statm") as f:
+                metrics["driver_rss_mb"] = int(f.read().split()[1]) * 4096 // (1 << 20)
+        except OSError:
+            pass
         with open(os.path.join(rdir, "metrics.json"), "w") as f:
             json.dump(metrics, f)
         open(os.path.join(rdir, "_COMPLETE"), "w").close()

@@ -37,6 +37,7 @@ from ..state.tokenbucket import TokenBucket
 EXTRACTED_FIELDS = [
     "url_hash", "canon_url", "host", "depth", "warc_ts", "hrank",
     "fetch_status", "text", "n_chars", "links", "link_hashes", "link_hosts",
+    "link_warcts",
     "lang_pred", "n_tokens", "alpha_ratio", "stopword_ratio", "simhash", "fp64",
 ]
 
@@ -68,6 +69,15 @@ class FetchExtract:
             cache_cap=cache_cap if cache_cap is not None else 1024,
             decode=lambda v: v.as_py(),
         )
+        # outlink warc_ts resolves HERE, in the persistent actor pool, so
+        # frontier expansion downstream is pure list assembly: per-task
+        # WarcIndex caches were rebuilt cold on every worker process and
+        # dominated the next-frontier phase at high CPU counts (105s vs
+        # 13s); actors persist across rounds, so this cache warms once
+        self.warc_reader = BucketRangeReader(
+            pages_dir, num_buckets, "warc_ts", cache_cap=4096,
+            decode=lambda v: v.value,
+        )
 
     def ping(self, preload_buckets: list[int] | None = None) -> int:
         """Actor warm-up: forces process spawn + imports; optionally
@@ -94,6 +104,7 @@ class FetchExtract:
         links_col: list[list[str]] = []
         lhash_col: list[list[str]] = []
         lhost_col: list[list[str]] = []
+        lts_col: list[list[int]] = []
         langs: list[str] = []
         n_tokens: list[int] = []
         alpha_ratios: list[float] = []
@@ -121,6 +132,7 @@ class FetchExtract:
                 links_col.append([])
                 lhash_col.append([])
                 lhost_col.append([])
+                lts_col.append([])
                 langs.append("und")
                 n_tokens.append(0)
                 alpha_ratios.append(0.0)
@@ -146,6 +158,7 @@ class FetchExtract:
             links_col.append(canons)
             lhash_col.append(hashes)
             lhost_col.append(hosts)
+            lts_col.append([])  # filled in one batched pass below
             # full per-page analysis in the same pass (the training-data
             # pipeline work a real crawl ships with every page): language-ID,
             # quality signals, simhash + rolling fingerprint, token count
@@ -157,6 +170,17 @@ class FetchExtract:
             s = A.simhash64(text)
             simhashes.append(s - (1 << 64) if s >= (1 << 63) else s)
             fps.append(A.rolling_fingerprint(text) & 0x7FFFFFFFFFFFFFFF)
+        # one batched warc_ts resolution for every outlink in the batch
+        all_digs = [bytes.fromhex(h) for row in lhash_col for h in row]
+        got = self.warc_reader.get_many(all_digs) if all_digs else {}
+        pos = 0
+        for i, row in enumerate(lhash_col):
+            if row:
+                lts_col[i] = [
+                    got[d] if got[d] is not None else -1
+                    for d in all_digs[pos : pos + len(row)]
+                ]
+                pos += len(row)
         return pa.Table.from_pydict(
             {
                 "url_hash": pa.array(batch["url_hash"], pa.string()),
@@ -171,6 +195,7 @@ class FetchExtract:
                 "links": pa.array(links_col, pa.list_(pa.string())),
                 "link_hashes": pa.array(lhash_col, pa.list_(pa.string())),
                 "link_hosts": pa.array(lhost_col, pa.list_(pa.string())),
+                "link_warcts": pa.array(lts_col, pa.list_(pa.int64())),
                 "lang_pred": pa.array(langs, pa.string()),
                 "n_tokens": pa.array(n_tokens, pa.int32()),
                 "alpha_ratio": pa.array(alpha_ratios, pa.float64()),

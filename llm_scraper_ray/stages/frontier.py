@@ -195,23 +195,23 @@ def _sort_by_priority(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def expand_links(
-    links_iter, hash_iter, host_iter, depth_iter, warc_lookup
+def expand_links_ts(
+    links_iter, hash_iter, host_iter, ts_iter, depth_iter
 ) -> pa.Table:
-    """Spec step 8 core: explode PRE-CANONICALIZED outlink lists (the fetch
-    actors canonicalize in parallel — F15) → depth+1 frontier rows; one
-    batched warc_ts resolution at the end (WarcIndex range reads or dict)."""
+    """Spec step 8, lookup-free: the fetch actors resolved each outlink's
+    warc_ts already (stages/fetch.py) — expansion is pure list assembly."""
     out: dict[str, list] = {k: [] for k in FRONTIER_SCHEMA.names}
-    for links, hashes, hosts, depth in zip(links_iter, hash_iter, host_iter, depth_iter):
+    for links, hashes, hosts, tss, depth in zip(
+        links_iter, hash_iter, host_iter, ts_iter, depth_iter
+    ):
         if links is None or len(links) == 0:
             continue
         d = int(depth) + 1
-        for canon, h, host in zip(links, hashes, hosts):
-            out["url_hash"].append(h)
-            out["canon_url"].append(canon)
-            out["host"].append(host)
-            out["depth"].append(d)
-    out["warc_ts"] = _ts_of(warc_lookup, out["url_hash"])
+        out["url_hash"].extend(hashes)
+        out["canon_url"].extend(links)
+        out["host"].extend(hosts)
+        out["depth"].extend([d] * len(links))
+        out["warc_ts"].extend(int(t) for t in tss)
     return pa.Table.from_pydict(out, schema=FRONTIER_SCHEMA)
 
 
