@@ -809,6 +809,99 @@ def q_sessionize_pages(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E23 pattern extraction (price/time/number regexes, ``util/scraper/
+# proxy.py:13-15``) + the oracled deterministic-sample variant of O2
+
+
+def q_event_props_numbers(sf_dir: str) -> pd.DataFrame:
+    """E23 NUMBER_RE: first numeric literal per event's props JSON."""
+    from ..functions.textnorm import NUMBER_RE
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        nums = []
+        for p in batch["props"]:
+            m = NUMBER_RE.search(p)
+            nums.append(m.group(0) if m else "")
+        return pd.DataFrame({"event_id": batch["event_id"], "num": nums})
+
+    out = _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        fn, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_EVENT_PROPS_NUMBERS = r"""
+SELECT event_id,
+       regexp_extract(props, '-?\d{1,3}(?:,\d{3})*(?:\.\d+)?') AS num
+FROM events ORDER BY event_id
+"""
+
+
+def q_order_price_strings(sf_dir: str) -> pd.DataFrame:
+    """E23 PRICE_RE round-trip: render each order total as display copy,
+    extract the price back with the reference's price pattern. Cents-based
+    rendering on both sides (python rounds half-even, DuckDB half-away —
+    integer cents sidestep the boundary)."""
+    from ..functions.textnorm import extract_prices
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for x in batch["o_totalprice"]:
+            cents = int(round(float(x) * 100))
+            rendered = f"Order total: ${cents // 100:,}.{cents % 100:02d} (incl. tax)"
+            prices = extract_prices(rendered)
+            outs.append(prices[0] if prices else "")
+        return pd.DataFrame({"o_orderkey": batch["o_orderkey"], "price_str": outs})
+
+    out = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        fn, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_SQL_ORDER_PRICE_STRINGS = """
+WITH c AS (
+  SELECT o_orderkey, cast(round(o_totalprice * 100) AS bigint) AS cents
+  FROM orders
+)
+SELECT o_orderkey,
+       '$' || format('{:,}', cents // 100) || '.' ||
+       lpad(cast(cents % 100 AS varchar), 2, '0') AS price_str
+FROM c ORDER BY o_orderkey
+"""
+
+
+def q_doc_sample_hash(sf_dir: str) -> pd.DataFrame:
+    """O2, oracled variant: deterministic hash-ordered sample — order by
+    md5(doc_id), take 50. A distributed sort + limit whose SQL twin is
+    exact (the seeded `random_shuffle` sample stays as `doc_sample`,
+    rows-only)."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keys = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()), "sk": pa.array(keys, pa.string())}
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("sk")
+        .limit(50)
+        .to_pandas()
+    )
+    return out[["doc_id", "sk"]].reset_index(drop=True)
+
+
+_SQL_DOC_SAMPLE_HASH = """
+SELECT doc_id, md5(cast(doc_id AS varchar)) AS sk
+FROM documents ORDER BY sk LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -864,6 +957,10 @@ def all_queries():
         "embedding_topk_lsh": q_embedding_topk_lsh,
         # search-driven discovery (F12/F13)
         "search_discovery": q_search_discovery,
+        # E23 pattern extraction + oracled deterministic sample
+        "event_props_numbers": q_event_props_numbers,
+        "order_price_strings": q_order_price_strings,
+        "doc_sample_hash": q_doc_sample_hash,
     }
 
 
@@ -888,6 +985,9 @@ def all_oracle_sql():
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
         "embedding_dups": _SQL_EMBEDDING_DUPS,
+        "event_props_numbers": _SQL_EVENT_PROPS_NUMBERS,
+        "order_price_strings": _SQL_ORDER_PRICE_STRINGS,
+        "doc_sample_hash": _SQL_DOC_SAMPLE_HASH,
     }
 
 # ---------------------------------------------------------------------------

@@ -23,8 +23,18 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.fuzzy import partial_ratio
-from ..functions.textnorm import normalize_alnum, remove_think_tags, split_sentences
-from ..functions.triplets import Triplet, format_triplet, parse_triplets
+from ..functions.textnorm import (
+    normalize_alnum,
+    remove_think_tags,
+    split_camel_case,
+    split_sentences,
+)
+from ..functions.triplets import (
+    Triplet,
+    camelize_quoted_phrases,
+    format_triplet,
+    parse_triplets,
+)
 
 _CAP_PHRASE = re.compile(r"\b([A-Z][a-zA-Z0-9]+(?:\s+[A-Z][a-zA-Z0-9]+){0,3})\b")
 _IOT_KEYWORDS = (
@@ -111,7 +121,10 @@ class TripletGenerator:
             else:
                 pred, otype = "compatibleWith", "device"
             lines.append(f"(('device', '{subject}'), '{pred}', ('{otype}', '{obj}'))")
-        return parse_triplets("\n".join(lines))
+        # E15 step 2 (``response_cleaner.py:48-51``): quoted multi-word
+        # entities camelize before the grammar parse — the reference's
+        # validated-triplet files carry CamelCase entity names throughout
+        return parse_triplets(camelize_quoted_phrases("\n".join(lines)))
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         out = {
@@ -235,7 +248,10 @@ class ValidationCascade:
         if w is not None and w >= 50.0:
             return w, "search"
         (st, sn), p, (ot, on) = triplet
-        query = f"{sn} {p} {on}"
+        # E12 (``precision_recall.py:60-72``): entity names arrive
+        # camelized from the E15 generation chain — split them back apart
+        # so the NLI query's tokens can match the spaced source text
+        query = f"{split_camel_case(sn)} {p} {split_camel_case(on)}"
         nli = round(100 * self.nli.score(source_text, query), 4)
         return nli, "nli"
 

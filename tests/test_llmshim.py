@@ -32,9 +32,11 @@ def test_entity_extractor_cap_and_fallback():
 def test_triplet_generator_roundtrips_grammar():
     gen = TripletGenerator()
     trips = gen.generate(["Light Bar", "Acme Corp", "Motion Sensor", "Alexa"])
-    assert (("device", "Light Bar"), "manufacturedBy", ("manufacturer", "Acme Corp")) in trips
-    assert (("device", "Light Bar"), "hasSensor", ("sensor", "Motion Sensor")) in trips
-    assert (("device", "Light Bar"), "compatibleWith", ("device", "Alexa")) in trips
+    # multi-word quoted entities camelize per E15 (response_cleaner.py:48-51);
+    # single-word names pass through untouched
+    assert (("device", "LightBar"), "manufacturedBy", ("manufacturer", "AcmeCorp")) in trips
+    assert (("device", "LightBar"), "hasSensor", ("sensor", "MotionSensor")) in trips
+    assert (("device", "LightBar"), "compatibleWith", ("device", "Alexa")) in trips
 
 
 def test_iot_classifier():
