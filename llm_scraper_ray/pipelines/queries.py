@@ -474,10 +474,51 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _lang_id_sql() -> str:
+    """SQL twin of ``analysis.lang_id``, generated from the SAME stopword
+    tables so the two can never drift: per-language hit counts over the
+    ``[a-z']+`` word stream, winner = first language (en,es,de,fr order)
+    reaching the max, 'und' when every count is zero (exactly the python
+    kernel's ``hits > best_hits`` fold)."""
+    from ..functions.analysis import _LANG_STOPWORDS
+
+    langs = ("en", "es", "de", "fr")
+    hit_cols = ",\n    ".join(
+        "sum(CASE WHEN w IN ({}) THEN 1 ELSE 0 END) AS {}".format(
+            ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(_LANG_STOPWORDS[lang])),
+            lang,
+        )
+        for lang in langs
+    )
+    pick = " ".join(f"WHEN {lang} = mx THEN '{lang}'" for lang in langs)
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+    {hit_cols}
+  FROM words GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id,
+         coalesce(h.en, 0) AS en, coalesce(h.es, 0) AS es,
+         coalesce(h.de, 0) AS de, coalesce(h.fr, 0) AS fr,
+         greatest(coalesce(h.en, 0), coalesce(h.es, 0),
+                  coalesce(h.de, 0), coalesce(h.fr, 0)) AS mx
+  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+)
+SELECT doc_id,
+       CASE WHEN mx = 0 THEN 'und' {pick} END AS lang_pred
+FROM scored ORDER BY doc_id
+"""
+
+
+_SQL_DOC_LANG_ID = _lang_id_sql()
+
+
 def q_doc_lang_id(sf_dir: str) -> pd.DataFrame:
-    """Language-ID heuristic (stopword hits) — not SQL-expressible; the
-    driver records a rows-only check, pytest asserts accuracy vs the lang
-    column."""
+    """Language-ID heuristic (stopword hits); SQL-oracled via the
+    generated stopword-hit twin (``_lang_id_sql``)."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -981,6 +1022,7 @@ def all_oracle_sql():
         "doc_token_counts": _SQL_DOC_TOKENS,
         "doc_quality": _SQL_DOC_QUALITY,
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+        "doc_lang_id": _SQL_DOC_LANG_ID,
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
