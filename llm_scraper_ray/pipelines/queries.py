@@ -296,6 +296,105 @@ ORDER BY event_type, window_start
 """
 
 
+def q_session_windows(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """§2.9 session windows (gaps-and-islands): per-user sessions split at
+    >30 min of inactivity; one row per session (start, event count, value
+    sum). ONE range-partitioned sort by (user_id, ts), vectorized
+    maximal-run sessionization per block, then a metadata-sized merge of
+    block-edge sessions — the engine's sort+boundary-fixup pattern (a
+    per-user ``map_groups`` would pay ~1 ms/key at 1500+ users here and
+    unbounded key counts at scale). The merge input is session summaries
+    (≤ #sessions rows), never events."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    empty = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("start_us", pa.int64()),
+            ("end_us", pa.int64()),
+            ("n_events", pa.int64()),
+            ("sum_value", pa.float64()),
+        ]
+    )
+
+    def sess_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return empty.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > GAP_US)
+        idx = np.flatnonzero(new)
+        ends = np.append(idx[1:], n)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u[idx], pa.int64()),
+                "start_us": pa.array(ts[idx], pa.int64()),
+                "end_us": pa.array(ts[ends - 1], pa.int64()),
+                "n_events": pa.array(ends - idx, pa.int64()),
+                "sum_value": pa.array(np.add.reduceat(v, idx), pa.float64()),
+            }
+        )
+
+    segs = (
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .sort(["user_id", "ts"])
+        .map_batches(sess_batch, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()
+    )
+    if len(segs) == 0:
+        return pd.DataFrame(columns=["user_id", "session_start", "n_events", "sum_value"])
+    # block-edge fixup: blocks partition the sorted stream, so per-user
+    # segments are time-disjoint and ordered — adjacent segments merge when
+    # the inactivity gap across the edge is <= GAP (chains fold via cumsum)
+    segs = segs.sort_values(["user_id", "start_us"]).reset_index(drop=True)
+    brk = (segs["user_id"] != segs["user_id"].shift()) | (
+        (segs["start_us"] - segs["end_us"].shift()) > GAP_US
+    )
+    out = (
+        segs.groupby(brk.cumsum(), as_index=False)
+        .agg(
+            user_id=("user_id", "first"),
+            session_start=("start_us", "min"),
+            n_events=("n_events", "sum"),
+            sum_value=("sum_value", "sum"),
+        )
+        .drop(columns=[])
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return (
+        out[["user_id", "session_start", "n_events", "sum_value"]]
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+
+_SQL_SESSION_WINDOWS = """
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 def q_user_max_value(sf_dir: str) -> pd.DataFrame:
     """A4 max-aggregate + O4 top-k with deterministic tiebreak."""
     out = (
@@ -957,6 +1056,7 @@ def all_queries():
         "parts_shipped_by_brand": q_parts_shipped_by_brand,
         "active_nations": q_active_nations,
         "events_hourly": q_events_hourly,
+        "session_windows": q_session_windows,
         "user_max_value": q_user_max_value,
         "event_type_stats": q_event_type_stats,
         "top_orders_by_qty": q_top_orders_by_qty,
@@ -1015,6 +1115,7 @@ def all_oracle_sql():
         "parts_shipped_by_brand": _SQL_PARTS_SHIPPED,
         "active_nations": _SQL_ACTIVE_NATIONS,
         "events_hourly": _SQL_EVENTS_HOURLY,
+        "session_windows": _SQL_SESSION_WINDOWS,
         "user_max_value": _SQL_USER_MAX,
         "event_type_stats": _SQL_EVENT_TYPE_STATS,
         "top_orders_by_qty": _SQL_TOP_ORDERS_QTY,

@@ -100,3 +100,21 @@ def test_doc_sample_hash_matches_oracle():
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_session_windows_boundary_merge():
+    """Tiny batches force sessions to straddle block edges — the summary
+    merge must reproduce the single-pass result exactly."""
+    import duckdb
+
+    from llm_scraper_ray.pipelines.queries import _SQL_SESSION_WINDOWS, q_session_windows
+
+    out = q_session_windows(SF, batch_size=16)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = con.execute(_SQL_SESSION_WINDOWS).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
