@@ -1096,6 +1096,7 @@ def all_queries():
         # embedding near-dup + ANN scale path
         "embedding_dups": q_embedding_dups,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         # search-driven discovery (F12/F13)
         "search_discovery": q_search_discovery,
         # E23 pattern extraction + oracled deterministic sample
@@ -1496,6 +1497,118 @@ def q_embedding_topk_lsh(sf_dir: str) -> pd.DataFrame:
         .map_batches(score_batch, batch_format="pyarrow", batch_size=2048)
         .to_pandas()
     )
+    if len(cands) == 0:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "sim", "rank"])
+    out = cands.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = out.groupby("query_id", as_index=False).head(_ANN_TOPK)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out.reset_index(drop=True)
+
+
+def q_embedding_topk_ivf(
+    sf_dir: str, n_cells: int = 16, n_probe: int = 8, iters: int = 2
+) -> pd.DataFrame:
+    """ANN scale path #2: IVF (inverted-file) cells from DISTRIBUTED
+    k-means. Each of ``iters`` rounds is one pass of per-batch partial
+    (sum, count) accumulation against broadcast centroids — the mergeable
+    -sketch pattern, so the shuffle-free training scales to 10^9 vectors;
+    driver state is only the (n_cells × d) centroid matrix. Search then
+    probes the queries' top-``n_probe`` cells: every batch assigns its own
+    vectors, keeps probe-cell members, and scores them locally against the
+    broadcast query matrix (corpus vectors never leave their batch).
+
+    The synthetic embeddings are near-orthogonal (no real cluster
+    structure), so the default probes half the cells — recall is
+    pytest-bounded vs brute force; real corpora need fewer probes.
+    Rows-only (iterative k-means is not SQL)."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    all_ids = qt["vec_id"].to_numpy()
+    order = np.argsort(all_ids)
+    q_order = order[:_ANN_QUERIES]
+    q_ids = all_ids[q_order]
+    q_mat = np.stack(
+        [np.asarray(qt["embedding"][int(i)].as_py(), dtype=np.float64) for i in q_order]
+    )
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    # deterministic init: the n_cells lowest vec_ids' vectors
+    seed_idx = order[:n_cells]
+    cents = np.stack(
+        [np.asarray(qt["embedding"][int(i)].as_py(), dtype=np.float64) for i in seed_idx]
+    )
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def kmeans_partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            mat = _emb_matrix(batch["embedding"])
+            nmat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            assign = np.argmax(c @ nmat.T, axis=0)  # cosine on normalized
+            cells, counts, sums = [], [], []
+            for cell in np.unique(assign):
+                m = assign == cell
+                cells.append(int(cell))
+                counts.append(int(m.sum()))
+                sums.append(nmat[m].sum(axis=0).tolist())
+            return pa.Table.from_pydict(
+                {
+                    "cell": pa.array(cells, pa.int64()),
+                    "count": pa.array(counts, pa.int64()),
+                    "vsum": pa.array(sums, pa.list_(pa.float64())),
+                }
+            )
+
+        part = ds.map_batches(kmeans_partial, batch_format="pyarrow", batch_size=2048).to_pandas()
+        new = cents.copy()
+        for cell, grp in part.groupby("cell"):
+            s = np.sum(np.stack([np.asarray(v) for v in grp["vsum"]]), axis=0)
+            n = grp["count"].sum()
+            if n > 0:
+                v = s / n
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    new[int(cell)] = v / norm
+        cents = new
+
+    # probe set: each query's top-n_probe cells; a cell→query-list map rides
+    # the broadcast so batches score members only against relevant queries
+    probe = np.argsort(-(cents @ q_norm.T), axis=0)[:n_probe].T  # (Q, n_probe)
+    bcast = ray.put((cents, q_ids, q_norm, probe))
+
+    def ivf_score(batch: pa.Table) -> pa.Table:
+        c, q_ids_, q_norm_, probe_ = ray.get(bcast)
+        ids = batch["vec_id"].to_numpy()
+        mat = _emb_matrix(batch["embedding"])
+        nmat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = np.argmax(c @ nmat.T, axis=0)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            cand = np.isin(assign, probe_[qi]) & (ids != q_ids_[qi])
+            if not cand.any():
+                continue
+            sims = nmat[cand] @ q_norm_[qi]
+            for n_id, s in zip(ids[cand], sims):
+                out_q.append(int(q_ids_[qi]))
+                out_n.append(int(n_id))
+                out_s.append(round(float(s), 4))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(ivf_score, batch_format="pyarrow", batch_size=2048).to_pandas()
     if len(cands) == 0:
         return pd.DataFrame(columns=["query_id", "neighbor_id", "sim", "rank"])
     out = cands.sort_values(

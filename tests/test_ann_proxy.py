@@ -15,6 +15,24 @@ def test_lsh_recall_vs_bruteforce(ray_session):
     assert recall >= 0.6, recall  # bucketed ANN trades recall for scan cost
 
 
+def test_ivf_recall_vs_bruteforce(ray_session):
+    from llm_scraper_ray.pipelines.queries import q_embedding_topk, q_embedding_topk_ivf
+
+    exact = q_embedding_topk("/root/testdata/sf0.001")
+    approx = q_embedding_topk_ivf("/root/testdata/sf0.001")
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # near-orthogonal synthetic vectors have no cluster structure: probing
+    # half the cells bounds recall ~0.5; real corpora cluster far tighter
+    assert recall >= 0.45, recall
+    # every IVF sim must agree with the brute-force sim for shared pairs
+    bf = {(q, n): s for q, n, s in zip(exact["query_id"], exact["neighbor_id"], exact["sim"])}
+    for q, n, s in zip(approx["query_id"], approx["neighbor_id"], approx["sim"]):
+        if (q, n) in bf:
+            assert abs(bf[(q, n)] - s) < 1e-9
+
+
 def test_embedding_dups_symmetric_unique(ray_session):
     from llm_scraper_ray.pipelines.queries import q_embedding_dups
 
