@@ -180,23 +180,32 @@ def q_mktsegments(sf_dir: str) -> pd.DataFrame:
 _SQL_MKTSEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
 
 
+def _dedup_col(col: str):
+    """Per-batch distinct combiner: shrinks a join side's shuffle to one row
+    per (batch, key) — exact for semi/anti joins (duplicate right keys never
+    change their semantics), so no global distinct is ever needed."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.group_by(col).aggregate([])
+
+    return fn
+
+
 def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """A8/J4 anti-join: broadcast the distinct key set, filter in map_batches."""
-    okeys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
-    okeys_ref = ray.put(okeys)
-
-    def anti(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(okeys_ref)
-        return batch[~batch["c_custkey"].isin(keys)][["c_custkey"]]
-
+    """A8/J4 anti-join, hash-partitioned end to end: customer ⟕̸ orders via
+    ``Dataset.join(left_anti)`` — both sides shuffle by key, no driver-side
+    key set (the round-2 broadcast was O(fact-table distinct))."""
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        _dedup_col("o_custkey"), batch_format="pyarrow"
+    )
     out = (
         _read(sf_dir, "customer", ["c_custkey"])
-        .map_batches(anti, batch_format="pandas")
+        .join(orders, "left_anti", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",))
         .to_pandas()
     )
     if len(out) == 0:
         return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
-    return out.sort_values("c_custkey").reset_index(drop=True)
+    return out[["c_custkey"]].sort_values("c_custkey").reset_index(drop=True)
 
 
 _SQL_CUST_NO_ORDERS = """
@@ -207,18 +216,16 @@ ORDER BY c_custkey
 
 
 def q_parts_shipped_by_brand(sf_dir: str) -> pd.DataFrame:
-    """J2 semi-join: broadcast the distinct shipped-part keys, vectorized
-    pc.is_in filter, direct groupby count."""
-    shipped = _read(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey")
-    keys_ref = ray.put(pa.array(sorted(shipped), pa.int64()))
-
-    def semi(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        return batch.filter(pc.is_in(batch["p_partkey"], value_set=keys))
-
+    """J2 semi-join, hash-partitioned end to end: part ⋉ lineitem via
+    ``Dataset.join(left_semi)`` (each part row emitted once regardless of
+    duplicate lineitem keys), then a 25-key brand groupby — no driver-side
+    distinct of the fact-table key (round-2's broadcast pattern)."""
+    li = _read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
+        _dedup_col("l_partkey"), batch_format="pyarrow"
+    )
     out = (
         _read(sf_dir, "part", ["p_partkey", "p_brand"])
-        .map_batches(semi, batch_format="pyarrow")
+        .join(li, "left_semi", num_partitions=8, on=("p_partkey",), right_on=("l_partkey",))
         .groupby("p_brand")
         .aggregate(Count(alias_name="n_parts"))
         .to_pandas()
@@ -1326,9 +1333,12 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    # materialize: BOTH consumers (feature chain + frame chain) read this —
+    # without the barrier each re-executes the read+to_media pass (measured
+    # 2.0 s → 3.7 s regression in round 2)
     media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         to_media, batch_format="pyarrow"
-    )
+    ).materialize()
     decoded = media.map_batches(
         MediaDecodeStub, concurrency=2, batch_size=64, batch_format="pandas", num_cpus=0.25
     )
@@ -1637,6 +1647,7 @@ def q_search_discovery(sf_dir: str) -> pd.DataFrame:
     )
     out = (
         rd.from_pandas(seeds)
+        .repartition(2)  # ≥ pool size: one input block starves the 2nd actor
         .map_batches(
             SearchDiscovery,
             fn_constructor_kwargs={
