@@ -4,12 +4,12 @@ Ray-native restatement of the reference's fetch+extract entry point
 (``extract_pages.py:131-164``; SURVEY.md §3.2) under the defined semantics of
 pipelines/spec.py. Each frontier round runs (fused, one execution):
 
-  frontier ──pre_dedup──▶ robots+seen status (shard actors, per batch)
-  ─▶ [salted pre-select] ─▶ groupby(host).map_groups(dedup + top-k select —
-  same url_hash ⇒ same host, so ONE shuffle covers both) ─▶ mark-seen +
-  FetchExtract actors (html never leaves the stage; outlinks canonicalized
-  in-pool) / passthrough ledger rows ─▶ round out ─▶ deferred ∪ expanded
-  links ─▶ next round's frontier.parquet
+  prev round's output ──expand (deferred ∪ hits' outlinks; FUSED — the
+  frontier is never materialized after round 1) ──pre_dedup──▶ robots+seen
+  status (shard actors, per batch) ─▶ sort(host, url_hash) + per-batch
+  dedup + top-k select (same url_hash ⇒ same host, so ONE shuffle covers
+  both) ─▶ mark-seen + FetchExtract actors (html never leaves the stage;
+  outlinks canonicalized in-pool) / passthrough ledger rows ─▶ round out
 
 Two physical paths implement the SAME spec (tested equal):
 
@@ -27,10 +27,12 @@ FetchExtract actors are created ONCE per run and reused across rounds
 actor owns a stable slice of the pages table.
 
 Checkpoint/resume (SURVEY.md F11, §7.4.6): every round directory
-``round-NNNN/`` holds flags, extracted, next frontier, serialized seen
-shards and metrics, sealed by ``_COMPLETE``. ``run(resume=True)`` restarts
-from the last sealed round; replaying a partial round is idempotent (seen
-adds are set-inserts, fetch is deterministic).
+``round-NNNN/`` holds flags, the complete round output (fetched rows +
+deferred/robots/seen passthrough ledger rows — the next round's candidate
+source), serialized seen shards and metrics, sealed by ``_COMPLETE``.
+``run(resume=True)`` restarts from the last sealed round; replaying a
+partial round is idempotent (seen adds are set-inserts, fetch is
+deterministic).
 
 Scale notes: the distributed round's only all-to-all is ONE sort keyed
 (host, url_hash) — collocating both the dedup key and the politeness key;
@@ -65,7 +67,6 @@ from ..stages.frontier import (
     FRONTIER_SCHEMA,
     candidates_from_urls,
     expand_links_ts,
-    make_robots_seen_filter,
     make_robots_seen_filter_arrow,
     pre_dedup,
     pre_dedup_arrow,
@@ -152,6 +153,7 @@ _EXTRACTED_SCHEMA = pa.schema(
         ("link_hashes", pa.list_(pa.string())),
         ("link_hosts", pa.list_(pa.string())),
         ("link_warcts", pa.list_(pa.int64())),
+        ("n_links", pa.int32()),
         ("lang_pred", pa.string()),
         ("n_tokens", pa.int32()),
         ("alpha_ratio", pa.float64()),
@@ -160,6 +162,60 @@ _EXTRACTED_SCHEMA = pa.schema(
         ("fp64", pa.int64()),
     ]
 )
+
+
+def _passthrough_table(rest: pd.DataFrame) -> pa.Table:
+    """Non-fetched candidates as ledger rows of the round output (hrank -1,
+    ``fetch_status`` ∈ {deferred, robots, seen}). Both physical paths write
+    these, so every round's ``extracted`` dir is the COMPLETE record of the
+    round — the fused next-round expansion reads deferred rows back from it
+    instead of a materialized frontier table."""
+    kind = ["deferred" if s == "ok" else s for s in rest["status"]]
+    n = len(rest)
+    return pa.Table.from_pydict(
+        {
+            "url_hash": pa.array(rest["url_hash"], pa.string()),
+            "canon_url": pa.array(rest["canon_url"], pa.string()),
+            "host": pa.array(rest["host"], pa.string()),
+            "depth": pa.array(rest["depth"].astype("int64"), pa.int32()),
+            "warc_ts": pa.array(rest["warc_ts"].astype("int64"), pa.int64()),
+            "hrank": pa.array([-1] * n, pa.int32()),
+            "fetch_status": pa.array(kind, pa.string()),
+            "text": pa.array([""] * n, pa.string()),
+            "n_chars": pa.array([0] * n, pa.int32()),
+            "links": pa.array([[]] * n, pa.list_(pa.string())),
+            "link_hashes": pa.array([[]] * n, pa.list_(pa.string())),
+            "link_hosts": pa.array([[]] * n, pa.list_(pa.string())),
+            "link_warcts": pa.array([[]] * n, pa.list_(pa.int64())),
+            "n_links": pa.array([0] * n, pa.int32()),
+            "lang_pred": pa.array(["und"] * n, pa.string()),
+            "n_tokens": pa.array([0] * n, pa.int32()),
+            "alpha_ratio": pa.array([0.0] * n, pa.float64()),
+            "stopword_ratio": pa.array([0.0] * n, pa.float64()),
+            "simhash": pa.array([0] * n, pa.int64()),
+            "fp64": pa.array([0] * n, pa.int64()),
+        }
+    )
+
+
+# columns a fused frontier expansion needs from the previous round's output
+_EXPAND_COLUMNS = [
+    "url_hash", "canon_url", "host", "depth", "warc_ts",
+    "fetch_status", "links", "link_hashes", "link_hosts", "link_warcts",
+]
+
+
+def _expand_round_output(batch: pd.DataFrame) -> pa.Table:
+    """Spec steps 8-9 as a batch kernel over the PREVIOUS round's output:
+    deferred ledger rows pass through as candidates, hit rows expand their
+    (pre-canonicalized, warc_ts-resolved) outlinks at depth+1."""
+    hits = batch[batch["fetch_status"] == "hit"]
+    new = expand_links_ts(
+        hits["links"], hits["link_hashes"], hits["link_hosts"],
+        hits["link_warcts"], hits["depth"],
+    )
+    deferred_t = _to_frontier_table(batch[batch["fetch_status"] == "deferred"])
+    return pa.concat_tables([deferred_t, new])
 
 
 @dataclass
@@ -415,23 +471,41 @@ class CrawlEngine:
             seen.restore_from(os.path.join(self._round_dir(last), "seen"))
         ray.get(warmups)
 
+        # the frontier is VIRTUAL after round 1: round k's candidates are the
+        # previous round's deferred ledger rows ∪ its hits' outlinks, fused
+        # into round k's flags execution (no frontier table is ever written
+        # or read — it was each round's widest table). Loop control uses the
+        # ``next_candidates`` scalar each round computes from (deferred,
+        # Σ n_links) at seal time.
+        prev_m: dict | None = None
+        if last > 0:
+            prev_m = json.load(open(os.path.join(self._round_dir(last), "metrics.json")))
         rnd = last
         finished = False
         while rnd < self.max_rounds:
             rnd += 1
-            frontier_path = os.path.join(self._round_dir(rnd - 1), "frontier_next")
-            n_frontier = _count_rows(frontier_path)
-            if n_frontier == 0:
+            if rnd == 1:
+                src = ("seeds", os.path.join(self._round_dir(0), "frontier_next"))
+                n_candidates = _count_rows(src[1])
+            else:
+                n_candidates = int(prev_m["next_candidates"])
+                src = (
+                    "extracted",
+                    os.path.join(self._round_dir(rnd - 1), "extracted"),
+                    int(prev_m["unique"]),
+                )
+            if n_candidates == 0:
                 rnd -= 1
                 finished = True
                 break
-            if n_frontier <= self.driver_threshold:
-                m = self._round_driver(rnd, frontier_path, seen, fetch_actors)
+            if n_candidates <= self.driver_threshold:
+                m = self._round_driver(rnd, src, n_candidates, seen, fetch_actors)
             else:
-                m = self._round_distributed(rnd, frontier_path, seen, fetch_actors)
+                m = self._round_distributed(rnd, src, n_candidates, seen, fetch_actors)
             if m["selected"] == 0:
                 finished = True
                 break
+            prev_m = m
 
         # metrics re-assembled from the sealed round dirs so a resumed run
         # reports the full history, not just its own rounds
@@ -475,14 +549,20 @@ class CrawlEngine:
 
     # -- driver fast path ---------------------------------------------------
 
-    def _round_driver(self, rnd, frontier_path, seen: SeenSet, fetch_actors) -> dict:
+    def _round_driver(self, rnd, src, n_candidates, seen: SeenSet, fetch_actors) -> dict:
         t_start = time.time()
         rdir = self._round_dir(rnd)
         shutil.rmtree(rdir, ignore_errors=True)
         os.makedirs(rdir, exist_ok=True)
 
-        fr = pads.dataset(frontier_path, format="parquet").to_table().to_pandas()
-        n_candidates = len(fr)
+        if src[0] == "seeds":
+            fr = pads.dataset(src[1], format="parquet").to_table().to_pandas()
+        else:
+            # fused expansion: previous round's output IS the frontier source
+            prev = pads.dataset(src[1], format="parquet").to_table(
+                columns=_EXPAND_COLUMNS
+            )
+            fr = _expand_round_output(prev.to_pandas()).to_pandas()
         # spec step 1: exact dedup keep-min-depth
         cand = pre_dedup(fr).reset_index(drop=True)
         # spec steps 2-3: seen + robots
@@ -513,37 +593,28 @@ class CrawlEngine:
         m = self._metrics_from_flags(rnd, n_candidates, flags)
         m["path"] = "driver"
         selected = flags[flags["selected"]].sort_values("url_hash")
-        if len(selected) == 0:
-            _write_empty(os.path.join(rdir, "extracted"), _EXTRACTED_SCHEMA)
-            _write_empty(os.path.join(rdir, "frontier_next"), FRONTIER_SCHEMA)
-            seen.snapshot_to(os.path.join(rdir, "seen"))
-            m["secs"] = round(time.time() - t_start, 3)
-            self._seal(rdir, m)
-            return m
 
-        # spec step 5: mark selected seen, then fetch via persistent actors
-        seen.add_many([bytes.fromhex(h) for h in selected["url_hash"]])
-        extracted = self._dispatch_fetch(fetch_actors, selected)
+        # spec step 5: mark selected seen, then fetch via persistent actors;
+        # non-selected candidates become passthrough ledger rows so the round
+        # output is complete (the fused next round reads deferred back here)
+        tables = []
+        if len(selected):
+            seen.add_many([bytes.fromhex(h) for h in selected["url_hash"]])
+            tables.append(self._dispatch_fetch(fetch_actors, selected))
+        rest = flags[~flags["selected"]]
+        if len(rest):
+            tables.append(_passthrough_table(rest))
+        extracted = (
+            pa.concat_tables(tables) if tables else _EXTRACTED_SCHEMA.empty_table()
+        )
         os.makedirs(os.path.join(rdir, "extracted"), exist_ok=True)
         pq.write_table(extracted, os.path.join(rdir, "extracted", "part-0.parquet"))
 
-        # spec steps 8-9: expansion ∪ deferred
-        new_cands = expand_links_ts(
-            extracted["links"].to_pylist(),
-            extracted["link_hashes"].to_pylist(),
-            extracted["link_hosts"].to_pylist(),
-            extracted["link_warcts"].to_pylist(),
-            extracted["depth"].to_pylist(),
-        )
-        deferred = _to_frontier_table(
-            flags[(flags["status"] == "ok") & (~flags["selected"])]
-        )
-        os.makedirs(os.path.join(rdir, "frontier_next"), exist_ok=True)
-        pq.write_table(
-            pa.concat_tables([deferred, new_cands]),
-            os.path.join(rdir, "frontier_next", "part-0.parquet"),
-        )
-        m["new_candidates"] = new_cands.num_rows
+        # spec steps 8-9 are FUSED into the next round; only the candidate
+        # count is needed now (Σ n_links over hits + deferred passthroughs)
+        n_new = int(pc.sum(extracted["n_links"]).as_py() or 0)
+        m["new_candidates"] = n_new
+        m["next_candidates"] = n_new + m["deferred"]
 
         seen.snapshot_to(os.path.join(rdir, "seen"))
         m["secs"] = round(time.time() - t_start, 3)
@@ -552,32 +623,33 @@ class CrawlEngine:
 
     # -- distributed path ---------------------------------------------------
 
-    def _round_distributed(self, rnd, frontier_path, seen: SeenSet, fetch_actors) -> dict:
+    def _round_distributed(self, rnd, src, n_candidates, seen: SeenSet, fetch_actors) -> dict:
         """Distributed round, no per-key groupby anywhere (Ray's groupby
         aggregate/map_groups costs ~1 ms per distinct key — measured 197 s
         for a 243k-key dedup — so high-cardinality grouping is replaced by
         ONE global sort + vectorized per-batch passes):
 
-          frontier ─pre_dedup─▶ robots+seen status (shard actors, big
-          batches) ─▶ sort(host, url_hash, depth) ─▶ per-batch vectorized
-          dedup + per-host top-k; each batch's first/last (boundary) hosts
-          forward only their batch-local top-k to a driver-side fixup pass
-          (exact: global top-k ⊆ union of batch-local top-k — the same
-          argument that makes hot-host salting exact, so range-split hot
-          hosts are handled inherently) ─▶ flags ledger ─▶ mark-seen +
-          FetchExtract actors / passthrough ─▶ round out ─▶ deferred ∪
-          expanded links ─▶ next frontier.
+          previous round's output ─expand (deferred ∪ hits' outlinks,
+          FUSED: no frontier table is ever written/read)─ ─pre_dedup─▶
+          robots+seen status (shard actors, big batches) ─▶ sort(host,
+          url_hash, depth) ─▶ per-batch vectorized dedup + per-host top-k;
+          each batch's first/last (boundary) hosts forward only their
+          batch-local top-k to a driver-side fixup pass (exact: global
+          top-k ⊆ union of batch-local top-k — the same argument that makes
+          hot-host salting exact, so range-split hot hosts are handled
+          inherently) ─▶ flags ledger ─▶ mark-seen + FetchExtract actors /
+          passthrough ─▶ round out.
 
         The round output carries every unique candidate with
-        ``fetch_status`` ∈ {hit, miss, deferred, robots, seen}; frontier and
-        metrics derive from it."""
+        ``fetch_status`` ∈ {hit, miss, deferred, robots, seen}; the next
+        round's candidates and metrics derive from it — the round runs TWO
+        Ray Data executions (flags, fetch), down from three."""
         t_start = time.time()
         rdir = self._round_dir(rnd)
         shutil.rmtree(rdir, ignore_errors=True)
         os.makedirs(rdir, exist_ok=True)
         flags_dir = os.path.join(rdir, "flags")
         extracted_dir = os.path.join(rdir, "extracted")
-        next_dir = os.path.join(rdir, "frontier_next")
 
         robots_seen = make_robots_seen_filter_arrow(
             seen.actors, self.num_shards, self.robots
@@ -628,12 +700,23 @@ class CrawlEngine:
         # round then re-reads as more tiny blocks). Blocks stay row-bounded
         # (65536), so the cap never risks memory at scale — a 10^10-URL
         # round simply gets more blocks from the row bound.
-        n_frontier = _count_rows(frontier_path)
-        ctrl_blocks = max(4, min(32, -(-n_frontier // 65536)))
+        ctrl_blocks = max(4, min(32, -(-n_candidates // 65536)))
 
         t_phase = time.time()
+        if src[0] == "seeds":
+            cands = rd.read_parquet(src[1], override_num_blocks=ctrl_blocks)
+        else:
+            # FUSED expansion: the previous round's output is the candidate
+            # source — deferred ledger rows pass through, hit rows expand
+            # their outlinks. Rows carry outlink lists (~KBs/row, no html):
+            # bound read blocks at 16384 rows instead of the thin-row 65536.
+            prev_unique = src[2]
+            link_blocks = max(4, min(32, -(-prev_unique // 16384)))
+            cands = rd.read_parquet(
+                src[1], columns=_EXPAND_COLUMNS, override_num_blocks=link_blocks
+            ).map_batches(_expand_round_output, batch_format="pandas", batch_size=65536)
         (
-            rd.read_parquet(frontier_path, override_num_blocks=ctrl_blocks)
+            cands
             .map_batches(pre_dedup_arrow, batch_format="pyarrow", batch_size=65536)
             .map_batches(robots_seen, batch_format="pyarrow", batch_size=65536)
             .sort(["host", "url_hash", "depth"])
@@ -684,34 +767,7 @@ class CrawlEngine:
                 ray.get([actors[s].add_many.remote(ds) for s, ds in routes.items()])
                 tables.append(_dispatch_fetch(fetch_actors, sel, nb, bsz))
             if len(rest):
-                kind = [
-                    "deferred" if s == "ok" else s for s in rest["status"]
-                ]
-                tables.append(
-                    pa.Table.from_pydict(
-                        {
-                            "url_hash": pa.array(rest["url_hash"], pa.string()),
-                            "canon_url": pa.array(rest["canon_url"], pa.string()),
-                            "host": pa.array(rest["host"], pa.string()),
-                            "depth": pa.array(rest["depth"].astype("int64"), pa.int32()),
-                            "warc_ts": pa.array(rest["warc_ts"].astype("int64"), pa.int64()),
-                            "hrank": pa.array([-1] * len(rest), pa.int32()),
-                            "fetch_status": pa.array(kind, pa.string()),
-                            "text": pa.array([""] * len(rest), pa.string()),
-                            "n_chars": pa.array([0] * len(rest), pa.int32()),
-                            "links": pa.array([[]] * len(rest), pa.list_(pa.string())),
-                            "link_hashes": pa.array([[]] * len(rest), pa.list_(pa.string())),
-                            "link_hosts": pa.array([[]] * len(rest), pa.list_(pa.string())),
-                            "link_warcts": pa.array([[]] * len(rest), pa.list_(pa.int64())),
-                            "lang_pred": pa.array(["und"] * len(rest), pa.string()),
-                            "n_tokens": pa.array([0] * len(rest), pa.int32()),
-                            "alpha_ratio": pa.array([0.0] * len(rest), pa.float64()),
-                            "stopword_ratio": pa.array([0.0] * len(rest), pa.float64()),
-                            "simhash": pa.array([0] * len(rest), pa.int64()),
-                            "fp64": pa.array([0] * len(rest), pa.int64()),
-                        }
-                    )
-                )
+                tables.append(_passthrough_table(rest))
             if not tables:
                 return _EXTRACTED_SCHEMA.empty_table()
             return pa.concat_tables(tables)
@@ -748,83 +804,35 @@ class CrawlEngine:
 
         secs_fetch = round(time.time() - t_phase, 3)
 
-        # metrics from the round output's status column
-        out_status = pads.dataset(extracted_dir, format="parquet").to_table(
-            columns=["fetch_status"]
-        )["fetch_status"].to_pylist()
-        n_sel = sum(s in ("hit", "miss") for s in out_status)
+        # metrics + next-round candidate count from ONE thin column scan of
+        # the round output (fetch_status + the n_links scalar — vectorized,
+        # no list columns touched; spec steps 8-9 are fused into the next
+        # round's flags execution)
+        out = pads.dataset(extracted_dir, format="parquet").to_table(
+            columns=["fetch_status", "n_links"]
+        )
+        st = out["fetch_status"]
+        counts = {
+            k.as_py(): v.as_py()
+            for k, v in zip(*pc.value_counts(st).flatten())
+        }
+        n_sel = counts.get("hit", 0) + counts.get("miss", 0)
+        n_new = int(pc.sum(out["n_links"]).as_py() or 0)
         m = {
             "round": rnd,
-            "candidates": _count_rows(frontier_path),
-            "unique": len(out_status),
-            "seen_dropped": sum(s == "seen" for s in out_status),
-            "robots": sum(s == "robots" for s in out_status),
+            "candidates": int(n_candidates),
+            "unique": out.num_rows,
+            "seen_dropped": counts.get("seen", 0),
+            "robots": counts.get("robots", 0),
             "selected": int(n_sel),
-            "deferred": sum(s == "deferred" for s in out_status),
+            "deferred": counts.get("deferred", 0),
+            "new_candidates": n_new,
+            "next_candidates": n_new + counts.get("deferred", 0),
             "path": "distributed",
             "secs_flags": secs_flags,
             "secs_fixup": secs_fixup,
             "secs_fetch": secs_fetch,
         }
-        if n_sel == 0:
-            _write_empty(next_dir, FRONTIER_SCHEMA)
-            seen.snapshot_to(os.path.join(rdir, "seen"))
-            m["secs"] = round(time.time() - t_start, 3)
-            self._seal(rdir, m)
-            return m
-
-        # spec steps 8-9: deferred ∪ expanded links → next frontier.
-        # Driver-side when the round output is metadata-small, else one more
-        # execution over the round output.
-        t_phase = time.time()
-        if m["unique"] <= max(1, self.driver_threshold):
-            t = pads.dataset(extracted_dir, format="parquet").to_table(
-                columns=["url_hash", "canon_url", "host", "depth", "warc_ts",
-                         "fetch_status", "links", "link_hashes", "link_hosts",
-                         "link_warcts"]
-            )
-            df = t.to_pandas()
-            hits = df[df["fetch_status"] == "hit"]
-            new_cands = expand_links_ts(
-                hits["links"], hits["link_hashes"], hits["link_hosts"],
-                hits["link_warcts"], hits["depth"],
-            )
-            deferred_t = _to_frontier_table(df[df["fetch_status"] == "deferred"])
-            os.makedirs(next_dir, exist_ok=True)
-            pq.write_table(
-                pa.concat_tables([deferred_t, new_cands]),
-                os.path.join(next_dir, "part-0.parquet"),
-            )
-        else:
-
-            def build_next(batch: pd.DataFrame) -> pa.Table:
-                # outlink warc_ts rides in from the fetch actors — the
-                # expansion is pure list assembly, no lookup state
-                hits = batch[batch["fetch_status"] == "hit"]
-                new = expand_links_ts(
-                    hits["links"], hits["link_hashes"], hits["link_hosts"],
-                    hits["link_warcts"], hits["depth"],
-                )
-                deferred_t = _to_frontier_table(batch[batch["fetch_status"] == "deferred"])
-                return pa.concat_tables([deferred_t, new])
-
-            # rows here carry outlink lists (~KBs/row, no text/html): bound
-            # blocks at 16384 rows instead of the thin-row 65536 cap
-            link_blocks = max(4, min(32, -(-m["unique"] // 16384)))
-            rd.read_parquet(
-                extracted_dir,
-                columns=["url_hash", "canon_url", "host", "depth", "warc_ts",
-                         "fetch_status", "links", "link_hashes", "link_hosts",
-                         "link_warcts"],
-                override_num_blocks=link_blocks,
-            ).map_batches(build_next, batch_format="pandas", batch_size=65536).write_parquet(
-                next_dir
-            )
-        if not os.path.isdir(next_dir):  # zero-row write emits nothing
-            _write_empty(next_dir, FRONTIER_SCHEMA)
-        m["secs_next"] = round(time.time() - t_phase, 3)
-        m["new_candidates"] = _count_rows(next_dir) - m["deferred"]
-
         seen.snapshot_to(os.path.join(rdir, "seen"))
         m["secs"] = round(time.time() - t_start, 3)
         self._seal(rdir, m)

@@ -307,11 +307,13 @@ def q_session_windows(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
     """§2.9 session windows (gaps-and-islands): per-user sessions split at
     >30 min of inactivity; one row per session (start, event count, value
     sum). ONE range-partitioned sort by (user_id, ts), vectorized
-    maximal-run sessionization per block, then a metadata-sized merge of
-    block-edge sessions — the engine's sort+boundary-fixup pattern (a
-    per-user ``map_groups`` would pay ~1 ms/key at 1500+ users here and
-    unbounded key counts at scale). The merge input is session summaries
-    (≤ #sessions rows), never events."""
+    maximal-run sessionization per batch, then the engine's
+    sort+boundary-fixup pattern: only the ≤2 EDGE segments per batch (its
+    first and last runs — the only ones that can straddle a batch split)
+    go to the driver merge; interior sessions finalize distributed. The
+    driver never holds more than O(#batches) rows (a per-user
+    ``map_groups`` would pay ~1 ms/key and unbounded key counts at scale;
+    collecting all summaries would pay O(#sessions) driver memory)."""
     GAP_US = 30 * 60 * 1_000_000
 
     empty = pa.schema(
@@ -321,6 +323,7 @@ def q_session_windows(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
             ("end_us", pa.int64()),
             ("n_events", pa.int64()),
             ("sum_value", pa.float64()),
+            ("edge", pa.bool_()),
         ]
     )
 
@@ -335,6 +338,12 @@ def q_session_windows(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
         new[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > GAP_US)
         idx = np.flatnonzero(new)
         ends = np.append(idx[1:], n)
+        # a batch's interior runs are bounded by real >GAP gaps (or user
+        # changes) on BOTH sides inside this batch — final by construction;
+        # only its first and last run can continue across the batch split
+        edge = np.zeros(len(idx), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
         return pa.Table.from_pydict(
             {
                 "user_id": pa.array(u[idx], pa.int64()),
@@ -342,38 +351,63 @@ def q_session_windows(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
                 "end_us": pa.array(ts[ends - 1], pa.int64()),
                 "n_events": pa.array(ends - idx, pa.int64()),
                 "sum_value": pa.array(np.add.reduceat(v, idx), pa.float64()),
+                "edge": pa.array(edge, pa.bool_()),
             }
         )
 
+    def finalize_interior(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["edge"]))
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"],
+                "session_start": t["start_us"],
+                "n_events": t["n_events"],
+                "sum_value": pc.round(t["sum_value"], 2),
+            }
+        )
+
+    def edges_only(t: pa.Table) -> pa.Table:
+        return t.filter(t["edge"])
+
+    # segment summaries (≤ #sessions rows, output-sized) materialize in the
+    # object store so the edge collect and the interior finalize don't
+    # re-run the event sort
     segs = (
         _read(sf_dir, "events", ["user_id", "ts", "value"])
         .sort(["user_id", "ts"])
         .map_batches(sess_batch, batch_format="pyarrow", batch_size=batch_size)
-        .to_pandas()
+        .materialize()
     )
-    if len(segs) == 0:
-        return pd.DataFrame(columns=["user_id", "session_start", "n_events", "sum_value"])
-    # block-edge fixup: blocks partition the sorted stream, so per-user
-    # segments are time-disjoint and ordered — adjacent segments merge when
-    # the inactivity gap across the edge is <= GAP (chains fold via cumsum)
-    segs = segs.sort_values(["user_id", "start_us"]).reset_index(drop=True)
-    brk = (segs["user_id"] != segs["user_id"].shift()) | (
-        (segs["start_us"] - segs["end_us"].shift()) > GAP_US
+    interior = segs.map_batches(finalize_interior, batch_format="pyarrow")
+    edges = segs.map_batches(edges_only, batch_format="pyarrow").to_pandas()
+    if len(edges) == 0:
+        out = interior.to_pandas()
+        if len(out) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "session_start", "n_events", "sum_value"]
+            )
+        return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    # edge fixup (metadata-sized: ≤2 rows per batch): batches partition the
+    # sorted stream, so per-user edge segments are time-disjoint and ordered
+    # — adjacent ones merge when the inactivity gap across the split is
+    # <= GAP (chains spanning many batches fold via cumsum). An interior
+    # segment can never fall between two mergeable edges: the batch's first
+    # run ends with a real >GAP gap before any interior run starts.
+    edges = edges.sort_values(["user_id", "start_us"]).reset_index(drop=True)
+    brk = (edges["user_id"] != edges["user_id"].shift()) | (
+        (edges["start_us"] - edges["end_us"].shift()) > GAP_US
     )
-    out = (
-        segs.groupby(brk.cumsum(), as_index=False)
-        .agg(
-            user_id=("user_id", "first"),
-            session_start=("start_us", "min"),
-            n_events=("n_events", "sum"),
-            sum_value=("sum_value", "sum"),
-        )
-        .drop(columns=[])
+    merged = edges.groupby(brk.cumsum(), as_index=False).agg(
+        user_id=("user_id", "first"),
+        session_start=("start_us", "min"),
+        n_events=("n_events", "sum"),
+        sum_value=("sum_value", "sum"),
     )
-    out["sum_value"] = out["sum_value"].round(2)
+    merged["sum_value"] = merged["sum_value"].round(2)
+    merged = merged[["user_id", "session_start", "n_events", "sum_value"]]
+    out = pd.concat([interior.to_pandas(), merged], ignore_index=True)
     return (
-        out[["user_id", "session_start", "n_events", "sum_value"]]
-        .sort_values(["user_id", "session_start"])
+        out.sort_values(["user_id", "session_start"])
         .reset_index(drop=True)
     )
 

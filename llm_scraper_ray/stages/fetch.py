@@ -37,7 +37,7 @@ from ..state.tokenbucket import TokenBucket
 EXTRACTED_FIELDS = [
     "url_hash", "canon_url", "host", "depth", "warc_ts", "hrank",
     "fetch_status", "text", "n_chars", "links", "link_hashes", "link_hosts",
-    "link_warcts",
+    "link_warcts", "n_links",
     "lang_pred", "n_tokens", "alpha_ratio", "stopword_ratio", "simhash", "fp64",
 ]
 
@@ -196,6 +196,10 @@ class FetchExtract:
                 "link_hashes": pa.array(lhash_col, pa.list_(pa.string())),
                 "link_hosts": pa.array(lhost_col, pa.list_(pa.string())),
                 "link_warcts": pa.array(lts_col, pa.list_(pa.int64())),
+                # next round's candidate count derives from sum(n_links) —
+                # the fused frontier expansion never materializes a frontier
+                # table, so the loop control needs this scalar per row
+                "n_links": pa.array([len(r) for r in links_col], pa.int32()),
                 "lang_pred": pa.array(langs, pa.string()),
                 "n_tokens": pa.array(n_tokens, pa.int32()),
                 "alpha_ratio": pa.array(alpha_ratios, pa.float64()),
