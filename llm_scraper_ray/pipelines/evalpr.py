@@ -16,16 +16,16 @@ Two reference pipelines the round-1 build left unwired:
   - **3-tier fallback extraction cascade** (E8): the reference's
     ``crawl4ai_extraction.py:99-184`` tries the declarative CSS schema,
     falls back to the browser+manual parser on empty results, then to the
-    LLM. Here: tier-1 schema extraction over every page, then each
-    fallback tier re-reads ONLY the failed pages (failure-mass-bounded
-    broadcast semi-join) — the filter+union two-pass shape.
+    LLM. The reference decides the fallback PER PAGE, so the cascade fuses
+    into one actor-pool pass (CascadeExtract): each row falls through the
+    tiers inside its batch — no failure-set broadcast, no corpus re-reads,
+    no driver materialization between tiers.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Mean
 
@@ -131,150 +131,77 @@ def precision_recall_eval(
 # E8 — 3-tier fallback extraction cascade
 
 
-class SchemaTier:
-    """Tier 1 — declarative selector-config extraction (E2/E8 schema path,
-    ``crawl4ai_extraction.py:19-48``)."""
+class CascadeExtract:
+    """The whole schema → module → LLM cascade as ONE actor (all three
+    tiers' state built once per worker in ``__init__``). The reference's
+    fallback is decided per page (``crawl4ai_extraction.py:99-184`` tries
+    the next strategy on the page that failed), so the routing never needs
+    to leave the batch: each row runs tier 1, falls to tier 2 only on
+    empty fields, to tier 3 only when the module parse is empty too.
 
-    def __init__(self, config: dict):
-        self.config = config
+    One pass over the pages corpus — no failure-set broadcast, no
+    re-reads, no driver materialization (round 2's shape collected every
+    tier's output on the driver and broadcast failed url_hash sets; at
+    unbounded tier-1 failure mass that was neither driver- nor
+    object-store-safe)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.fields import extract_fields
-        from ..functions.fuzzy import deduplicate_fields
-
-        out = {"url_hash": [], "product_name": [], "n_fields": []}
-        for h, html in zip(batch["url_hash"], batch["html"]):
-            fields = deduplicate_fields(extract_fields(bytes(html.as_py()), self.config))
-            out["url_hash"].append(h.as_py().hex())
-            out["product_name"].append(fields.get("product_name", ""))
-            out["n_fields"].append(len(fields))
-        return pa.Table.from_pydict(
-            {
-                "url_hash": pa.array(out["url_hash"], pa.string()),
-                "product_name": pa.array(out["product_name"], pa.string()),
-                "n_fields": pa.array(out["n_fields"], pa.int64()),
-            }
-        )
-
-
-class ModuleTier:
-    """Tier 2 — host-module content parser (E4/E5 fallback,
-    ``crawl4ai_extraction.py:135-158``'s manual-extraction arm; module
-    registry dispatch per SURVEY.md §2.10)."""
-
-    def __init__(self, module_name: str = "generic"):
+    def __init__(self, config: dict, module_name: str = "generic"):
         from ..functions.content import MODULES
 
-        self.module = MODULES[module_name]
+        self.config = config          # tier 1: declarative selector schema
+        self.module = MODULES[module_name]  # tier 2: host-module parser
+        self.ner = EntityExtractor()  # tier 3: LLM-shim last resort
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def extract_one(self, raw: bytes) -> tuple[str, int, str]:
         import ast
 
         from ..functions.dom import parse_dom
-
-        out = {"url_hash": [], "product_name": [], "n_fields": []}
-        for h, html in zip(batch["url_hash"], batch["html"]):
-            text, _ = self.module.parse_products(parse_dom(bytes(html.as_py())))
-            product = ast.literal_eval(text)
-            out["url_hash"].append(h.as_py().hex())
-            out["product_name"].append(product.get("name") or "")
-            out["n_fields"].append(sum(1 for v in product.values() if v))
-        return pa.Table.from_pydict(
-            {
-                "url_hash": pa.array(out["url_hash"], pa.string()),
-                "product_name": pa.array(out["product_name"], pa.string()),
-                "n_fields": pa.array(out["n_fields"], pa.int64()),
-            }
-        )
-
-
-class LLMTier:
-    """Tier 3 — LLM-shim extraction over the cleaned text (the reference's
-    last-resort ``LLMExtractionStrategy``, ``crawl4ai_extraction.py:160-184``)."""
-
-    def __init__(self):
-        self.ner = EntityExtractor()
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.fields import extract_fields
+        from ..functions.fuzzy import deduplicate_fields
         from ..functions.html_text import extract_text
 
-        out = {"url_hash": [], "product_name": [], "n_fields": []}
-        for h, html in zip(batch["url_hash"], batch["html"]):
-            ents = self.ner.extract(extract_text(bytes(html.as_py())))
-            out["url_hash"].append(h.as_py().hex())
-            out["product_name"].append(ents[0] if ents else "")
-            out["n_fields"].append(1 if ents else 0)
+        # tier 1 — E2/E8 schema path (crawl4ai_extraction.py:19-48)
+        fields = deduplicate_fields(extract_fields(raw, self.config))
+        if fields:
+            return fields.get("product_name", ""), len(fields), "schema"
+        # tier 2 — host-module content parser (E4/E5 fallback, :135-158)
+        text, _ = self.module.parse_products(parse_dom(raw))
+        product = ast.literal_eval(text)
+        n = sum(1 for v in product.values() if v)
+        if n:
+            return product.get("name") or "", n, "module"
+        # tier 3 — LLM shim over the cleaned text (:160-184)
+        ents = self.ner.extract(extract_text(raw))
+        return (ents[0] if ents else ""), (1 if ents else 0), "llm"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self.extract_one(bytes(h.as_py())) for h in batch["html"]]
         return pa.Table.from_pydict(
             {
-                "url_hash": pa.array(out["url_hash"], pa.string()),
-                "product_name": pa.array(out["product_name"], pa.string()),
-                "n_fields": pa.array(out["n_fields"], pa.int64()),
+                "url_hash": pa.array(
+                    [h.as_py().hex() for h in batch["url_hash"]], pa.string()
+                ),
+                "product_name": pa.array([r[0] for r in rows], pa.string()),
+                "n_fields": pa.array([r[1] for r in rows], pa.int64()),
+                "tier": pa.array([r[2] for r in rows], pa.string()),
             }
         )
-
-
-def _tag_tier(ds: rd.Dataset, tier: str) -> rd.Dataset:
-    def fn(t: pa.Table) -> pa.Table:
-        return t.append_column("tier", pa.array([tier] * t.num_rows, pa.string()))
-
-    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def extract_cascade(pages_dir: str, config: dict, concurrency: int = 2) -> pd.DataFrame:
-    """schema → module → LLM fallback cascade as filter+union passes.
-
-    Every page runs tier 1; each fallback pass re-reads ONLY the pages the
-    previous tier failed on (broadcast semi-filter on the failed url_hash
-    set — failure-mass-bounded, never the corpus). Output: one row per
-    page with the winning tier."""
-    kw = dict(concurrency=concurrency, batch_size=256, batch_format="pyarrow", num_cpus=0.25)
-
-    t1 = rd.read_parquet(pages_dir, columns=["url_hash", "html"]).map_batches(
-        SchemaTier, fn_constructor_kwargs={"config": config}, **kw
-    ).materialize()
-    ok1 = _tag_tier(t1.filter(expr="n_fields > 0"), "schema")
-    miss1 = set(
-        pd.concat(
-            [b["url_hash"] for b in t1.filter(expr="n_fields == 0").iter_batches(batch_format="pandas")]
-            or [pd.Series([], dtype="object")]
+    """schema → module → LLM fallback cascade, fused into one actor-pool
+    pass (see CascadeExtract). Output: one row per page with the winning
+    tier; only the final per-page result rows are collected."""
+    out = (
+        rd.read_parquet(pages_dir, columns=["url_hash", "html"])
+        .map_batches(
+            CascadeExtract,
+            fn_constructor_kwargs={"config": config},
+            concurrency=concurrency,
+            batch_size=256,
+            batch_format="pyarrow",
+            num_cpus=0.25,
         )
+        .to_pandas()
     )
-    if not miss1:
-        out = ok1.to_pandas()
-        return out.sort_values("url_hash").reset_index(drop=True)
-
-    miss1_ref = ray.put(miss1)
-
-    def only_missed(ref):
-        def fn(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            failed = ray.get(ref)
-            hexes = pa.array([h.hex() for h in t["url_hash"].to_pylist()], pa.string())
-            return t.filter(pc.is_in(hexes, value_set=pa.array(sorted(failed), pa.string())))
-
-        return fn
-
-    pages2 = rd.read_parquet(pages_dir, columns=["url_hash", "html"]).map_batches(
-        only_missed(miss1_ref), batch_format="pyarrow"
-    )
-    t2 = pages2.map_batches(ModuleTier, **kw).materialize()
-    ok2 = _tag_tier(t2.filter(expr="n_fields > 0"), "module")
-    miss2 = set(
-        pd.concat(
-            [b["url_hash"] for b in t2.filter(expr="n_fields == 0").iter_batches(batch_format="pandas")]
-            or [pd.Series([], dtype="object")]
-        )
-    )
-
-    parts = [ok1.to_pandas(), ok2.to_pandas()]
-    if miss2:
-        miss2_ref = ray.put(miss2)
-        pages3 = rd.read_parquet(pages_dir, columns=["url_hash", "html"]).map_batches(
-            only_missed(miss2_ref), batch_format="pyarrow"
-        )
-        t3 = _tag_tier(pages3.map_batches(LLMTier, **kw), "llm")
-        parts.append(t3.to_pandas())
-
-    out = pd.concat(parts, ignore_index=True)
     return out.sort_values("url_hash").reset_index(drop=True)

@@ -236,6 +236,46 @@ def _empty_pairs(val_col: str, val_dtype: str = "float64") -> pd.DataFrame:
     )
 
 
+def grouped_pair_expansion(bucket_rows: rd.Dataset, df_cap: int = DF_CAP) -> rd.Dataset:
+    """(bkey:int64, doc_id:int64, bucket:int64) rows → deduped candidate
+    (doc_a, doc_b) pairs, fully distributed: ONE ``groupby(bucket)`` (NB
+    keys — flat per-key cost) co-locates every row of a given LSH key so
+    frequency counting, the 2..df_cap keep-band and the quadratic
+    self-merge run inside vectorized per-group pandas; a second NB-key
+    groupby on a pair-mixed partition column dedups cross-band repeats.
+    Shared by the shingle-MinHash and embedding-hyperplane LSH paths."""
+
+    def bucket_cands(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["bkey"].value_counts()
+        kept = vc[(vc >= 2) & (vc <= df_cap)].index
+        g = g[g["bkey"].isin(kept)]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_a", "doc_b", "pbucket")}
+            )
+        m = g.merge(g, on="bkey", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        pp = (
+            m[["doc_id_a", "doc_id_b"]]
+            .drop_duplicates()
+            .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+        )
+        pp["pbucket"] = (
+            (pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % NUM_BUCKETS
+        ).astype("int64")
+        return pp.astype("int64")
+
+    def dedup_cands(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["doc_a", "doc_b"]].drop_duplicates().astype("int64")
+
+    return (
+        bucket_rows.groupby("bucket")
+        .map_groups(bucket_cands, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedup_cands, batch_format="pandas")
+    )
+
+
 def minhash_lsh_dups(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup detection, Jaccard-verified, distributed:
 
@@ -278,38 +318,10 @@ def minhash_lsh_dups(sf_dir: str) -> pd.DataFrame:
             "bucket", pc.cast(pc.bit_wise_and(t["bkey"], NUM_BUCKETS - 1), pa.int64())
         )
 
-    def bucket_cands(g: pd.DataFrame) -> pd.DataFrame:
-        vc = g["bkey"].value_counts()
-        kept = vc[(vc >= 2) & (vc <= DF_CAP)].index
-        g = g[g["bkey"].isin(kept)]
-        if len(g) == 0:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype="int64") for c in ("doc_a", "doc_b", "pbucket")}
-            )
-        m = g.merge(g, on="bkey", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        pp = (
-            m[["doc_id_a", "doc_id_b"]]
-            .drop_duplicates()
-            .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
-        )
-        pp["pbucket"] = (
-            (pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % NUM_BUCKETS
-        ).astype("int64")
-        return pp.astype("int64")
-
-    def dedup_cands(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["doc_a", "doc_b"]].drop_duplicates().astype("int64")
-
     shingles = doc_shingles(sf_dir)
-    cands = (
+    cands = grouped_pair_expansion(
         shingles.map_batches(sig_batch, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_cands, batch_format="pandas")
-        .groupby("pbucket")
-        .map_groups(dedup_cands, batch_format="pandas")
-        .materialize()
-    )
+    ).materialize()
     if cands.count() == 0:
         return _empty_pairs("jaccard")
 

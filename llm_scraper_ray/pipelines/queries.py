@@ -1136,6 +1136,7 @@ def all_queries():
         "doc_sample": q_doc_sample,
         # embedding near-dup + ANN scale path
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         # search-driven discovery (F12/F13)
@@ -1261,7 +1262,11 @@ def q_kg_nodes(sf_dir: str) -> pd.DataFrame:
     from .triplets import kg_tables
 
     nodes, _ = kg_tables(rd.from_pandas(_deduped_triplets_df(sf_dir)))
-    return nodes
+    return (
+        nodes.to_pandas()
+        .sort_values(["node_type", "node_key"])
+        .reset_index(drop=True)
+    )
 
 
 def q_kg_export(sf_dir: str) -> pd.DataFrame:
@@ -1463,6 +1468,126 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 ORDER BY vec_a, vec_b
 """
+
+
+def q_embedding_dups_lsh(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup pairs — the banded hyperplane-LSH SCALE path for
+    what q_embedding_dups brute-forces (q_embedding_dups stays the SQL
+    oracle twin; this is the 10^9-row formulation):
+
+    each batch hashes its own vectors into ``n_bands`` sign-bit band keys
+    (norm-invariant, no broadcast matrix) → the same NB-key
+    ``grouped_pair_expansion`` the shingle-MinHash path uses (bucket
+    df-cap, in-group pair emission, cross-band dedup) → exact-cosine
+    verification via ``Dataset.join`` of the candidate pairs against the
+    candidate vectors only (candidate-mass-bounded — the corpus matrix is
+    never broadcast). Band-key width scales with corpus size so buckets
+    stay bounded; at this corpus's unusually low 0.45 threshold the
+    sign-bit collision prob is 0.65/bit, so recall is band-count-bounded
+    (pytest asserts ≥0.6 recall vs the oracled brute force; at a realistic
+    0.9 near-dup threshold the same parameters give ≥0.99).
+
+    Rows-only (hash semantics are not SQL)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from .neardup import _MASK63, _PAIR_MIX, NUM_BUCKETS, grouped_pair_expansion
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    pf = pq.ParquetFile(emb_path)
+    n = pf.metadata.num_rows
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+    n_bits = max(5, int(math.ceil(math.log2(max(2, n / 16)))))
+    n_bands = 24
+    rng = np.random.RandomState(11)
+    planes_ref = ray.put(rng.randn(n_bands, dim, n_bits))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        mat = _emb_matrix(batch["embedding"])
+        weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+        keys = [
+            (np.int64(b) << np.int64(n_bits))
+            | (((mat @ pl[b]) > 0) @ weights).astype(np.int64)
+            for b in range(n_bands)
+        ]
+        bkey = np.concatenate(keys)
+        return pa.Table.from_pydict(
+            {
+                "bkey": pa.array(bkey, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, n_bands), pa.int64()),
+                "bucket": pa.array(
+                    ((bkey * _PAIR_MIX) & _MASK63) % NUM_BUCKETS, pa.int64()
+                ),
+            }
+        )
+
+    emb = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    cands = grouped_pair_expansion(
+        emb.map_batches(band_rows, batch_format="pyarrow")
+    ).materialize()
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cos_sim": pd.Series([], dtype="float64"),
+        }
+    )
+    if cands.count() == 0:
+        return empty
+
+    # verification inputs: candidate vectors only (near-dup-mass-bounded)
+    need: set[int] = set()
+    for b in cands.iter_batches(batch_format="pandas"):
+        need.update(int(x) for x in b["doc_a"])
+        need.update(int(x) for x in b["doc_b"])
+    need_ref = ray.put(np.fromiter(need, np.int64, len(need)))
+
+    def only_needed(batch: pa.Table) -> pa.Table:
+        keep = ray.get(need_ref)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        mask = np.isin(ids, keep)
+        mat = _emb_matrix(batch["embedding"])[mask]
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pa.Table.from_pydict(
+            {
+                "vid": pa.array(ids[mask], pa.int64()),
+                "blob": pa.array([r.tobytes() for r in mat], pa.binary()),
+            }
+        )
+
+    filtered = emb.map_batches(only_needed, batch_format="pyarrow").materialize()
+
+    def _rename(key_name: str, blob_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([key_name, blob_name])
+
+        return fn
+
+    va = filtered.map_batches(_rename("va", "blob_a"), batch_format="pyarrow")
+    vb = filtered.map_batches(_rename("vb", "blob_b"), batch_format="pyarrow")
+    joined = cands.join(
+        va, "inner", num_partitions=8, on=("doc_a",), right_on=("va",)
+    ).join(vb, "inner", num_partitions=8, on=("doc_b",), right_on=("vb",))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sims = [
+            round(float(np.frombuffer(a, np.float64) @ np.frombuffer(b, np.float64)), 4)
+            for a, b in zip(batch["blob_a"], batch["blob_b"])
+        ]
+        out = pd.DataFrame(
+            {"vec_a": batch["doc_a"], "vec_b": batch["doc_b"], "cos_sim": sims}
+        )
+        return out[out["cos_sim"] >= _EMB_DUP_THRESHOLD]
+
+    out = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return empty
+    out = out.astype({"vec_a": "int64", "vec_b": "int64"})
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
 def _lsh_planes(n: int) -> int:

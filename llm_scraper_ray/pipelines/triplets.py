@@ -96,11 +96,12 @@ def dedup_triplets(validated: rd.Dataset) -> rd.Dataset:
     )
 
 
-def kg_tables(triplets: rd.Dataset) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """S12/J4 — node + edge tables with the reference's key discipline:
+def kg_tables(triplets: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
+    """S12/J4 — node + edge DATASETS with the reference's key discipline:
     node key = whitespace-stripped, forbidden-chars→'_' name (E19,
     ``KG.py:48-52,63-81``); nodes deduped by (type, key) first-wins; edges
-    carry float weights (``KG.py:84-103``)."""
+    carry float weights (``KG.py:84-103``). Both stay Datasets end-to-end
+    so the sink streams — nothing KG-table-sized touches the driver."""
 
     def explode_nodes(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -113,9 +114,6 @@ def kg_tables(triplets: rd.Dataset) -> tuple[pd.DataFrame, pd.DataFrame]:
         triplets.map_batches(explode_nodes, batch_format="pandas")
         .groupby(["node_type", "node_key"])
         .aggregate(Min("name", alias_name="name"))
-        .to_pandas()
-        .sort_values(["node_type", "node_key"])
-        .reset_index(drop=True)
     )
 
     def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
@@ -130,50 +128,45 @@ def kg_tables(triplets: rd.Dataset) -> tuple[pd.DataFrame, pd.DataFrame]:
             }
         )
 
-    edges = (
-        triplets.map_batches(edge_rows, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["from_key", "relationship", "to_key"])
-        .reset_index(drop=True)
-    )
+    edges = triplets.map_batches(edge_rows, batch_format="pandas")
     return nodes, edges
 
 
-def write_kg_json(nodes: pd.DataFrame, edges: pd.DataFrame, out_dir: str) -> dict:
+def write_kg_json(nodes: rd.Dataset, edges: rd.Dataset, out_dir: str) -> dict:
     """S12 terminal stage + S8 JSON sink: the reference loads nodes (deduped
     by key) then edges into ArangoDB (``KG.py:447-471``); with no graph DB
     here the load becomes partitioned JSON-lines collections a bulk importer
     consumes — one directory per collection, resumable by re-writing a
-    directory."""
+    directory. Each collection materializes in the OBJECT STORE (so the
+    manifest count doesn't re-run the upstream groupby) and streams to
+    ``write_json`` — no driver pandas round-trip."""
     import shutil
 
-    import ray.data as rd
-
-    paths = {}
-    for name, df in (("nodes", nodes), ("edges", edges)):
+    counts, paths = {}, {}
+    for name, ds in (("nodes", nodes), ("edges", edges)):
         p = os.path.join(out_dir, name)
         shutil.rmtree(p, ignore_errors=True)
         os.makedirs(p, exist_ok=True)
-        rd.from_pandas(df).write_json(p)
+        ds = ds.materialize()
+        ds.write_json(p)
+        counts[name] = ds.count()
         paths[name] = p
     return {
-        "nodes": len(nodes),
-        "edges": len(edges),
+        "nodes": counts["nodes"],
+        "edges": counts["edges"],
         "node_files": len(os.listdir(paths["nodes"])),
         "edge_files": len(os.listdir(paths["edges"])),
     }
 
 
-def top_vertices_by_edges(edges: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+def top_vertices_by_edges(edges: rd.Dataset, k: int = 10) -> pd.DataFrame:
     """J5/A7/O4 — per-vertex inbound edge count, top-k
-    (``search_validation_playwright.py:214-226`` AQL restated)."""
-    counts = (
-        edges.groupby(["to_type", "to_key"], as_index=False)
-        .size()
-        .rename(columns={"size": "n_edges"})
-    )
+    (``search_validation_playwright.py:214-226`` AQL restated): Dataset
+    groupby+count, then sort+limit — only k rows reach the driver."""
     return (
-        counts.sort_values(["n_edges", "to_key"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
+        edges.groupby(["to_type", "to_key"])
+        .aggregate(Count(alias_name="n_edges"))
+        .sort(["n_edges", "to_key"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
     )

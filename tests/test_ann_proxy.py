@@ -42,6 +42,26 @@ def test_embedding_dups_symmetric_unique(ray_session):
     assert (out["cos_sim"] >= 0.45).all()
 
 
+def test_embedding_dups_lsh_recall_and_precision(ray_session):
+    """Banded hyperplane-LSH near-dup pairs: verified pairs ⊆ the oracled
+    brute force (exact precision — verification computes true cosine) and
+    recall ≥0.6 at the 0.45 threshold."""
+    from llm_scraper_ray.pipelines.queries import (
+        q_embedding_dups,
+        q_embedding_dups_lsh,
+    )
+
+    exact = q_embedding_dups("/root/testdata/sf0.001")
+    lsh = q_embedding_dups_lsh("/root/testdata/sf0.001")
+    exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+    lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert lsh_pairs <= exact_pairs
+    assert len(lsh_pairs & exact_pairs) / max(1, len(exact_pairs)) >= 0.6
+    bf = {(a, b): s for a, b, s in zip(exact["vec_a"], exact["vec_b"], exact["cos_sim"])}
+    for a, b, s in zip(lsh["vec_a"], lsh["vec_b"], lsh["cos_sim"]):
+        assert abs(bf[(a, b)] - s) < 1e-9
+
+
 def test_proxy_pool_rotation():
     p = ProxyPoolState(["a", "b", "c"])
     assert p.current() == "a"
