@@ -96,6 +96,26 @@ def quality_features(text: str) -> dict[str, float]:
     }
 
 
+def quality_counts(text: str) -> dict[str, int]:
+    """The integer numerators/denominators behind ``quality_features`` —
+    the SQL-oracle-friendly presentation (exact counts, no float rounding
+    mode to match across engines)."""
+    words = _WORD.findall(text.lower())
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    stops = _LANG_STOPWORDS["en"]
+    return {
+        "n_chars": len(text),
+        "n_words": len(words),
+        "n_punct": len(_PUNCT.findall(text)),
+        "n_alpha": sum(ch.isalpha() for ch in text),
+        "n_stop": sum(1 for w in words if w in stops),
+        "sum_word_len": sum(len(w) for w in words),
+        "max_word_count": max(counts.values()) if counts else 0,
+    }
+
+
 # -- fingerprints ----------------------------------------------------------
 
 _FNV64_OFFSET = 0xCBF29CE484222325

@@ -86,6 +86,7 @@ def oracle_crawl(corpus: PagesCorpus, max_rounds: int = 64) -> OracleResult:
                 best[cand[0]] = cand
         # 2. SEEN
         cands = [c for c in best.values() if c[0] not in res.seen]
+        n_seen_dropped = len(best) - len(cands)
         # 3. ROBOTS (blocked → seen)
         kept = []
         n_robots = 0
@@ -98,7 +99,11 @@ def oracle_crawl(corpus: PagesCorpus, max_rounds: int = 64) -> OracleResult:
                 kept.append(c)
         if not kept:
             res.metrics.append(
-                {"round": rnd, "candidates": len(frontier), "robots": n_robots, "selected": 0}
+                {
+                    "round": rnd, "candidates": len(frontier), "unique": len(best),
+                    "seen_dropped": n_seen_dropped, "robots": n_robots,
+                    "selected": 0, "deferred": 0,
+                }
             )
             res.rounds = rnd
             break
@@ -125,13 +130,14 @@ def oracle_crawl(corpus: PagesCorpus, max_rounds: int = 64) -> OracleResult:
         res.order.extend(c[0] for _, _, c in ranked)
         # 6/8. FETCH + EXPAND
         new_cands = []
-        for _, _, c in ranked:
+        for hrank, _, c in ranked:
             hsh, canon, host, depth, ts = c
             page = pages.get(hsh)
             if page is None:
                 res.extracted[hsh] = {
                     "canon_url": canon, "depth": depth, "warc_ts": ts,
-                    "fetch_status": "miss", "text": "", "n_links": 0,
+                    "hrank": hrank, "fetch_status": "miss", "text": "",
+                    "n_chars": 0, "n_links": 0,
                 }
                 continue
             html, pts, pcanon, phost = page
@@ -146,12 +152,15 @@ def oracle_crawl(corpus: PagesCorpus, max_rounds: int = 64) -> OracleResult:
                 n_links += 1
             res.extracted[hsh] = {
                 "canon_url": canon, "depth": depth, "warc_ts": ts,
-                "fetch_status": "hit", "text": text, "n_links": n_links,
+                "hrank": hrank, "fetch_status": "hit", "text": text,
+                "n_chars": len(text), "n_links": n_links,
             }
         res.metrics.append(
             {
                 "round": rnd,
                 "candidates": len(frontier),
+                "unique": len(best),
+                "seen_dropped": n_seen_dropped,
                 "robots": n_robots,
                 "selected": len(selected),
                 "deferred": len(deferred),
@@ -163,3 +172,71 @@ def oracle_crawl(corpus: PagesCorpus, max_rounds: int = 64) -> OracleResult:
         if not frontier:
             break
     return res
+
+
+# bump when oracle semantics / persisted shapes change (cache key component)
+ORACLE_VERSION = 1
+
+
+def persist_expected(sf_dir: str, max_rounds: int = 64) -> str:
+    """Run the sequential oracle ONCE per (corpus, oracle version) and
+    persist its expected extracted/order/metrics tables as Parquet beside
+    the corpus cache — giving the driver's crawl queries real oracle SQL
+    (``SELECT .. FROM read_parquet(expected)``), so engine-vs-independent-
+    oracle equality shows up as green CORRECTNESS rows instead of living
+    only in pytest. Returns the sealed directory."""
+    import json
+
+    import pyarrow as pa
+
+    from ..sources.pages import GEN_VERSION, generate_corpus
+
+    corpus = generate_corpus(sf_dir)
+    exp_dir = os.path.join(
+        os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache"),
+        "expected-{}-n{}-g{}-o{}".format(
+            os.path.basename(os.path.normpath(sf_dir)),
+            corpus.n_pages, GEN_VERSION, ORACLE_VERSION,
+        ),
+    )
+    done = os.path.join(exp_dir, "DONE.json")
+    if os.path.exists(done):
+        return exp_dir
+    res = oracle_crawl(corpus, max_rounds=max_rounds)
+    os.makedirs(exp_dir, exist_ok=True)
+
+    hashes = sorted(res.extracted)
+    rows = [res.extracted[h] for h in hashes]
+    pq.write_table(
+        pa.table(
+            {
+                "url_hash": pa.array([h.hex() for h in hashes], pa.string()),
+                "canon_url": pa.array([r["canon_url"] for r in rows], pa.string()),
+                "depth": pa.array([r["depth"] for r in rows], pa.int64()),
+                "hrank": pa.array([r["hrank"] for r in rows], pa.int64()),
+                "fetch_status": pa.array([r["fetch_status"] for r in rows], pa.string()),
+                "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(exp_dir, "extracted.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "ord": pa.array(range(len(res.order)), pa.int64()),
+                "url_hash": pa.array([h.hex() for h in res.order], pa.string()),
+            }
+        ),
+        os.path.join(exp_dir, "order.parquet"),
+    )
+    cols = ["round", "candidates", "unique", "seen_dropped", "robots",
+            "selected", "deferred"]
+    pq.write_table(
+        pa.table(
+            {c: pa.array([m[c] for m in res.metrics], pa.int64()) for c in cols}
+        ),
+        os.path.join(exp_dir, "metrics.parquet"),
+    )
+    with open(done, "w") as f:
+        json.dump({"rounds": res.rounds, "urls": len(res.order)}, f)
+    return exp_dir

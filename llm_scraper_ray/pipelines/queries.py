@@ -691,6 +691,55 @@ def q_doc_quality_full(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
+
+def q_doc_quality_full_sql(sf_dir: str) -> pd.DataFrame:
+    """The SQL-expressible slice of the full quality vector as exact integer
+    counts (every ratio's numerator/denominator; no float rounding mode to
+    match across engines). ``doc_quality_full`` keeps the float ratios plus
+    ``n_tokens_bpe``, which stays rows-only — RE2 cannot express the GPT-2
+    pre-tokenizer's lookahead."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = [A.quality_counts(t) for t in batch["text"]]
+        out = pd.DataFrame(rows).astype("int64")
+        out.insert(0, "doc_id", list(batch["doc_id"]))
+        return out
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_STOPS_EN_SQL = ", ".join(
+    f"'{w}'"
+    for w in "the of and to in a is that it was for on are with as be at by this have from or had not but what all were when we there".split()
+)
+
+_SQL_DOC_QUALITY_FULL = f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w FROM documents
+), wc AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS word FROM words)
+  GROUP BY doc_id, word
+), mw AS (
+  SELECT doc_id, max(c) AS max_word_count FROM wc GROUP BY doc_id
+)
+SELECT d.doc_id,
+  length(d.text) AS n_chars,
+  len(words.w) AS n_words,
+  length(d.text) - length(regexp_replace(d.text, '[^[:alnum:][:space:]_]', '', 'g')) AS n_punct,
+  length(d.text) - length(regexp_replace(d.text, '[[:alpha:]]', '', 'g')) AS n_alpha,
+  len(list_filter(words.w, x -> list_contains([{_STOPS_EN_SQL}], x))) AS n_stop,
+  coalesce(list_aggregate(list_transform(words.w, x -> length(x)), 'sum'), 0) AS sum_word_len,
+  coalesce(mw.max_word_count, 0) AS max_word_count
+FROM documents d
+JOIN words ON d.doc_id = words.doc_id
+LEFT JOIN mw ON d.doc_id = mw.doc_id
+ORDER BY d.doc_id
+"""
+
 # ---------------------------------------------------------------------------
 # near-duplicate detection (cross-document — beyond the reference's E10
 # within-document dedup; SURVEY.md §2.8 notes the reference has none)
@@ -872,12 +921,15 @@ def _crawl_for(sf_dir: str):
 
 
 def q_crawl_extracted(sf_dir: str) -> pd.DataFrame:
-    """Full frontier crawl → extracted table (fetch+extract north star)."""
+    """Full frontier crawl → extracted table (fetch+extract north star).
+    Oracled: the driver compares against the sequential oracle crawler's
+    persisted expected table (pipelines/oracle.py persist_expected)."""
     _, result = _crawl_for(sf_dir)
     t = result.collect_extracted()
     df = t.select(
         ["url_hash", "canon_url", "depth", "hrank", "fetch_status", "n_chars"]
     ).to_pandas()
+    df = df.astype({"depth": "int64", "hrank": "int64", "n_chars": "int64"})
     return df.sort_values("url_hash").reset_index(drop=True)
 
 
@@ -896,7 +948,7 @@ def q_crawl_metrics(sf_dir: str) -> pd.DataFrame:
         "round", "candidates", "unique", "seen_dropped", "robots",
         "selected", "deferred",
     ]
-    return df[cols]
+    return df[cols].astype("int64")
 
 
 # ---------------------------------------------------------------------------
@@ -1108,6 +1160,7 @@ def all_queries():
         "doc_fingerprint": q_doc_fingerprint,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_full": q_doc_quality_full,
+        "doc_quality_full_sql": q_doc_quality_full_sql,
         # near-dup / similarity
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -1148,8 +1201,36 @@ def all_queries():
     }
 
 
+def _crawl_oracle_sqls() -> dict[str, str]:
+    """Oracle SQL for the crawl core: trivial SELECTs over the sequential
+    oracle crawler's PERSISTED expected tables (an independent
+    implementation — pipelines/oracle.py), so engine-vs-oracle equality is
+    driver-visible, not pytest-only. The compare scale is the driver's
+    (sf0.01); check_queries overrides via LLMSR_ORACLE_SF_DIR."""
+    from .oracle import persist_expected
+
+    sf = os.environ.get("LLMSR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    exp = persist_expected(sf)
+    return {
+        "crawl_extracted": (
+            "SELECT url_hash, canon_url, depth, hrank, fetch_status, n_chars "
+            f"FROM read_parquet('{exp}/extracted.parquet') ORDER BY url_hash"
+        ),
+        "crawl_order": (
+            f"SELECT ord, url_hash FROM read_parquet('{exp}/order.parquet') "
+            "ORDER BY ord"
+        ),
+        "crawl_metrics": (
+            'SELECT "round", candidates, "unique", seen_dropped, robots, '
+            f"selected, deferred FROM read_parquet('{exp}/metrics.parquet') "
+            'ORDER BY "round"'
+        ),
+    }
+
+
 def all_oracle_sql():
     return {
+        **_crawl_oracle_sqls(),
         "pricing_summary": _SQL_PRICING,
         "top_customers": _SQL_TOP_CUSTOMERS,
         "revenue_by_nation": _SQL_REVENUE_BY_NATION,
@@ -1167,6 +1248,7 @@ def all_oracle_sql():
         "doc_quality": _SQL_DOC_QUALITY,
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "doc_lang_id": _SQL_DOC_LANG_ID,
+        "doc_quality_full_sql": _SQL_DOC_QUALITY_FULL,
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,

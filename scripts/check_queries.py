@@ -33,6 +33,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # crawl oracle SQL reads the persisted expected tables for ONE sf dir
+    # (the driver's compare scale by default) — point it at ours
+    os.environ["LLMSR_ORACLE_SF_DIR"] = sf_dir
 
     import ray
 
