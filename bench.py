@@ -188,14 +188,19 @@ def _run_scaling() -> None:
     report["hybrid"] = {str(n): hyb[n] for n in hyb}
     report["hybrid_4_16"] = eff(hyb[4], hyb[16], 4.0)
     report["hybrid_8_32"] = eff(hyb[8], hyb[32], 4.0)
-    d_lo, d_hi = run(8, 0), run(32, 0)
-    report["distributed"] = {"8": d_lo, "32": d_hi}
-    report["distributed_8_32"] = eff(d_lo, d_hi, 4.0)
-    # primary: the 4→16 pair — at 8→32 this sandbox's per-round fixed
-    # costs (2-3 control-plane executions, constant wall-time regardless
-    # of width) plus the 32-CPU run's 3x higher steal exposure dominate;
+    # the pure-distributed plane (threshold 0 — the only control plane
+    # that exists at 10^10 scale) gets its OWN 4→16 primary pair plus the
+    # 8/32 pair, same treatment as the hybrid (round 2 published only a
+    # steal-confounded 8→32 for it)
+    dist = {n: run(n, 0) for n in (4, 8, 16, 32)}
+    report["distributed"] = {str(n): dist[n] for n in dist}
+    report["distributed_4_16"] = eff(dist[4], dist[16], 4.0)
+    report["distributed_8_32"] = eff(dist[8], dist[32], 4.0)
+    # primary: the 4→16 pairs — at 8→32 this sandbox's per-round fixed
+    # costs (control-plane executions, constant wall-time regardless of
+    # width) plus the 32-CPU run's 3x higher steal exposure dominate;
     # at production round sizes (10^8 rows vs 10^5 here) those amortize.
-    # Both pairs are reported — see BASELINE.md for the full analysis.
+    # All pairs are reported — see BASELINE.md for the full analysis.
     report["value"] = report["hybrid_4_16"]
     report["cpus_lo"], report["cpus_hi"] = 4, 16
     print(json.dumps(report))

@@ -128,3 +128,15 @@ def scrape_content(html: str | bytes, base_url: str, module_name: str = "generic
             if s:
                 videos.append(urljoin(base_url, s))
     return {"text": text_content, "images": images, "code": code_content, "videos": videos}
+
+
+def image_refs(html: str | bytes) -> list[tuple[str, str]]:
+    """E4 — ``<img>`` (src, alt) pairs for the M4 image-analysis chain
+    (``image_analysis.py:19-36`` iterates the page's scraped image list;
+    the alt text stands in for the pixels our shims can't decode)."""
+    out: list[tuple[str, str]] = []
+    for img in select(parse_dom(html), "img"):
+        src = img.attrs.get("src")
+        if src:
+            out.append((src, img.attrs.get("alt") or ""))
+    return out

@@ -1184,6 +1184,7 @@ def all_queries():
         "triplet_validation_text": q_triplet_validation_text,
         "precision_recall_eval": q_precision_recall_eval,
         "extract_cascade": q_extract_cascade,
+        "image_analysis": q_image_analysis,
         # multimodal plumbing + sampling
         "media_features": q_media_features,
         "doc_sample": q_doc_sample,
@@ -1409,6 +1410,100 @@ def q_extract_cascade(sf_dir: str) -> pd.DataFrame:
 
     corpus = generate_corpus(sf_dir)
     return extract_cascade(corpus.pages_dir, _PRODUCT_CONFIG)
+
+
+def q_image_analysis(sf_dir: str) -> pd.DataFrame:
+    """M4 — the reference's conditional image chain COMPOSED as pipeline
+    stages (``image_analysis.py:19-160``): scrape image refs → 3-way
+    classify (actor pool) → filter DETAILED → summarize + NER-the-summary
+    second pass (actor pool, the conditional model call) → per-page entity
+    UNION with the text path's NER (A3). Output: distinct (url_hash,
+    entity) rows; dedup is the NB-key bucket-grouped pattern (flat per-key
+    cost), never a driver set. Rows-only; pytest asserts parity with a
+    sequential fold of the same shims."""
+    from ..functions.content import image_refs
+    from ..functions.html_text import extract_text
+    from ..sources.pages import generate_corpus
+    from ..stages.llmshim import (
+        EntityExtractor,
+        ImageClassifier,
+        ImageSummarizerNER,
+    )
+    from .neardup import NUM_BUCKETS
+
+    corpus = generate_corpus(sf_dir)
+    pages = rd.read_parquet(corpus.pages_dir, columns=["url_hash", "html"])
+    kw = dict(concurrency=2, batch_size=256, batch_format="pandas", num_cpus=0.25)
+
+    def img_rows(batch: pa.Table) -> pa.Table:
+        hs, srcs, alts = [], [], []
+        for h, html in zip(batch["url_hash"], batch["html"]):
+            for src, alt in image_refs(bytes(html.as_py())):
+                hs.append(h.as_py().hex())
+                srcs.append(src)
+                alts.append(alt)
+        return pa.Table.from_pydict(
+            {
+                "url_hash": pa.array(hs, pa.string()),
+                "image_src": pa.array(srcs, pa.string()),
+                "alt_text": pa.array(alts, pa.string()),
+            }
+        )
+
+    img_ents = (
+        pages.map_batches(img_rows, batch_format="pyarrow")
+        .map_batches(ImageClassifier, **kw)
+        .map_batches(
+            lambda df: df[df["img_class"] == "DETAILED"], batch_format="pandas"
+        )
+        .map_batches(ImageSummarizerNER, **kw)
+    )
+
+    def text_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "url_hash": pa.array(
+                    [h.as_py().hex() for h in batch["url_hash"]], pa.string()
+                ),
+                "text": pa.array(
+                    [extract_text(bytes(x.as_py())) for x in batch["html"]],
+                    pa.string(),
+                ),
+            }
+        )
+
+    text_ents = pages.map_batches(text_rows, batch_format="pyarrow").map_batches(
+        EntityExtractor, **kw
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        hs, es = [], []
+        for h, ents in zip(t["url_hash"].to_pylist(), t["entities"].to_pylist()):
+            for e in ents:
+                hs.append(h)
+                es.append(e)
+        return pa.Table.from_pydict(
+            {
+                "url_hash": pa.array(hs, pa.string()),
+                "entity": pa.array(es, pa.string()),
+                "bucket": pa.array(
+                    [int(h[:8], 16) % NUM_BUCKETS for h in hs], pa.int64()
+                ),
+            }
+        )
+
+    union = img_ents.map_batches(explode, batch_format="pyarrow").union(
+        text_ents.map_batches(explode, batch_format="pyarrow")
+    )
+    out = (
+        union.groupby("bucket")
+        .map_groups(
+            lambda g: g[["url_hash", "entity"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["url_hash", "entity"]).reset_index(drop=True)
 
 
 def q_judge_panel(sf_dir: str) -> pd.DataFrame:

@@ -186,6 +186,57 @@ class ImageAnalysisStub:
         )
 
 
+class ImageClassifier:
+    """M4 stage 1 — the 3-way UNRENDERED/LOGO/DETAILED classify
+    (``image_analysis.py:40-105``; retry exhaustion falls back to
+    UNRENDERED deterministically). Class derives from the image src hash —
+    the same kernel ImageAnalysisStub flattens — so the composed chain and
+    the flattened stub stay comparable."""
+
+    CLASSES = ImageAnalysisStub.CLASSES
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        cls = [
+            self.CLASSES[int(_stable_unit(src, "imgcls") * 3)]
+            for src in batch["image_src"]
+        ]
+        return pa.Table.from_pydict(
+            {
+                "url_hash": pa.array(batch["url_hash"], pa.string()),
+                "image_src": pa.array(batch["image_src"], pa.string()),
+                "alt_text": pa.array(batch["alt_text"], pa.string()),
+                "img_class": pa.array(cls, pa.string()),
+            }
+        )
+
+
+class ImageSummarizerNER:
+    """M4 stage 2 — the CONDITIONAL second model pass: summarize the
+    DETAILED image then NER the summary (``image_analysis.py:107-121``
+    calling ``summarize`` :126-167 then ``analyze_text_elements``). The
+    summary derives from the alt text (no vision model); the prefix is
+    lowercase so it never injects capitalized pseudo-entities."""
+
+    def __init__(self):
+        self.ner = EntityExtractor()
+
+    def summarize(self, alt_text: str) -> str:
+        return f"a detailed image showing {alt_text}"
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        summaries = [self.summarize(a) for a in batch["alt_text"]]
+        return pa.Table.from_pydict(
+            {
+                "url_hash": pa.array(batch["url_hash"], pa.string()),
+                "image_src": pa.array(batch["image_src"], pa.string()),
+                "summary": pa.array(summaries, pa.string()),
+                "entities": pa.array(
+                    [self.ner.extract(s) for s in summaries], pa.list_(pa.string())
+                ),
+            }
+        )
+
+
 class NLIScorer:
     """M5 — per-sentence entailment vs query, max-aggregated
     (``llm_validation_playwright.py:19-20,65-107``). BART-MNLI replaced by a

@@ -81,6 +81,46 @@ def test_precision_recall_eval(ray_session):
         assert f1 == round(2 * p * r / (p + r), 4)
 
 
+def test_image_analysis_matches_sequential_fold(ray_session, corpus_sf0001):
+    """M4 composed chain == a sequential fold of the same shims: per page,
+    classify each image, summarize+NER only DETAILED ones, union with the
+    text path's entities (image_analysis.py:19-160's loop)."""
+    from llm_scraper_ray.functions.content import image_refs
+    from llm_scraper_ray.functions.html_text import extract_text
+    from llm_scraper_ray.pipelines.queries import q_image_analysis
+    from llm_scraper_ray.stages.llmshim import (
+        EntityExtractor,
+        ImageClassifier,
+        ImageSummarizerNER,
+        _stable_unit,
+    )
+
+    out = q_image_analysis(SF)
+    assert not out.duplicated(["url_hash", "entity"]).any()
+    got = out.groupby("url_hash")["entity"].apply(set).to_dict()
+
+    ner = EntityExtractor()
+    summ = ImageSummarizerNER()
+    n_detailed = n_imgs = 0
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(corpus_sf0001.pages_dir, format="parquet")
+        .to_table(columns=["url_hash", "html"])
+    )
+    for h, html in list(zip(t["url_hash"].to_pylist(), t["html"].to_pylist()))[:200]:
+        expect = set(ner.extract(extract_text(bytes(html))))
+        for src, alt in image_refs(bytes(html)):
+            n_imgs += 1
+            cls = ImageClassifier.CLASSES[int(_stable_unit(src, "imgcls") * 3)]
+            if cls == "DETAILED":
+                n_detailed += 1
+                expect |= set(ner.extract(summ.summarize(alt)))
+        assert got.get(h.hex(), set()) == expect, h.hex()
+    # the conditional branch genuinely fires both ways on the sample
+    assert 0 < n_detailed < n_imgs
+
+
 def test_extract_cascade_tiers(ray_session, corpus_sf0001):
     """E8: each page lands in exactly one tier; tier assignment equals a
     sequential oracle of the same kernels on a sample."""
