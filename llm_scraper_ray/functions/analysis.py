@@ -116,6 +116,30 @@ def quality_counts(text: str) -> dict[str, int]:
     }
 
 
+def gopher_rules(counts: dict[str, int]) -> dict[str, int]:
+    """Gopher-style document-quality rules as pure integer predicates over
+    ``quality_counts`` output (cross-multiplied ratios — no float rounding
+    mode to match across engines; thresholds calibrated to the synthetic
+    documents corpus so the filter is non-trivial at test scale):
+
+      r_words:    30 <= n_words <= 90
+      r_word_len: 3 <= mean word length <= 8   (3*n_words <= sum_word_len <= 8*n_words)
+      r_alpha:    alpha ratio >= 0.75          (4*n_alpha >= 3*n_chars)
+      r_stop:     >= 2 English stopword hits
+      r_rep:      max single-word share <= 20% (5*max_word_count <= n_words)
+    """
+    nw = counts["n_words"]
+    r = {
+        "r_words": int(30 <= nw <= 90),
+        "r_word_len": int(3 * nw <= counts["sum_word_len"] <= 8 * nw),
+        "r_alpha": int(4 * counts["n_alpha"] >= 3 * counts["n_chars"]),
+        "r_stop": int(counts["n_stop"] >= 2),
+        "r_rep": int(5 * counts["max_word_count"] <= nw),
+    }
+    r["keep"] = int(all(r.values()))
+    return r
+
+
 # -- fingerprints ----------------------------------------------------------
 
 _FNV64_OFFSET = 0xCBF29CE484222325

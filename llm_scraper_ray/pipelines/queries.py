@@ -436,6 +436,93 @@ ORDER BY user_id, session_start
 """
 
 
+def q_events_lag(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """§2.9 windowed lag (the as-of/self-join shape): per event, the
+    previous event's value for the same user — ``lag(value) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id)``. ONE range-partitioned
+    sort; every row except each batch's FIRST finalizes distributed (its
+    predecessor is in-batch); the fixup set is 2 metadata rows per batch
+    (head = the row needing a predecessor, tail = the row providing one),
+    merged on the driver with a vectorized forward-fill — O(#batches)
+    driver memory, no per-key groupby."""
+
+    def lag_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "value": t["value"],
+        }
+        if n == 0:
+            return pa.Table.from_pydict(
+                {**cols, "prev_value": pa.array([], pa.float64()),
+                 "kind": pa.array([], pa.int8())}
+            )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        prev = np.empty(n, dtype=np.float64)
+        prev[0] = np.nan  # resolved by the edge fixup
+        prev[1:] = np.where(u[1:] == u[:-1], v[:-1], np.nan)
+        # kind: 0 interior (final), 1 head (needs predecessor), 2 tail copy
+        # (provides its value to the next batch's head)
+        kind = np.zeros(n, dtype=np.int8)
+        kind[0] = 1
+        tail = {k: c.slice(n - 1, 1) for k, c in cols.items()}
+        out = pa.Table.from_pydict(
+            {**cols, "prev_value": pa.array(prev, pa.float64()),
+             "kind": pa.array(kind, pa.int8())}
+        )
+        tail_t = pa.Table.from_pydict(
+            {**tail, "prev_value": pa.array([v[-1]], pa.float64()),
+             "kind": pa.array([2], pa.int8())}
+        )
+        return pa.concat_tables([out, tail_t])
+
+    rows = (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(lag_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+    interior = rows.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)), batch_format="pyarrow"
+    )
+    edges = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    cols = ["event_id", "user_id", "value", "prev_value"]
+    if len(edges) == 0:
+        out = interior.to_pandas()
+        return (
+            out[cols].sort_values("event_id").reset_index(drop=True)
+            if len(out)
+            else pd.DataFrame(columns=cols)
+        )
+    # heads sort BEFORE an equal-key tail (a 1-row batch emits both for the
+    # same event: its head's predecessor lives in an earlier batch, so the
+    # forward-fill at the head must not see the row's own tail copy)
+    edges = edges.sort_values(
+        ["user_id", "ts", "event_id", "kind"], kind="stable"
+    ).reset_index(drop=True)
+    is_tail = edges["kind"] == 2
+    last_tail_u = edges["user_id"].where(is_tail).ffill()
+    # tails carry their own value in prev_value
+    last_tail_v = edges["prev_value"].where(is_tail).ffill()
+    heads = edges[edges["kind"] == 1].copy()
+    same_user = last_tail_u[heads.index] == heads["user_id"]
+    heads["prev_value"] = np.where(same_user, last_tail_v[heads.index], np.nan)
+    out = pd.concat([interior.to_pandas()[cols], heads[cols]], ignore_index=True)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_EVENTS_LAG = """
+SELECT event_id, user_id, value,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events ORDER BY event_id
+"""
+
+
 def q_user_max_value(sf_dir: str) -> pd.DataFrame:
     """A4 max-aggregate + O4 top-k with deterministic tiebreak."""
     out = (
@@ -740,6 +827,117 @@ LEFT JOIN mw ON d.doc_id = mw.doc_id
 ORDER BY d.doc_id
 """
 
+def q_doc_gopher_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style quality-rule FILTER (the curation decision on top of the
+    quality signals): per-doc rule bits + the keep verdict, as pure integer
+    predicates (``analysis.gopher_rules``) so the SQL oracle is exact."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = [A.gopher_rules(A.quality_counts(t)) for t in batch["text"]]
+        out = pd.DataFrame(rows).astype("int64")
+        out.insert(0, "doc_id", list(batch["doc_id"]))
+        return out
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DOC_GOPHER = f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w FROM documents
+), wc AS (
+  SELECT doc_id, max(c) AS max_word_count FROM (
+    SELECT doc_id, word, count(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS word FROM words) GROUP BY doc_id, word
+  ) GROUP BY doc_id
+), counts AS (
+  SELECT d.doc_id,
+    length(d.text) AS n_chars,
+    len(words.w) AS n_words,
+    length(d.text) - length(regexp_replace(d.text, '[[:alpha:]]', '', 'g')) AS n_alpha,
+    len(list_filter(words.w, x -> list_contains([{_STOPS_EN_SQL}], x))) AS n_stop,
+    coalesce(list_aggregate(list_transform(words.w, x -> length(x)), 'sum'), 0) AS sum_word_len,
+    coalesce(wc.max_word_count, 0) AS max_word_count
+  FROM documents d
+  JOIN words ON d.doc_id = words.doc_id
+  LEFT JOIN wc ON d.doc_id = wc.doc_id
+), rules AS (
+  SELECT doc_id,
+    CASE WHEN n_words BETWEEN 30 AND 90 THEN 1 ELSE 0 END AS r_words,
+    CASE WHEN 3*n_words <= sum_word_len AND sum_word_len <= 8*n_words THEN 1 ELSE 0 END AS r_word_len,
+    CASE WHEN 4*n_alpha >= 3*n_chars THEN 1 ELSE 0 END AS r_alpha,
+    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop,
+    CASE WHEN 5*max_word_count <= n_words THEN 1 ELSE 0 END AS r_rep
+  FROM counts
+)
+SELECT doc_id, r_words, r_word_len, r_alpha, r_stop, r_rep,
+       r_words * r_word_len * r_alpha * r_stop * r_rep AS keep
+FROM rules ORDER BY doc_id
+"""
+
+
+def _pii_text_sql(col: str) -> str:
+    """The deterministic PII-bearing derivation of a document's text (the
+    synthetic corpus has no real PII, so the redaction operator is exercised
+    on an injected contact line — same derivation on BOTH sides)."""
+    return (
+        f"{col} || ' Contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || '.'"
+    )
+
+
+def q_doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII redaction (emails → phones → IPv4, ``functions/pii.py``) over a
+    deterministic contact-enriched derivation of each document. Output is
+    per-kind redaction counts + md5 of the scrubbed text; the oracle SQL is
+    GENERATED from the same pattern strings (cannot drift)."""
+    from ..functions.pii import PII_PATTERNS
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        # vectorized injection + scrub (pandas str kernels, one pass per
+        # pattern in scrub order — counts taken before each replacement,
+        # mirroring scrub_pii / the generated SQL exactly)
+        s = (
+            batch["text"].astype(str)
+            + " Contact user" + d.astype(str) + "@example.com or +1-555-"
+            + (d % 10000).astype(str).str.zfill(4)
+            + " at 10.0." + (d % 256).astype(str) + "." + (d % 100).astype(str) + "."
+        )
+        out = {"doc_id": d}
+        for name, pat, repl in PII_PATTERNS:
+            out[f"n_{name}"] = s.str.count(pat).astype("int64")
+            s = s.str.replace(pat, repl, regex=True)
+        out["scrub_fp"] = [A.content_md5(t) for t in s]
+        return pd.DataFrame(out)
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _pii_scrub_sql() -> str:
+    from ..functions.pii import count_sql_expr, scrub_sql_expr
+
+    t2 = _pii_text_sql("text")
+    return f"""
+WITH enriched AS (SELECT doc_id, {t2} AS t2 FROM documents)
+SELECT doc_id,
+       {count_sql_expr('t2', 'email')} AS n_email,
+       {count_sql_expr('t2', 'phone')} AS n_phone,
+       {count_sql_expr('t2', 'ipv4')} AS n_ipv4,
+       md5({scrub_sql_expr('t2')}) AS scrub_fp
+FROM enriched ORDER BY doc_id
+"""
+
+
+_SQL_DOC_PII_SCRUB = _pii_scrub_sql()
+
+
 # ---------------------------------------------------------------------------
 # near-duplicate detection (cross-document — beyond the reference's E10
 # within-document dedup; SURVEY.md §2.8 notes the reference has none)
@@ -1012,6 +1210,16 @@ def q_extract_fields(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url_hash").reset_index(drop=True)
 
 
+def q_extract_fields_product(sf_dir: str) -> pd.DataFrame:
+    """The generator-truth-oracled slice of ``extract_fields``: the product
+    fields the renderer embedded (generator-writes vs parser-reads — an
+    independent oracle, ``sources/pages.persist_truth``). ``n_fields`` stays
+    in the rows-only parent query (its value depends on fuzzy-dedup
+    interactions the truth table does not model)."""
+    out = q_extract_fields(sf_dir)
+    return out[["url_hash", "product_name", "manufacturer", "skipped"]]
+
+
 def q_sessionize_pages(sf_dir: str) -> pd.DataFrame:
     """E6+E7: heading extraction + the reference sessionizer fold over
     stored pages; emits one row per (page, section)."""
@@ -1150,6 +1358,7 @@ def all_queries():
         "active_nations": q_active_nations,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
+        "events_lag": q_events_lag,
         "user_max_value": q_user_max_value,
         "event_type_stats": q_event_type_stats,
         "top_orders_by_qty": q_top_orders_by_qty,
@@ -1161,6 +1370,8 @@ def all_queries():
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_full": q_doc_quality_full,
         "doc_quality_full_sql": q_doc_quality_full_sql,
+        "doc_gopher_filter": q_doc_gopher_filter,
+        "doc_pii_scrub": q_doc_pii_scrub,
         # near-dup / similarity
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -1173,6 +1384,7 @@ def all_queries():
         "crawl_metrics": q_crawl_metrics,
         # extraction operators over stored HTML
         "extract_fields": q_extract_fields,
+        "extract_fields_product": q_extract_fields_product,
         "sessionize_pages": q_sessionize_pages,
         # triplet / KG pipeline (deterministic model shims)
         "triplet_extraction": q_triplet_extraction,
@@ -1229,9 +1441,34 @@ def _crawl_oracle_sqls() -> dict[str, str]:
     }
 
 
+def _truth_oracle_sqls() -> dict[str, str]:
+    """Oracle SQL over the generator's PERSISTED ground-truth table
+    (``sources/pages.persist_truth``): the renderer records what it embedded;
+    the extraction pipeline must recover it. skipped = policy page OR
+    unavailable product (both yield zero extracted fields — F9 semantics)."""
+    from ..sources.pages import persist_truth
+
+    sf = os.environ.get("LLMSR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    root = persist_truth(sf)
+    return {
+        "extract_fields_product": f"""
+SELECT url_hash,
+       CASE WHEN is_product AND NOT unavailable THEN product_name ELSE '' END AS product_name,
+       CASE WHEN is_product AND NOT unavailable THEN manufacturer ELSE '' END AS manufacturer,
+       (NOT is_product) OR unavailable AS skipped
+FROM read_parquet('{root}/fields.parquet') ORDER BY url_hash
+""",
+        "sessionize_pages": f"""
+SELECT url_hash, heading_path, body
+FROM read_parquet('{root}/sessions.parquet') ORDER BY url_hash, heading_path
+""",
+    }
+
+
 def all_oracle_sql():
     return {
         **_crawl_oracle_sqls(),
+        **_truth_oracle_sqls(),
         "pricing_summary": _SQL_PRICING,
         "top_customers": _SQL_TOP_CUSTOMERS,
         "revenue_by_nation": _SQL_REVENUE_BY_NATION,
@@ -1241,6 +1478,7 @@ def all_oracle_sql():
         "active_nations": _SQL_ACTIVE_NATIONS,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "session_windows": _SQL_SESSION_WINDOWS,
+        "events_lag": _SQL_EVENTS_LAG,
         "user_max_value": _SQL_USER_MAX,
         "event_type_stats": _SQL_EVENT_TYPE_STATS,
         "top_orders_by_qty": _SQL_TOP_ORDERS_QTY,
@@ -1250,6 +1488,8 @@ def all_oracle_sql():
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "doc_lang_id": _SQL_DOC_LANG_ID,
         "doc_quality_full_sql": _SQL_DOC_QUALITY_FULL,
+        "doc_gopher_filter": _SQL_DOC_GOPHER,
+        "doc_pii_scrub": _SQL_DOC_PII_SCRUB,
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
@@ -1456,7 +1696,8 @@ def q_image_analysis(sf_dir: str) -> pd.DataFrame:
         .map_batches(
             lambda df: df[df["img_class"] == "DETAILED"], batch_format="pandas"
         )
-        .map_batches(ImageSummarizerNER, **kw)
+        # min=1: the DETAILED filter can leave a single block at test scale
+        .map_batches(ImageSummarizerNER, **{**kw, "concurrency": (1, 2)})
     )
 
     def text_rows(batch: pa.Table) -> pa.Table:

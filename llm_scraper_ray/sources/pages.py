@@ -119,12 +119,21 @@ def _words_of(text: str) -> list[str]:
     return w if w else _WORDS_FALLBACK
 
 
-def render_html(doc_id: int, n_docs: int, doc_text: str, weight: int = 1) -> str:
+def render_html(
+    doc_id: int, n_docs: int, doc_text: str, weight: int = 1, truth: dict | None = None
+) -> str:
     """Deterministic page HTML for one doc (product or policy template).
 
     ``weight`` scales body size (bullets/paragraph runs/word pools) so bench
     corpora can match realistic Common-Crawl page sizes (~10-50 KB) while
-    tests stay small; it is part of the corpus cache identity."""
+    tests stay small; it is part of the corpus cache identity.
+
+    ``truth``, if given, is filled with the generator's embedded ground
+    truth (is_product / unavailable / product_name / manufacturer) — the
+    independent oracle for the field-extraction pipeline. Capturing it does
+    not perturb the rng stream: the captured expressions are hoisted in
+    exactly their template evaluation order, so output bytes are identical
+    (pinned by tests/test_fields.py::test_render_truth_is_byte_neutral)."""
     rng = _rng_for(doc_id, salt=2)
     host, path, canon = page_identity(doc_id, n_docs)
     words = _words_of(doc_text) * max(1, weight)
@@ -166,13 +175,25 @@ def render_html(doc_id: int, n_docs: int, doc_text: str, weight: int = 1) -> str
             f"<tr><td>{pick(1)}</td><td>{pick(2)}</td></tr>" for _ in range(rng.randrange(2, 5))
         )
         body_words = " ".join(words[: rng.randrange(40, 160) * weight])
+        # hoisted in template evaluation order (rng stream unchanged)
+        head_title = pick(3)
+        h1_text = f"{pick(3).title()} {doc_id}"
+        brand_n = rng.randrange(20)
+        manufacturer = f"{pick(1).title()} Corp"
+        if truth is not None:
+            truth.update(
+                is_product=True,
+                unavailable=bool(unavailable),
+                product_name=h1_text,
+                manufacturer=manufacturer,
+            )
         return f"""<!DOCTYPE html>
-<html><head><title>{pick(3)} &amp; more</title>{style}{script}</head>
+<html><head><title>{head_title} &amp; more</title>{style}{script}</head>
 <body>{comment}
 {unavailable}
 <div id="main">
-<h1 class="h4">{pick(3).title()} {doc_id}</h1>
-<a class="c-button-link" href="/brand{rng.randrange(20)}">{pick(1).title()} Corp</a>
+<h1 class="h4">{h1_text}</h1>
+<a class="c-button-link" href="/brand{brand_n}">{manufacturer}</a>
 <div class="mb-200 pb-200"><ul>{bullets}</ul></div>
 <div class="body-copy-lg">{body_words}</div>
 <table><tr><th>Spec</th><th>Value</th></tr>{spec_rows}</table>
@@ -184,18 +205,30 @@ def render_html(doc_id: int, n_docs: int, doc_text: str, weight: int = 1) -> str
 </body></html>"""
 
     # privacy-policy template (heading/paragraph runs for the sessionizer)
+    if truth is not None:
+        truth.update(
+            is_product=False, unavailable=False, product_name="", manufacturer="",
+            headings=[],
+        )
     sections = []
     n_words = len(words)
     for s in range(rng.randrange(2, 5) * weight):
         level = rng.choice(["h1", "h2", "h3"])
-        sections.append(f"<{level}>{pick(3).title()}</{level}>")
+        title = pick(3).title()
+        sections.append(f"<{level}>{title}</{level}>")
+        if truth is not None:
+            truth["headings"].append(f"{level.upper()}: {title}")
         if rng.random() < 0.3:  # consecutive-heading run
-            sections.append(f"<h3>{pick(2).title()}</h3>")
+            run_title = pick(2).title()
+            sections.append(f"<h3>{run_title}</h3>")
+            if truth is not None:
+                truth["headings"].append(f"H3: {run_title}")
         for _ in range(rng.randrange(1, 4)):
             start = rng.randrange(max(1, n_words - 60))
-            sections.append(
-                f"<p>{' '.join(words[start : start + rng.randrange(15, 60) * weight])}</p>"
-            )
+            para = " ".join(words[start : start + rng.randrange(15, 60) * weight])
+            sections.append(f"<p>{para}</p>")
+            if truth is not None:
+                truth["headings"].append(f"P: {para}")
     return f"""<!DOCTYPE html>
 <html><head><title>Policy of {host}</title>{style}{script}</head>
 <body>{comment}
@@ -221,6 +254,72 @@ def render_page_row(
         "url_hash": url_sha1(canon),
         "canon_url": canon,
     }
+
+
+TRUTH_VERSION = 2
+
+
+def persist_truth(sf_dir: str) -> str:
+    """Write (or reuse) the generator's embedded ground-truth tables for the
+    DEFAULT (pages_per_doc=1) corpus of an sf_dir:
+
+      fields.parquet   — one row per page: the product fields the renderer
+                         placed in the HTML (generator-writes vs
+                         parser-reads — an independent oracle for the
+                         field-extraction pipeline);
+      sessions.parquet — per policy page, the expected heading sections:
+                         the generator's recorded heading/paragraph stream
+                         folded through ``functions.fields.sessionize``
+                         (independent of the DOM parse + heading-extraction
+                         path the pipeline exercises; the fold itself is
+                         shared kernel code, golden-tested separately).
+
+    Returns the truth DIRECTORY. Cached beside the pages corpus caches."""
+    from ..functions.fields import sessionize
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_docs = docs.num_rows
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache")
+    root = os.path.join(
+        base, f"truth-{tag}-n{n_docs}-s{GEN_SEED}-v{GEN_VERSION}-t{TRUTH_VERSION}"
+    )
+    marker = os.path.join(root, "COMPLETE")
+    if os.path.exists(marker):
+        return root
+    fields: dict[str, list] = {
+        "url_hash": [], "is_product": [], "unavailable": [],
+        "product_name": [], "manufacturer": [],
+    }
+    sessions: dict[str, list] = {"url_hash": [], "heading_path": [], "body": []}
+    for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        truth: dict = {}
+        render_html(doc_id, n_docs, text, truth=truth)
+        _, _, canon = page_identity(doc_id, n_docs)
+        uh = url_sha1(canon).hex()
+        fields["url_hash"].append(uh)
+        fields["is_product"].append(truth["is_product"])
+        fields["unavailable"].append(truth["unavailable"])
+        fields["product_name"].append(truth["product_name"])
+        fields["manufacturer"].append(truth["manufacturer"])
+        # split(":", 1) in the fold keeps the leading space of each content
+        # — feed the recorded stream through the same entry format the
+        # heading extractor emits ("TAG: text")
+        for key, val in sessionize(truth.get("headings", [])).items():
+            sessions["url_hash"].append(uh)
+            sessions["heading_path"].append(key)
+            sessions["body"].append(val)
+    tmp = root + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.Table.from_pydict(fields), os.path.join(tmp, "fields.parquet"))
+    pq.write_table(pa.Table.from_pydict(sessions), os.path.join(tmp, "sessions.parquet"))
+    open(os.path.join(tmp, "COMPLETE"), "w").close()
+    shutil.rmtree(root, ignore_errors=True)
+    os.replace(tmp, root)
+    return root
 
 
 @dataclass

@@ -1,0 +1,151 @@
+"""Training-data curation operators: Gopher-rule quality filter + PII
+redaction — kernel semantics plus oracle-SQL equality at sf0.001 (the same
+compare the driver runs at sf0.01)."""
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(view_sql: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(view_sql)
+    return con.execute(sql).df()
+
+
+def test_scrub_pii_order_and_counts():
+    from llm_scraper_ray.functions.pii import scrub_pii
+
+    text = (
+        "Mail a.b-c%d@sub.example.org or +1-555-0042-99, host 192.168.0.1, "
+        "then bad..email@@x and 999.999.999.999 edge"
+    )
+    scrubbed, counts = scrub_pii(text)
+    assert counts == {"n_email": 1, "n_phone": 1, "n_ipv4": 2}
+    assert "<EMAIL>" in scrubbed and "<PHONE>" in scrubbed
+    assert "192.168.0.1" not in scrubbed
+    # email scrubbed FIRST: its digits must not be double-counted as phone
+    assert scrubbed.count("<PHONE>") == 1
+
+
+def test_gopher_rules_integer_predicates():
+    from llm_scraper_ray.functions.analysis import gopher_rules, quality_counts
+
+    keep_text = "the quick brown fox jumps over the lazy dog and " * 5  # 50 words
+    r = gopher_rules(quality_counts(keep_text))
+    assert r["r_words"] == 1 and r["r_stop"] == 1
+    # degenerate repetition trips r_rep
+    r2 = gopher_rules(quality_counts("spam " * 60))
+    assert r2["r_rep"] == 0 and r2["keep"] == 0
+
+
+def test_doc_gopher_filter_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    out = all_queries()["doc_gopher_filter"](SF)
+    assert 0 < out["keep"].sum() < len(out), "filter must be non-trivial"
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["doc_gopher_filter"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_events_lag_matches_oracle_and_boundaries(ray_session):
+    """Windowed lag: the distributed head/tail edge fixup must reproduce
+    the single-window result even when tiny batches force every row to a
+    block edge (batch_size=16 → many 1-row-adjacent head/tail pairs)."""
+    from llm_scraper_ray.pipelines.queries import _SQL_EVENTS_LAG, q_events_lag
+
+    exp = _oracle(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')",
+        _SQL_EVENTS_LAG,
+    )
+    for bs in (65536, 16):
+        out = q_events_lag(SF, batch_size=bs)
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), exp.reset_index(drop=True),
+            check_dtype=False,
+        )
+    assert out["prev_value"].isna().sum() > 0  # per-user firsts are NULL
+
+
+def test_render_truth_is_byte_neutral():
+    """Capturing generator ground truth must not perturb the rng stream —
+    rendered HTML is byte-identical with and without the truth parameter."""
+    import pyarrow.parquet as pq
+
+    from llm_scraper_ray.sources.pages import render_html
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    n = len(docs)
+    n_products = 0
+    for d, t in zip(docs["doc_id"][:200], docs["text"][:200]):
+        truth: dict = {}
+        assert render_html(int(d), n, t, truth=truth) == render_html(int(d), n, t)
+        n_products += truth["is_product"]
+        if truth["is_product"]:
+            assert truth["product_name"].endswith(str(d))
+    assert 0 < n_products < 200
+
+
+def test_extract_fields_product_matches_truth_oracle(ray_session):
+    """Generator-writes vs parser-reads: the extraction pipeline must
+    recover exactly the product fields the renderer embedded."""
+    import os
+
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    os.environ["LLMSR_ORACLE_SF_DIR"] = SF
+    try:
+        out = all_queries()["extract_fields_product"](SF)
+        exp = _oracle(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+            all_oracle_sql()["extract_fields_product"],
+        )
+    finally:
+        del os.environ["LLMSR_ORACLE_SF_DIR"]
+    assert (out["product_name"] != "").sum() > 0
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_sessionize_pages_matches_truth_oracle(ray_session):
+    """The DOM-parse → heading-extraction → sessionize pipeline must equal
+    the generator's recorded heading stream folded the same way."""
+    import os
+
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    os.environ["LLMSR_ORACLE_SF_DIR"] = SF
+    try:
+        out = all_queries()["sessionize_pages"](SF)
+        exp = _oracle(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+            all_oracle_sql()["sessionize_pages"],
+        )
+    finally:
+        del os.environ["LLMSR_ORACLE_SF_DIR"]
+    exp = exp.sort_values(["url_hash", "heading_path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp, check_dtype=False
+    )
+
+
+def test_doc_pii_scrub_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    out = all_queries()["doc_pii_scrub"](SF)
+    assert (out["n_email"] >= 1).all() and (out["n_phone"] >= 1).all()
+    assert (out["n_ipv4"] >= 1).all()
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["doc_pii_scrub"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
