@@ -62,6 +62,21 @@ def test_embedding_dups_lsh_recall_and_precision(ray_session):
         assert abs(bf[(a, b)] - s) < 1e-9
 
 
+def test_embedding_dups_lsh_join_path_equals_broadcast(ray_session):
+    """The big-candidate-mass plan (partitioned joins, broadcast_limit=0)
+    must produce exactly the small-mass broadcast plan's pairs."""
+    import pandas as pd
+
+    from llm_scraper_ray.pipelines.queries import q_embedding_dups_lsh
+
+    bcast = q_embedding_dups_lsh("/root/testdata/sf0.001")
+    joined = q_embedding_dups_lsh("/root/testdata/sf0.001", broadcast_limit=0)
+    pd.testing.assert_frame_equal(
+        bcast.reset_index(drop=True), joined.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_proxy_pool_rotation():
     p = ProxyPoolState(["a", "b", "c"])
     assert p.current() == "a"
