@@ -1,0 +1,84 @@
+"""Sequential oracle for the triplet chain (SURVEY.md §3.1) — the analog of
+``pipelines/oracle.py`` for the analysis pipeline.
+
+The reference runs this path as a plain per-URL loop
+(``scrape_eccomerce.py:161-292``: gate → NER → triplet gen → validation);
+this module reproduces that SEQUENTIAL orchestration — one document at a
+time, per-record shim methods, no batching, no join, no actor pools — and
+persists the expected triplet rows to Parquet so the distributed engine's
+equality shows up as green, hash-checked CORRECTNESS rows (the dedup / KG
+node / top-vertex oracles are then derived from the persisted rows IN SQL,
+re-implementing the groupby semantics independently).
+
+Bump ``TRIPLET_ORACLE_VERSION`` whenever shim semantics change.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TRIPLET_ORACLE_VERSION = 1
+
+_COLS = [
+    "url_hash", "subj_type", "subj_name", "pred", "obj_type", "obj_name",
+    "weight", "method",
+]
+
+
+def sequential_triplets(
+    docs: pd.DataFrame, gate_keywords: tuple[str, ...] | None
+) -> pd.DataFrame:
+    """(url_hash, text) rows → validated triplet rows, one doc at a time."""
+    from ..stages.llmshim import (
+        EntityExtractor,
+        IoTClassifier,
+        TripletGenerator,
+        ValidationCascade,
+    )
+
+    iot = IoTClassifier(keywords=gate_keywords)
+    ner = EntityExtractor()
+    gen = TripletGenerator()
+    val = ValidationCascade()
+    rows = []
+    for url_hash, text in zip(docs["url_hash"], docs["text"]):
+        if not iot.classify(text):
+            continue
+        for trip in gen.generate(ner.extract(text)):
+            (st, sn), p, (ot, on) = trip
+            w, m = val.validate(trip, text)
+            rows.append((url_hash, st, sn, p, ot, on, w, m))
+    return pd.DataFrame(rows, columns=_COLS)
+
+
+def persist_expected_triplets(sf_dir: str, gate_keywords: tuple[str, ...]) -> str:
+    """Run the sequential oracle over the sf_dir documents table (the same
+    ``doc%08d`` surrogate url_hash the pipeline uses) and persist the
+    expected triplets; cached per (sf, n_docs, oracle version)."""
+    docs_t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache")
+    path = os.path.join(
+        base,
+        f"expected-triplets-{tag}-n{docs_t.num_rows}-o{TRIPLET_ORACLE_VERSION}.parquet",
+    )
+    if os.path.exists(path):
+        return path
+    docs = pd.DataFrame(
+        {
+            "url_hash": [f"doc{d:08d}" for d in docs_t["doc_id"].to_pylist()],
+            "text": docs_t["text"].to_pylist(),
+        }
+    )
+    expected = sequential_triplets(docs, gate_keywords)
+    os.makedirs(base, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(expected, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path

@@ -1474,10 +1474,100 @@ FROM read_parquet('{root}/sessions.parquet') ORDER BY url_hash, heading_path
     }
 
 
+def _triplet_oracle_sqls() -> dict[str, str]:
+    """Oracle SQL for the triplet/KG chain over the SEQUENTIAL oracle's
+    persisted expected triplets (``pipelines/oracle_triplets.py`` — a plain
+    per-document loop, the reference's own orchestration shape). The dedup /
+    node / top-vertex queries are derived IN SQL from the raw expected rows,
+    so the distributed groupbys are checked against an independent
+    re-statement of their semantics (graph_key re-expressed with
+    regexp_replace)."""
+    from .oracle_triplets import persist_expected_triplets
+
+    sf = os.environ.get("LLMSR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = persist_expected_triplets(sf, _GATE)
+    key = "subj_type, subj_name, pred, obj_type, obj_name"
+    gk = (
+        lambda col: "regexp_replace(regexp_replace("
+        f"{col}, '\\s+', '', 'g'), '[^a-zA-Z0-9_-]', '_', 'g')"
+    )
+    return {
+        "triplet_extraction": (
+            f"SELECT url_hash, {key}, weight, method "
+            f"FROM read_parquet('{path}') ORDER BY {key}"
+        ),
+        "triplets_dedup": f"""
+SELECT {key}, round(max(weight), 4) AS weight, count(*) AS n_sources,
+       min(url_hash) AS first_url_hash
+FROM read_parquet('{path}') GROUP BY {key} ORDER BY {key}
+""",
+        "kg_nodes": f"""
+WITH dedup AS (
+  SELECT subj_type, subj_name, obj_type, obj_name
+  FROM read_parquet('{path}') GROUP BY {key}
+), exploded AS (
+  SELECT subj_type AS node_type, {gk('subj_name')} AS node_key,
+         subj_name AS name FROM dedup
+  UNION ALL
+  SELECT obj_type, {gk('obj_name')}, obj_name FROM dedup
+)
+SELECT node_type, node_key, min(name) AS name
+FROM exploded GROUP BY node_type, node_key ORDER BY node_type, node_key
+""",
+        "kg_top_vertices": f"""
+WITH dedup AS (
+  SELECT obj_type, obj_name FROM read_parquet('{path}') GROUP BY {key}
+)
+SELECT obj_type AS to_type, {gk('obj_name')} AS to_key,
+       count(*) AS n_edges
+FROM dedup GROUP BY to_type, to_key
+ORDER BY n_edges DESC, to_key ASC LIMIT 10
+""",
+    }
+
+
+def _analysis_oracle_sqls() -> dict[str, str]:
+    """Oracle SQL over the sequential analysis oracles' persisted expected
+    tables (``pipelines/oracle_analysis.py``: E8 cascade, M4 image-entity
+    union, M9 macro P/R/F1, M6 judge panel — each a plain per-record loop,
+    the reference's own orchestration shape)."""
+    from .oracle_analysis import (
+        persist_expected_cascade,
+        persist_expected_image_entities,
+        persist_expected_judgments,
+        persist_expected_pr_macro,
+    )
+
+    sf = os.environ.get("LLMSR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return {
+        "extract_cascade": (
+            "SELECT url_hash, product_name, n_fields, tier FROM "
+            f"read_parquet('{persist_expected_cascade(sf, _PRODUCT_CONFIG)}') "
+            "ORDER BY url_hash"
+        ),
+        "image_analysis": (
+            "SELECT url_hash, entity FROM "
+            f"read_parquet('{persist_expected_image_entities(sf)}') "
+            "ORDER BY url_hash, entity"
+        ),
+        "precision_recall_eval": (
+            "SELECT n_urls, macro_precision, macro_recall, macro_f1 FROM "
+            f"read_parquet('{persist_expected_pr_macro(sf)}')"
+        ),
+        "judge_panel": (
+            "SELECT claim, is_correct, confidence FROM "
+            f"read_parquet('{persist_expected_judgments(sf, _GATE)}') "
+            "ORDER BY claim"
+        ),
+    }
+
+
 def all_oracle_sql():
     return {
         **_crawl_oracle_sqls(),
         **_truth_oracle_sqls(),
+        **_triplet_oracle_sqls(),
+        **_analysis_oracle_sqls(),
         "pricing_summary": _SQL_PRICING,
         "top_customers": _SQL_TOP_CUSTOMERS,
         "revenue_by_nation": _SQL_REVENUE_BY_NATION,

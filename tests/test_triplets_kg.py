@@ -55,3 +55,21 @@ def test_dedup_and_kg(ray_session, triplet_df):
     top = q_kg_top_vertices("/root/testdata/sf0.001")
     assert len(top) == 10
     assert list(top["n_edges"]) == sorted(top["n_edges"], reverse=True)
+
+
+def test_triplets_equal_sequential_oracle(ray_session, triplet_df):
+    """Distributed chain == the persisted sequential oracle (the same
+    equality the driver checks via the SELECT-from-expected oracle SQL)."""
+    import pyarrow.parquet as pq
+
+    from llm_scraper_ray.pipelines.oracle_triplets import persist_expected_triplets
+    from llm_scraper_ray.pipelines.queries import _GATE, _TRIPLET_COLS
+
+    path = persist_expected_triplets("/root/testdata/sf0.001", _GATE)
+    expected = (
+        pq.read_table(path)
+        .to_pandas()[_TRIPLET_COLS]
+        .sort_values(_TRIPLET_COLS[:6])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(triplet_df, expected)
