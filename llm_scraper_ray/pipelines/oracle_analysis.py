@@ -131,6 +131,238 @@ def persist_expected_pr_macro(sf_dir: str, threshold: float = 90.0) -> str:
     return _write(path, macro)
 
 
+def persist_expected_fields(sf_dir: str, config: dict) -> str:
+    """E2/E10 — the full field-extraction row set (incl. the fuzzy-dedup
+    n_fields count) as a plain per-page loop over the same kernels."""
+    path = _cache_path(sf_dir, "fields")
+    if os.path.exists(path):
+        return path
+    from ..functions.fields import extract_fields
+    from ..functions.fuzzy import deduplicate_fields
+
+    rows = []
+    t = _pages_table(sf_dir)
+    for h, html in zip(t["url_hash"].to_pylist(), t["html"].to_pylist()):
+        fields = deduplicate_fields(extract_fields(bytes(html), config))
+        rows.append(
+            (
+                h.hex(),
+                fields.get("product_name", ""),
+                fields.get("manufacturer", ""),
+                len(fields),
+                len(fields) == 0,
+            )
+        )
+    return _write(
+        path,
+        pd.DataFrame(
+            rows,
+            columns=["url_hash", "product_name", "manufacturer", "n_fields", "skipped"],
+        ),
+    )
+
+
+def persist_expected_minhash(sf_dir: str) -> str:
+    """MinHash+LSH near-dup pairs, sequentially: per-doc signature → band
+    digests → per-band-bucket pair emission with the 2..DF_CAP keep-band →
+    pair dedup → exact-Jaccard verification (``neardup.py`` semantics as a
+    plain dict-of-buckets loop)."""
+    path = _cache_path(sf_dir, "minhash")
+    if os.path.exists(path):
+        return path
+    import hashlib as _h
+
+    import numpy as np
+
+    from ..functions import analysis as A
+    from .neardup import (
+        _MASK63,
+        DF_CAP,
+        JACCARD_K,
+        JACCARD_THRESHOLD,
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+    )
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    a_co, b_co = A.minhash_coeffs(MINHASH_PERMS, seed=1)
+    rpb = MINHASH_PERMS // MINHASH_BANDS
+    shingle_sets: dict[int, np.ndarray] = {}
+    buckets: dict[int, list[int]] = {}
+    for d, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        hs = A.shingle_hashes(text, JACCARD_K)
+        masked = (hs & np.uint64(_MASK63)).astype(np.int64)
+        masked.sort()
+        shingle_sets[d] = masked
+        if masked.size == 0:
+            continue
+        sig = A.minhash_signature(masked.astype(np.uint64), a_co, b_co)
+        for b in range(MINHASH_BANDS):
+            band = sig[b * rpb : (b + 1) * rpb]
+            digest = _h.blake2b(band.tobytes() + bytes([b]), digest_size=8).digest()
+            buckets.setdefault(
+                int.from_bytes(digest, "little") & _MASK63, []
+            ).append(int(d))
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if not (2 <= len(members) <= DF_CAP):
+            continue
+        ms = sorted(set(members))
+        pairs.update(
+            (ms[i], ms[j]) for i in range(len(ms)) for j in range(i + 1, len(ms))
+        )
+    rows = []
+    for a, b in sorted(pairs):
+        aa, bb = shingle_sets[a], shingle_sets[b]
+        inter = np.intersect1d(aa, bb, assume_unique=True).size
+        denom = aa.size + bb.size - inter
+        jac = round(inter / denom, 4) if denom else 1.0
+        if jac >= JACCARD_THRESHOLD:
+            rows.append((a, b, jac))
+    return _write(path, pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]))
+
+
+def persist_expected_simhash(sf_dir: str) -> str:
+    """SimHash near-dup pairs, sequentially: 4×16-bit band blocking with
+    the 2..DF_CAP keep-band, Hamming ≤6 (``neardup.simhash_buckets``
+    semantics as a plain loop)."""
+    path = _cache_path(sf_dir, "simhash")
+    if os.path.exists(path):
+        return path
+    from ..functions import analysis as A
+    from .neardup import DF_CAP
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    sims: dict[int, int] = {}
+    buckets: dict[int, list[int]] = {}
+    for d, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        s = A.simhash64(text)
+        sims[d] = s
+        for b in range(4):
+            buckets.setdefault((b << 16) | ((s >> (16 * b)) & 0xFFFF), []).append(d)
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if not (2 <= len(members) <= DF_CAP):
+            continue
+        ms = sorted(set(members))
+        pairs.update(
+            (ms[i], ms[j]) for i in range(len(ms)) for j in range(i + 1, len(ms))
+        )
+    rows = [
+        (a, b, A.hamming64(sims[a], sims[b]))
+        for a, b in sorted(pairs)
+        if A.hamming64(sims[a], sims[b]) <= 6
+    ]
+    return _write(path, pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]))
+
+
+def persist_expected_media(sf_dir: str) -> str:
+    """S13 — media decode/feature/frame-sample plumbing, sequentially per
+    document (the stubs are deterministic payload-hash functions)."""
+    path = _cache_path(sf_dir, "media")
+    if os.path.exists(path):
+        return path
+    from ..stages.multimodal import FeatureExtractStub, FrameSampleStub
+
+    fe = FeatureExtractStub()
+    every_n = FrameSampleStub().every_n
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for d, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        payload = text.encode("utf-8")
+        emb = fe.features(payload)
+        kind = kinds[d % 3]
+        n_frames = (
+            len(range(0, max(1, len(payload) // 256), every_n)) if kind == "video" else 0
+        )
+        rows.append((f"m{d:08d}", len(emb), round(float(emb[0]), 6), n_frames))
+    return _write(
+        path, pd.DataFrame(rows, columns=["media_id", "dim", "e0", "n_frames"])
+    )
+
+
+def persist_expected_discovery(sf_dir: str) -> str:
+    """F12/F13 — the search-discovery pagination, sequentially: one
+    SearchDiscovery index, a plain loop over the same (host, query) seed
+    frame the query uses."""
+    path = _cache_path(sf_dir, "discovery")
+    if os.path.exists(path):
+        return path
+    from ..sources.pages import generate_corpus
+    from ..stages.discovery import PAGE_SIZE, SearchDiscovery, search_url
+
+    corpus = generate_corpus(sf_dir)
+    sd = SearchDiscovery(corpus.pages_dir, corpus.num_buckets)
+    h = min(corpus.n_hosts, 8)
+    rows = []
+    for i in range(h):
+        host = f"host{i:03d}.example"
+        for q in ("query", "vector", "stream"):
+            for rank, url in enumerate(sd.search(host, q)):
+                rows.append(
+                    (host, q, url, rank, search_url(host, q, rank // PAGE_SIZE))
+                )
+    return _write(
+        path,
+        pd.DataFrame(rows, columns=["host", "query", "url", "rank", "search_url"]),
+    )
+
+
+def persist_expected_embdups_lsh(sf_dir: str, threshold: float) -> str:
+    """Banded hyperplane-LSH embedding near-dup pairs, sequentially: the
+    same planes/band keys as the query, a dict-of-buckets loop with the
+    2..DF_CAP keep-band, exact-cosine verification."""
+    path = _cache_path(sf_dir, "embdupslsh")
+    if os.path.exists(path):
+        return path
+    import math
+
+    import numpy as np
+
+    from .neardup import DF_CAP
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    n, dim = mat.shape
+    n_bits = max(5, int(math.ceil(math.log2(max(2, n / 16)))))
+    n_bands = 24
+    planes = np.random.RandomState(11).randn(n_bands, dim, n_bits)
+    weights = np.int64(1) << np.arange(n_bits, dtype=np.int64)
+    buckets: dict[int, list[int]] = {}
+    for b in range(n_bands):
+        keys = (np.int64(b) << np.int64(n_bits)) | (
+            ((mat @ planes[b]) > 0) @ weights
+        ).astype(np.int64)
+        for vid, k in zip(ids, keys):
+            buckets.setdefault(int(k), []).append(int(vid))
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if not (2 <= len(members) <= DF_CAP):
+            continue
+        ms = sorted(set(members))
+        pairs.update(
+            (ms[i], ms[j]) for i in range(len(ms)) for j in range(i + 1, len(ms))
+        )
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    row_of = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for a, b in sorted(pairs):
+        cos = round(float(norm[row_of[a]] @ norm[row_of[b]]), 4)
+        if cos >= threshold:
+            rows.append((a, b, cos))
+    return _write(path, pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"]))
+
+
 def persist_expected_judgments(sf_dir: str, gate_keywords: tuple[str, ...]) -> str:
     """M6 — the judge panel's vote merge per triplet claim, sequentially
     over the sequential triplet oracle's rows (``mult_validation.py:81-254``)."""

@@ -1523,6 +1523,11 @@ SELECT obj_type AS to_type, {gk('obj_name')} AS to_key,
 FROM dedup GROUP BY to_type, to_key
 ORDER BY n_edges DESC, to_key ASC LIMIT 10
 """,
+        "triplet_validation_text": f"""
+SELECT method, count(*) AS n, round(avg(weight), 4) AS mean_weight,
+       sum(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS n_nonzero
+FROM read_parquet('{path}') GROUP BY method ORDER BY method
+""",
     }
 
 
@@ -1533,13 +1538,46 @@ def _analysis_oracle_sqls() -> dict[str, str]:
     the reference's own orchestration shape)."""
     from .oracle_analysis import (
         persist_expected_cascade,
+        persist_expected_discovery,
+        persist_expected_embdups_lsh,
+        persist_expected_fields,
         persist_expected_image_entities,
         persist_expected_judgments,
+        persist_expected_media,
+        persist_expected_minhash,
         persist_expected_pr_macro,
+        persist_expected_simhash,
     )
 
     sf = os.environ.get("LLMSR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     return {
+        "extract_fields": (
+            "SELECT url_hash, product_name, manufacturer, n_fields, skipped FROM "
+            f"read_parquet('{persist_expected_fields(sf, _PRODUCT_CONFIG)}') "
+            "ORDER BY url_hash"
+        ),
+        "minhash_lsh_dups": (
+            "SELECT doc_a, doc_b, jaccard FROM "
+            f"read_parquet('{persist_expected_minhash(sf)}') ORDER BY doc_a, doc_b"
+        ),
+        "simhash_buckets": (
+            "SELECT doc_a, doc_b, hamming FROM "
+            f"read_parquet('{persist_expected_simhash(sf)}') ORDER BY doc_a, doc_b"
+        ),
+        "media_features": (
+            "SELECT media_id, dim, e0, n_frames FROM "
+            f"read_parquet('{persist_expected_media(sf)}') ORDER BY media_id"
+        ),
+        "search_discovery": (
+            "SELECT host, query, url, rank, search_url FROM "
+            f"read_parquet('{persist_expected_discovery(sf)}') "
+            "ORDER BY host, query, rank"
+        ),
+        "embedding_dups_lsh": (
+            "SELECT vec_a, vec_b, cos_sim FROM "
+            f"read_parquet('{persist_expected_embdups_lsh(sf, _EMB_DUP_THRESHOLD)}') "
+            "ORDER BY vec_a, vec_b"
+        ),
         "extract_cascade": (
             "SELECT url_hash, product_name, n_fields, tier FROM "
             f"read_parquet('{persist_expected_cascade(sf, _PRODUCT_CONFIG)}') "
