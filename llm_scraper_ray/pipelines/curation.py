@@ -1,0 +1,398 @@
+"""Corpus-curation operators for training-data pipelines (engine additions
+beyond the reference's operator set, like ``pipelines/neardup.py``):
+
+  - ``doc_dedup_clusters``: fuzzy-dedup CLUSTERING — connected components
+    over the exact n-gram-Jaccard near-dup pairs, each doc labeled with its
+    component's min doc_id and a canonical ``keep`` flag (the step a real
+    dedup pipeline runs after pair generation: keep one doc per dup
+    cluster). Label propagation is fully distributed: K rounds of
+    bucket-grouped min-label relaxation WITH edge contraction (each round
+    rewrites an edge's src endpoint to its current label — hash-to-min
+    style, so reach grows geometrically, not one hop per round), lazily
+    chained into ONE streaming execution. Nothing corpus- or
+    pair-mass-sized touches the driver; the final (doc_id, cluster_id)
+    table is dup-node-sized by construction.
+  - ``doc_decontaminate``: benchmark-overlap flagging — training docs that
+    share any word 5-gram with the held-out benchmark slice
+    (``doc_id % BENCH_MOD == 0``). Rides the SAME cached shingle pass and
+    the same ``bucket = sh % NB`` shuffle as the near-dup ops; the
+    benchmark side travels with the shuffle (no broadcast set), and
+    per-doc hit counts are pre-summed per bucket before the final NB-key
+    sum.
+  - ``doc_repetition``: Gopher-style within-doc repetition signals as
+    exact integer counts (most-frequent-2-gram occurrences, positions
+    covered by repeated 5-grams) — the repetition half of the Gopher
+    rules (the ratio rules live in ``doc_gopher_filter``).
+  - ``doc_source_quota``: per-source stratified keep-K sampling (domain
+    quota mixing) — bucket-grouped by a stable source hash so million-
+    domain cardinality never hits a per-key groupby.
+
+All four are SQL-oracled (DuckDB twins below; the clusters oracle is a
+recursive-CTE transitive closure — an independent restatement of the
+propagation semantics, so the driver hash check also proves the K-round
+relaxation CONVERGED).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.analysis import _WORD
+from .neardup import NGRAM_PAIRS_CTE, NUM_BUCKETS, doc_shingles, ngram_pair_dataset
+
+_MASK63 = 0x7FFFFFFFFFFFFFFF
+
+# Rounds of min-label relaxation + edge contraction. With contraction the
+# covered radius roughly doubles per round (~2^(K-2) hops); observed dup
+# components are cliques (diameter 1) at every test scale, so 5 is a wide
+# margin — and the recursive-CTE oracle hash-fails if it ever stops short.
+# At 10^10-doc scale you would keep the same per-round dataflow and raise K
+# (or stop on a converged-count aggregate).
+CC_ITERATIONS = 5
+
+BENCH_MOD = 37  # benchmark slice: doc_id % BENCH_MOD == 0
+QUOTA_K = 10  # per-source keep quota
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs
+
+
+def _cc_state_seed(df: pd.DataFrame) -> pd.DataFrame:
+    """Pairs → propagation state rows. kind 0 = label (node, label),
+    kind 1 = directed edge (src, dst); each undirected pair becomes both
+    directions so contraction on src never disconnects the pair."""
+    a = df["doc_a"].to_numpy(np.int64)
+    b = df["doc_b"].to_numpy(np.int64)
+    node = np.concatenate([a, b, a, b])
+    val = np.concatenate([a, b, b, a])
+    kind = np.concatenate(
+        [np.zeros(2 * a.size, dtype=np.int64), np.ones(2 * a.size, dtype=np.int64)]
+    )
+    return pd.DataFrame(
+        {"bucket": node % NUM_BUCKETS, "node": node, "val": val, "kind": kind}
+    )
+
+
+def _cc_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: pd.Series([], dtype="int64") for c in ("bucket", "node", "val", "kind")}
+    )
+
+
+def _cc_step(g: pd.DataFrame) -> pd.DataFrame:
+    """One relaxation round inside one bucket group. The group holds every
+    label/message row of nodes in this bucket AND every edge whose src is in
+    this bucket, so the fold and the next round's messages need no join:
+
+      labels' = min over (labels ∪ incoming messages) per node
+      messages_out = (dst, labels'[src]) per edge
+      edges' = (labels'[src], dst), self-loops dropped   [contraction]
+    """
+    if len(g) == 0:
+        return _cc_empty()
+    lbl = g[g["kind"] != 1]
+    newl = lbl.groupby("node", as_index=False)["val"].min()
+    edges = g[g["kind"] == 1]
+    out = [
+        pd.DataFrame(
+            {
+                "bucket": newl["node"] % NUM_BUCKETS,
+                "node": newl["node"],
+                "val": newl["val"],
+                "kind": 0,
+            }
+        )
+    ]
+    if len(edges):
+        lab = edges["node"].map(pd.Series(newl["val"].values, index=newl["node"].values))
+        dst = edges["val"].to_numpy(np.int64)
+        src2 = lab.to_numpy(np.int64)
+        keep = src2 != dst
+        out.append(
+            pd.DataFrame(
+                {"bucket": dst % NUM_BUCKETS, "node": dst, "val": src2, "kind": 2}
+            )
+        )
+        out.append(
+            pd.DataFrame(
+                {
+                    "bucket": src2[keep] % NUM_BUCKETS,
+                    "node": src2[keep],
+                    "val": dst[keep],
+                    "kind": 1,
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True).astype("int64")
+
+
+def _cc_final(g: pd.DataFrame) -> pd.DataFrame:
+    if len(g) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_id", "cluster_id")}
+        )
+    lbl = g[g["kind"] != 1]
+    fin = lbl.groupby("node", as_index=False)["val"].min()
+    return pd.DataFrame(
+        {"doc_id": fin["node"], "cluster_id": fin["val"]}
+    ).astype("int64")
+
+
+def connected_components(
+    pairs: rd.Dataset, iterations: int = CC_ITERATIONS
+) -> pd.DataFrame:
+    """(doc_a, doc_b) pair Dataset → (doc_id, cluster_id) for every node in
+    a pair, cluster_id = min doc_id of the component. All rounds chain
+    lazily — ONE streaming execution of K+1 NB-key bucket groupbys."""
+    state = pairs.map_batches(_cc_state_seed, batch_format="pandas")
+    for _ in range(iterations):
+        state = state.groupby("bucket").map_groups(_cc_step, batch_format="pandas")
+    out = (
+        state.groupby("bucket")
+        .map_groups(_cc_final, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_id", "cluster_id")}
+        )
+    return out.astype("int64")
+
+
+def q_doc_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    lab = connected_components(ngram_pair_dataset(sf_dir))
+    lab["keep"] = (lab["doc_id"] == lab["cluster_id"]).astype("int64")
+    return lab.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {NGRAM_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id,
+       least(a, min(b)) AS cluster_id,
+       CAST(least(a, min(b)) = a AS BIGINT) AS keep
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def q_doc_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Training docs sharing ≥1 word 5-gram with the benchmark slice
+    (doc_id % BENCH_MOD == 0) → (doc_id, n_hits = distinct contaminated
+    shingles). Same shuffle shape as the near-dup pair stage; the
+    benchmark membership bit rides the shingle rows."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_sh: list[int] = []
+        out_doc: list[int] = []
+        out_bench: list[int] = []
+        for d, sh in zip(batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()):
+            out_sh.extend(sh)
+            out_doc.extend([d] * len(sh))
+            out_bench.extend([1 if d % BENCH_MOD == 0 else 0] * len(sh))
+        t = pa.Table.from_pydict(
+            {
+                "sh": pa.array(out_sh, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "is_bench": pa.array(out_bench, pa.int64()),
+            }
+        )
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["sh"], NUM_BUCKETS - 1), pa.int64())
+        )
+
+    def bucket_hits(g: pd.DataFrame) -> pd.DataFrame:
+        bench_sh = g.loc[g["is_bench"] == 1, "sh"].unique()
+        hit = g[(g["is_bench"] == 0) & g["sh"].isin(bench_sh)]
+        if len(hit) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_id", "hits", "pbucket")}
+            )
+        out = hit.groupby("doc_id", as_index=False).size().rename(columns={"size": "hits"})
+        out["pbucket"] = out["doc_id"] % NUM_BUCKETS
+        return out[["doc_id", "hits", "pbucket"]].astype("int64")
+
+    def sum_hits(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_id", "n_hits")}
+            )
+        out = g.groupby("doc_id", as_index=False)["hits"].sum()
+        return out.rename(columns={"hits": "n_hits"}).astype("int64")
+
+    out = (
+        doc_shingles(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_hits, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(sum_hits, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("doc_id", "n_hits")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_DECONTAMINATE = f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(2, length(w) - 3))) AS i
+        FROM words WHERE length(w) > 0)
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT doc_id, count(*) AS n_hits
+FROM sh
+WHERE doc_id % {BENCH_MOD} <> 0 AND shingle IN (SELECT shingle FROM bench)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# within-doc repetition signals (Gopher repetition rules, exact counts)
+
+
+def repetition_counts(text: str, k: int = 5) -> tuple[int, int, int, int]:
+    """(n_words, top-2-gram count, positions covered by repeated k-grams,
+    total k-gram positions) — integers so the SQL twin is rounding-free."""
+    words = _WORD.findall(text.lower())
+    n = len(words)
+    top2 = 0
+    if n >= 2:
+        top2 = max(Counter(zip(words, words[1:])).values())
+    n5 = max(0, n - k + 1)
+    dup5 = 0
+    if n >= k:
+        c5 = Counter(tuple(words[i : i + k]) for i in range(n5))
+        dup5 = sum(v for v in c5.values() if v >= 2)
+    return n, top2, dup5, n5
+
+
+def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        rows = [repetition_counts(t) for t in batch["text"].to_pylist()]
+        nw, t2, d5, n5 = (list(x) for x in zip(*rows)) if rows else ([], [], [], [])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "top2_count": pa.array(t2, pa.int64()),
+                "dup5_positions": pa.array(d5, pa.int64()),
+                "n_5grams": pa.array(n5, pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_REPETITION = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w FROM documents
+), base AS (
+  SELECT doc_id, length(w) AS n_words, w FROM words
+), g2 AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g, count(*) AS c
+    FROM (SELECT doc_id, w, unnest(range(1, length(w))) AS i
+          FROM base WHERE n_words >= 2)
+    GROUP BY doc_id, g) GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5 FROM (
+    SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g, count(*) AS c
+    FROM (SELECT doc_id, w, unnest(range(1, length(w) - 3)) AS i
+          FROM base WHERE n_words >= 5)
+    GROUP BY doc_id, g) GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(g2.top2, 0) AS BIGINT) AS top2_count,
+       CAST(coalesce(g5.dup5, 0) AS BIGINT) AS dup5_positions,
+       CAST(greatest(b.n_words - 4, 0) AS BIGINT) AS n_5grams
+FROM base b LEFT JOIN g2 USING (doc_id) LEFT JOIN g5 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source stratified quota sampling
+
+
+def _source_bucket(sources: pd.Series) -> np.ndarray:
+    uniq, codes = np.unique(sources.to_numpy(), return_inverse=True)
+    hb = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+            & _MASK63
+            for s in uniq
+        ),
+        dtype=np.int64,
+        count=uniq.size,
+    )
+    return (hb % NUM_BUCKETS)[codes]
+
+
+def q_doc_source_quota(sf_dir: str) -> pd.DataFrame:
+    """Keep the QUOTA_K lowest-doc_id docs per source (domain quota mixing).
+    Sources hash to NB coarse buckets — per-key groupby cost stays flat at
+    web-scale domain cardinality; the per-source rank runs in vectorized
+    per-group pandas."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "source"]].copy()
+        df["sbucket"] = _source_bucket(df["source"])
+        return df
+
+    def quota(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"), "doc_id": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["source", "doc_id"], kind="stable")
+        out = g.groupby("source", sort=False).head(QUOTA_K)
+        return out[["source", "doc_id"]].reset_index(drop=True)
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("sbucket")
+        .map_groups(quota, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+SQL_DOC_SOURCE_QUOTA = f"""
+SELECT source, doc_id FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {QUOTA_K}
+ORDER BY source, doc_id
+"""

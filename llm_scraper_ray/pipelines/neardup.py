@@ -109,8 +109,9 @@ def _empty_ngram() -> pd.DataFrame:
     )
 
 
-def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs, distributed end-to-end:
+def ngram_pair_dataset(sf_dir: str) -> rd.Dataset:
+    """Exact n-gram-Jaccard near-dup pairs as a lazy Dataset
+    (doc_a, doc_b, inter, union_sz), distributed end-to-end:
 
     1. explode the shared shingle table to (sh, doc_id, n_sh) rows with a
        coarse ``bucket = sh % NB`` partition column;
@@ -182,22 +183,37 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
         out = agg[agg["inter"] >= JACCARD_THRESHOLD * agg["union_sz"]]
         return out[["doc_a", "doc_b", "inter", "union_sz"]].astype("int64")
 
-    out = (
+    key = os.path.normpath(sf_dir)
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ds = (
         doc_shingles(sf_dir)
         .map_batches(explode, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby("pbucket")
         .map_groups(sum_pairs, batch_format="pandas")
-        .to_pandas()
+        .materialize()  # near-dup-mass-sized; shared with the dedup-cluster op
     )
+    _PAIR_CACHE[key] = ds
+    return ds
+
+
+_PAIR_CACHE: dict[str, rd.Dataset] = {}
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    out = ngram_pair_dataset(sf_dir).to_pandas()
     if len(out) == 0:
         return _empty_ngram()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-SQL_NGRAM_JACCARD = f"""
-WITH words AS (
+# shared CTE chain ending in ``pairs(doc_a, doc_b, inter, union_sz)`` — the
+# exact thresholded near-dup pair set; composed into SQL_NGRAM_JACCARD here
+# and into the connected-components oracle in ``pipelines/curation.py``.
+NGRAM_PAIRS_CTE = f"""words AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS w FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
@@ -213,12 +229,15 @@ WITH words AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   WHERE a.shingle IN (SELECT shingle FROM kept)
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b, i AS inter,
-       sa.n_sh + sb.n_sh - i AS union_sz
-FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
+), pairs AS (
+  SELECT doc_a, doc_b, i AS inter, sa.n_sh + sb.n_sh - i AS union_sz
+  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+)"""
+
+SQL_NGRAM_JACCARD = f"""
+WITH {NGRAM_PAIRS_CTE}
+SELECT doc_a, doc_b, inter, union_sz FROM pairs ORDER BY doc_a, doc_b
 """
 
 

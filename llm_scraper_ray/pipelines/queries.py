@@ -948,6 +948,7 @@ from .neardup import (  # noqa: E402  (distributed near-dup operators)
     ngram_jaccard_pairs as q_ngram_jaccard_pairs,
     simhash_buckets as q_simhash_buckets,
 )
+from . import curation as _curation  # noqa: E402  (corpus-curation operators)
 
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
@@ -1420,6 +1421,12 @@ def all_queries():
         "event_props_numbers": q_event_props_numbers,
         "order_price_strings": q_order_price_strings,
         "doc_sample_hash": q_doc_sample_hash,
+        # corpus curation (dedup clustering, decontamination, repetition,
+        # source quota — pipelines/curation.py)
+        "doc_dedup_clusters": _curation.q_doc_dedup_clusters,
+        "doc_decontaminate": _curation.q_doc_decontaminate,
+        "doc_repetition": _curation.q_doc_repetition,
+        "doc_source_quota": _curation.q_doc_source_quota,
     }
 
 
@@ -1634,6 +1641,10 @@ def all_oracle_sql():
         "event_props_numbers": _SQL_EVENT_PROPS_NUMBERS,
         "order_price_strings": _SQL_ORDER_PRICE_STRINGS,
         "doc_sample_hash": _SQL_DOC_SAMPLE_HASH,
+        "doc_dedup_clusters": _curation.SQL_DOC_DEDUP_CLUSTERS,
+        "doc_decontaminate": _curation.SQL_DOC_DECONTAMINATE,
+        "doc_repetition": _curation.SQL_DOC_REPETITION,
+        "doc_source_quota": _curation.SQL_DOC_SOURCE_QUOTA,
     }
 
 # ---------------------------------------------------------------------------

@@ -149,3 +149,109 @@ def test_doc_pii_scrub_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_connected_components_deep_chain(ray_session):
+    """Edge contraction must propagate min labels across long chains, far
+    beyond one hop per round (reach ~doubles per round): an 18-node chain
+    plus a disjoint triangle resolve to exactly two clusters."""
+    import ray.data as rd
+
+    from llm_scraper_ray.pipelines.curation import connected_components
+
+    chain = pd.DataFrame(
+        {"doc_a": list(range(100, 117)), "doc_b": list(range(101, 118))}
+    )
+    tri = pd.DataFrame({"doc_a": [7, 7, 8], "doc_b": [8, 9, 9]})
+    pairs = rd.from_pandas(pd.concat([chain, tri], ignore_index=True))
+    lab = connected_components(pairs, iterations=8).sort_values("doc_id")
+    assert set(lab.loc[lab["doc_id"] >= 100, "cluster_id"]) == {100}
+    assert set(lab.loc[lab["doc_id"] < 100, "cluster_id"]) == {7}
+    assert len(lab) == 21
+
+
+def test_connected_components_default_rounds_cover_moderate_chains(ray_session):
+    """The default round count must cover chains much deeper than the
+    observed clique-shaped dup components (diameter 1 at every test sf)."""
+    import ray.data as rd
+
+    from llm_scraper_ray.pipelines.curation import connected_components
+
+    chain = pd.DataFrame({"doc_a": list(range(0, 8)), "doc_b": list(range(1, 9))})
+    lab = connected_components(rd.from_pandas(chain))
+    assert set(lab["cluster_id"]) == {0} and len(lab) == 9
+
+
+def test_doc_dedup_clusters_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    out = all_queries()["doc_dedup_clusters"](SF)
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["doc_dedup_clusters"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # exactly one canonical keep per cluster; clusters are non-trivial
+    per = out.groupby("cluster_id")["keep"].sum()
+    assert (per == 1).all()
+    assert (out.groupby("cluster_id").size() >= 2).all()
+
+
+def test_doc_decontaminate_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    out = all_queries()["doc_decontaminate"](SF)
+    assert len(out) > 0 and (out["doc_id"] % 37 != 0).all()
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["doc_decontaminate"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_repetition_kernel():
+    from llm_scraper_ray.pipelines.curation import repetition_counts
+
+    n, top2, dup5, n5 = repetition_counts("a b a b a b a")
+    assert n == 7 and top2 == 3  # ('a','b') x3
+    # 5-grams: (a b a b a), (b a b a b), (a b a b a) -> 'a b a b a' repeats,
+    # covering 2 of the 3 positions
+    assert n5 == 3 and dup5 == 2
+    n, top2, dup5, n5 = repetition_counts("a b a b a b a b a")
+    assert n5 == 5 and dup5 == 5  # every 5-gram position is a repeat
+    n, top2, dup5, n5 = repetition_counts("one two three four")
+    assert (n, top2, dup5, n5) == (4, 1, 0, 0)
+    assert repetition_counts("") == (0, 0, 0, 0)
+
+
+def test_doc_repetition_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    out = all_queries()["doc_repetition"](SF)
+    assert (out["top2_count"] >= 1).any()
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["doc_repetition"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_doc_source_quota_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.curation import QUOTA_K
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    out = all_queries()["doc_source_quota"](SF)
+    assert (out.groupby("source").size() <= QUOTA_K).all()
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["doc_source_quota"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
