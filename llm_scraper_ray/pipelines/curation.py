@@ -396,3 +396,217 @@ SELECT source, doc_id FROM documents
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {QUOTA_K}
 ORDER BY source, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: distributed prefix-sum (scan) bin assignment
+
+BIN_TOKENS = 512  # packing bin width (tokens)
+
+
+def q_doc_token_bins(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Concat-stream sequence packing: docs in doc_id order are chunked
+    into BIN_TOKENS-token bins; each doc's bin = its starting token offset
+    // BIN_TOKENS. The global offset is a distributed SCAN: pass 1 computes
+    per-batch local cumulative sums and tags every row with its batch's
+    first doc_id; only the O(#batches) (batch_key, batch_total) summary
+    reaches the driver, which prefix-sums it into per-batch offsets; pass 2
+    adds the offset back per row. No corpus-sized driver state, one sort."""
+    from ..functions.analysis import count_tokens_ws
+
+    def scan_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        n = np.fromiter(
+            (count_tokens_ws(x) for x in t["text"].to_pylist()),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        lc = np.cumsum(n)
+        bkey = ids[0] if ids else 0
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "local_cum": pa.array(lc, pa.int64()),
+                "bkey": pa.array(np.full(len(ids), bkey, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .sort("doc_id")
+        .map_batches(scan_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        # downstream batches may coalesce several scan batches → one
+        # (bkey, total=max local_cum) row per scan batch present
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("bkey", "total")})
+        s = df.groupby("bkey", as_index=False)["local_cum"].max()
+        return s.rename(columns={"local_cum": "total"}).astype("int64")
+
+    summary = rows.map_batches(
+        summarize, batch_format="pandas", zero_copy_batch=True
+    ).to_pandas()  # O(#scan batches)
+    summary = summary.sort_values("bkey").reset_index(drop=True)
+    offs = summary["total"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(summary["bkey"].astype("int64"), offs.astype("int64")))
+
+    def assign(t: pa.Table) -> pa.Table:
+        bk = t["bkey"].to_numpy(zero_copy_only=False)
+        off = np.fromiter((offsets[int(b)] for b in bk), dtype=np.int64, count=len(bk))
+        start = off + t["local_cum"].to_numpy(zero_copy_only=False) - t[
+            "n_tokens"
+        ].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "bin_id": pa.array(start // BIN_TOKENS, pa.int64()),
+            }
+        )
+
+    out = rows.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_TOKEN_BINS = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // {BIN_TOKENS} AS BIGINT) AS bin_id
+FROM c ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles over an integer column (value-count fold)
+
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact doc-length quantiles via distributed value counts: per-batch
+    np.unique partials keyed by value → NB-bucket sum → only the
+    value-DOMAIN-sized (value, count) table reaches the driver, which
+    inverts the CDF (smallest v with cum ≥ ceil(q·n) — the discrete
+    quantile both sides compute from the same literals)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(t["n_chars"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "v": pa.array(v.astype(np.int64), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+                "bucket": pa.array(v.astype(np.int64) % NUM_BUCKETS, pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("v", "c")})
+        return g.groupby("v", as_index=False)["c"].sum().astype("int64")
+
+    vc = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    vc = vc.sort_values("v").reset_index(drop=True)
+    cc = vc["c"].cumsum().to_numpy()
+    n = int(cc[-1]) if len(cc) else 0
+    import math
+
+    rows = []
+    for q in QUANTILE_QS:
+        k = math.ceil(q * n)
+        idx = int(np.searchsorted(cc, k, side="left"))
+        rows.append({"q": float(q), "value": int(vc["v"].iloc[idx])})
+    return pd.DataFrame(rows, columns=["q", "value"]).astype({"q": "float64", "value": "int64"})
+
+
+SQL_DOC_LENGTH_QUANTILES = """
+WITH vc AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY v),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM vc),
+tot AS (SELECT count(*) AS n FROM documents),
+qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+SELECT q, CAST(min(v) AS BIGINT) AS value
+FROM cum, tot, qs WHERE cc >= ceil(q * n)
+GROUP BY q ORDER BY q
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact global top-k vocabulary (corpus term stats)
+
+VOCAB_TOP_K = 50
+
+
+def q_vocab_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus-wide top-K words by frequency: per-batch Counter
+    partials → NB-bucket sum (each word fully aggregated inside one
+    bucket, so per-bucket top-K provably contains every global top-K
+    member) → NB·K candidate rows to the driver for the final cut.
+    Ties break by word ASC on both sides."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            cnt.update(_WORD.findall(txt.lower()))
+        words = list(cnt.keys())
+        ns = np.fromiter((cnt[w] for w in words), dtype=np.int64, count=len(words))
+        bk = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+                & _MASK63
+                for w in words
+            ),
+            dtype=np.int64,
+            count=len(words),
+        )
+        return pa.Table.from_pydict(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "bucket": pa.array(bk % NUM_BUCKETS, pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"word": pd.Series([], dtype="object"), "n": pd.Series([], dtype="int64")}
+            )
+        s = g.groupby("word", as_index=False)["n"].sum()
+        s = s.sort_values(["n", "word"], ascending=[False, True], kind="stable")
+        return s.head(VOCAB_TOP_K).reset_index(drop=True)
+
+    cand = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cand.sort_values(["n", "word"], ascending=[False, True], kind="stable").head(
+        VOCAB_TOP_K
+    )
+    return out[["word", "n"]].reset_index(drop=True).astype({"n": "int64"})
+
+
+SQL_VOCAB_TOP_TERMS = f"""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, word ASC LIMIT {VOCAB_TOP_K}
+"""

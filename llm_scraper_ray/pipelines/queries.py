@@ -523,6 +523,122 @@ FROM events ORDER BY event_id
 """
 
 
+def q_events_asof_join(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Distributed AS-OF JOIN (an operator Ray Data lacks — §2.5 custom
+    join shapes): every 'click' event joined to the same user's most
+    recent 'purchase' at-or-before its timestamp. Sort-merge formulation:
+    both streams tagged and range-partitioned by ONE (user_id, ts) sort;
+    each batch resolves its probes against in-batch refs with a vectorized
+    last-ref forward scan. Cross-batch dependency is confined to the
+    batch's FIRST user (user runs are contiguous under the sort), so the
+    fixup set is the unresolved head probes plus one running-state tail
+    row per batch — O(#batches + first-user-edge rows) on the driver,
+    the proven events_lag/session_windows edge-merge pattern. (user_id,
+    ts) is unique in the events table, so no tie-break rank is needed.
+
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+
+    def asof_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        schema = {
+            "event_id": pa.int64(), "user_id": pa.int64(), "ts_i": pa.int64(),
+            "value": pa.float64(), "prev_purchase_value": pa.float64(),
+            "kind": pa.int8(),
+        }
+        if n == 0:
+            return pa.Table.from_pydict({k: pa.array([], v) for k, v in schema.items()})
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        is_ref = pc.equal(t["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        idx = np.arange(n)
+        last_ref = np.maximum.accumulate(np.where(is_ref, idx, -1))
+        valid = last_ref >= 0
+        same_user = np.zeros(n, dtype=bool)
+        same_user[valid] = u[last_ref[valid]] == u[valid]
+        prev = np.full(n, np.nan)
+        ok = valid & same_user
+        prev[ok] = v[last_ref[ok]]
+        probe = ~is_ref
+        # unresolved probes of the batch's first user: their ref may live in
+        # an earlier batch → head fixup rows; other unresolved probes are
+        # final NULLs (their user starts inside this batch)
+        head = probe & ~ok & (u == u[0])
+        kind = np.zeros(n, dtype=np.int8)
+        kind[head] = 1
+        keep = probe
+        out = pa.Table.from_pydict(
+            {
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "user_id": pa.array(u[keep], pa.int64()),
+                "ts_i": pa.array(ts[keep], pa.int64()),
+                "value": pa.array(v[keep], pa.float64()),
+                "prev_purchase_value": pa.array(prev[keep], pa.float64()),
+                "kind": pa.array(kind[keep], pa.int8()),
+            }
+        )
+        refs = np.flatnonzero(is_ref)
+        if refs.size:  # running-state tail: the batch's last ref row
+            r = refs[-1]
+            tail = pa.Table.from_pydict(
+                {
+                    "event_id": pa.array([int(eid[r])], pa.int64()),
+                    "user_id": pa.array([int(u[r])], pa.int64()),
+                    "ts_i": pa.array([int(ts[r])], pa.int64()),
+                    "value": pa.array([float(v[r])], pa.float64()),
+                    "prev_purchase_value": pa.array([float(v[r])], pa.float64()),
+                    "kind": pa.array([2], pa.int8()),
+                }
+            )
+            out = pa.concat_tables([out, tail])
+        return out
+
+    rows = (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["user_id", "ts"])
+        .map_batches(asof_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+    interior = rows.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)), batch_format="pyarrow"
+    )
+    edges = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    cols = ["event_id", "user_id", "value", "prev_purchase_value"]
+    if len(edges):
+        edges = edges.sort_values(["user_id", "ts_i"], kind="stable").reset_index(drop=True)
+        is_tail = edges["kind"] == 2
+        last_tail_u = edges["user_id"].where(is_tail).ffill()
+        last_tail_v = edges["prev_purchase_value"].where(is_tail).ffill()
+        heads = edges[edges["kind"] == 1].copy()
+        same = last_tail_u[heads.index] == heads["user_id"]
+        heads["prev_purchase_value"] = np.where(
+            same, last_tail_v[heads.index], np.nan
+        )
+        out = pd.concat([interior.to_pandas()[cols], heads[cols]], ignore_index=True)
+    else:
+        out = interior.to_pandas()
+        out = out[cols] if len(out) else pd.DataFrame(columns=cols)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_EVENTS_ASOF = """
+SELECT c.event_id, c.user_id, c.value, p.value AS prev_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+ORDER BY c.event_id
+"""
+
+
 def q_user_max_value(sf_dir: str) -> pd.DataFrame:
     """A4 max-aggregate + O4 top-k with deterministic tiebreak."""
     out = (
@@ -1369,6 +1485,7 @@ def all_queries():
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
         "events_lag": q_events_lag,
+        "events_asof_join": q_events_asof_join,
         "user_max_value": q_user_max_value,
         "event_type_stats": q_event_type_stats,
         "top_orders_by_qty": q_top_orders_by_qty,
@@ -1427,6 +1544,11 @@ def all_queries():
         "doc_decontaminate": _curation.q_doc_decontaminate,
         "doc_repetition": _curation.q_doc_repetition,
         "doc_source_quota": _curation.q_doc_source_quota,
+        # corpus statistics / packing (distributed scan, value-count
+        # quantiles, exact top-k vocabulary — pipelines/curation.py)
+        "doc_token_bins": _curation.q_doc_token_bins,
+        "doc_length_quantiles": _curation.q_doc_length_quantiles,
+        "vocab_top_terms": _curation.q_vocab_top_terms,
     }
 
 
@@ -1623,6 +1745,7 @@ def all_oracle_sql():
         "events_hourly": _SQL_EVENTS_HOURLY,
         "session_windows": _SQL_SESSION_WINDOWS,
         "events_lag": _SQL_EVENTS_LAG,
+        "events_asof_join": _SQL_EVENTS_ASOF,
         "user_max_value": _SQL_USER_MAX,
         "event_type_stats": _SQL_EVENT_TYPE_STATS,
         "top_orders_by_qty": _SQL_TOP_ORDERS_QTY,
@@ -1645,6 +1768,9 @@ def all_oracle_sql():
         "doc_decontaminate": _curation.SQL_DOC_DECONTAMINATE,
         "doc_repetition": _curation.SQL_DOC_REPETITION,
         "doc_source_quota": _curation.SQL_DOC_SOURCE_QUOTA,
+        "doc_token_bins": _curation.SQL_DOC_TOKEN_BINS,
+        "doc_length_quantiles": _curation.SQL_DOC_LENGTH_QUANTILES,
+        "vocab_top_terms": _curation.SQL_VOCAB_TOP_TERMS,
     }
 
 # ---------------------------------------------------------------------------

@@ -255,3 +255,72 @@ def test_doc_source_quota_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_doc_token_bins_matches_oracle_and_boundaries(ray_session):
+    """Distributed scan: per-batch local cumsum + O(#batches) driver offset
+    merge must equal the single-window prefix sum even when tiny batches
+    make every row batch-adjacent."""
+    from llm_scraper_ray.pipelines.curation import q_doc_token_bins
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql
+
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["doc_token_bins"],
+    )
+    for bs in (65536, 16):
+        out = q_doc_token_bins(SF, batch_size=bs)
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+        )
+    assert out["bin_id"].nunique() > 1  # packing actually splits the stream
+    # bins are contiguous in doc order
+    assert (out["bin_id"].diff().dropna() >= 0).all()
+
+
+def test_doc_length_quantiles_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    out = all_queries()["doc_length_quantiles"](SF)
+    assert (out["value"].diff().dropna() >= 0).all()  # monotone in q
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["doc_length_quantiles"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_vocab_top_terms_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.curation import VOCAB_TOP_K
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    out = all_queries()["vocab_top_terms"](SF)
+    assert 0 < len(out) <= VOCAB_TOP_K  # synthetic vocab is < K words
+    assert (out["n"].diff().dropna() <= 0).all()  # descending counts
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["vocab_top_terms"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_events_asof_join_matches_oracle_and_boundaries(ray_session):
+    """Distributed as-of join vs DuckDB's native ASOF LEFT JOIN, including
+    tiny batches that force per-user runs across many block edges."""
+    from llm_scraper_ray.pipelines.queries import _SQL_EVENTS_ASOF, q_events_asof_join
+
+    exp = _oracle(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')",
+        _SQL_EVENTS_ASOF,
+    )
+    for bs in (65536, 16):
+        out = q_events_asof_join(SF, batch_size=bs)
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+        )
+    assert out["prev_purchase_value"].notna().sum() > 0
+    assert out["prev_purchase_value"].isna().sum() > 0  # pre-purchase clicks
