@@ -167,8 +167,21 @@ def connected_components(
     return out.astype("int64")
 
 
+_CC_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def _doc_clusters(sf_dir: str) -> pd.DataFrame:
+    """Cluster labels over the corpus's near-dup pairs, cached per sf_dir
+    (dup-node-sized; shared by the cluster-listing and corpus-terminal
+    queries)."""
+    key = os.path.normpath(sf_dir)
+    if key not in _CC_CACHE:
+        _CC_CACHE[key] = connected_components(ngram_pair_dataset(sf_dir))
+    return _CC_CACHE[key].copy()
+
+
 def q_doc_dedup_clusters(sf_dir: str) -> pd.DataFrame:
-    lab = connected_components(ngram_pair_dataset(sf_dir))
+    lab = _doc_clusters(sf_dir)
     lab["keep"] = (lab["doc_id"] == lab["cluster_id"]).astype("int64")
     return lab.sort_values("doc_id").reset_index(drop=True)
 
@@ -609,4 +622,213 @@ SQL_VOCAB_TOP_TERMS = f"""
 SELECT w AS word, count(*) AS n
 FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w FROM documents)
 GROUP BY w ORDER BY n DESC, word ASC LIMIT {VOCAB_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup terminal: materialize the kept corpus (partitioned anti-join)
+
+
+def q_doc_dedup_corpus(sf_dir: str) -> pd.DataFrame:
+    """The dedup pipeline's TERMINAL step: drop every non-canonical dup
+    cluster member from the corpus. The drop set comes out of the
+    distributed connected-components pass (dup-node-sized); the corpus
+    side never leaves the cluster — a hash-partitioned
+    ``Dataset.join(left_anti)`` (the J4/A8 machinery), folded to integer
+    invariants (counts + kept doc_id checksum) for the hash gate."""
+    lab = _doc_clusters(sf_dir)
+    drop = lab[lab["doc_id"] != lab["cluster_id"]][["doc_id"]]
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    n_docs = docs.count()
+    if len(drop) == 0:
+        kept = docs
+    else:
+        drop_ds = rd.from_pandas(drop.rename(columns={"doc_id": "drop_id"}))
+        kept = docs.join(
+            drop_ds, "left_anti", num_partitions=8, on=("doc_id",), right_on=("drop_id",)
+        )
+    from ray.data.aggregate import Count, Sum
+
+    agg = kept.aggregate(Count(), Sum("doc_id", alias_name="s"))
+    n_kept = int(agg["count()"])
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "n_kept": [n_kept],
+            "n_dropped": [n_docs - n_kept],
+            "kept_docid_sum": [int(agg["s"])],
+        }
+    ).astype("int64")
+
+
+SQL_DOC_DEDUP_CORPUS = f"""
+WITH RECURSIVE {NGRAM_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+dropset AS (
+  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) <> a
+)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       count(*) AS n_kept,
+       (SELECT count(*) FROM documents) - count(*) AS n_dropped,
+       CAST(sum(doc_id) AS BIGINT) AS kept_docid_sum
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropset)
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency word statistics (unigram LM scoring + keyword extraction)
+# Both ride ONE instance-level (doc_id, word) explosion bucketed by a stable
+# word hash: a word's rows all land in one bucket, so its GLOBAL count is
+# computable inside the bucket group — no vocabulary broadcast, no
+# high-cardinality groupby; per-doc partials pre-sum before the NB-key fold.
+
+
+def _word_instance_rows(sf_dir: str) -> rd.Dataset:
+    def explode(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        words: list[str] = []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = _WORD.findall(txt.lower())
+            ids.extend([d] * len(ws))
+            words.extend(ws)
+        bk = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+                & _MASK63
+                for w in words
+            ),
+            dtype=np.int64,
+            count=len(words),
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "bucket": pa.array(bk % NUM_BUCKETS, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(explode, batch_format="pyarrow")
+
+
+def q_doc_unigram_scores(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM naturalness proxy with exact integer arithmetic: per doc,
+    the token count and the sum over token instances of each word's GLOBAL
+    corpus frequency (the integer core of a CCNet-style LM score — the log
+    / normalization is a driver-side epilogue, kept out of the hash gate)."""
+
+    def bucket_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_id", "part_n", "part_sum", "pbucket")}
+            )
+        c = g.groupby("word")["word"].transform("size")
+        out = pd.DataFrame({"doc_id": g["doc_id"], "c": c}).groupby(
+            "doc_id", as_index=False
+        ).agg(part_n=("c", "size"), part_sum=("c", "sum"))
+        out["pbucket"] = out["doc_id"] % NUM_BUCKETS
+        return out.astype("int64")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_id", "n_words", "sum_freq")}
+            )
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_words=("part_n", "sum"), sum_freq=("part_sum", "sum")
+        )
+        return out.astype("int64")
+
+    out = (
+        _word_instance_rows(sf_dir)
+        .groupby("bucket")
+        .map_groups(bucket_part, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_UNIGRAM_SCORES = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+)
+SELECT doc_id, count(*) AS n_words, CAST(sum(c) AS BIGINT) AS sum_freq
+FROM toks JOIN wc USING (w) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_doc_rarest_term(sf_dir: str) -> pd.DataFrame:
+    """Keyword extraction by inverse corpus frequency: per doc, the word
+    with the LOWEST global corpus count (tie → word ASC). Per-bucket
+    candidates (one per doc per bucket) fold to the global minimum — exact
+    because each word's global count is whole within its bucket."""
+
+    def bucket_cand(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "word": pd.Series([], dtype="object"),
+                    "freq": pd.Series([], dtype="int64"),
+                    "pbucket": pd.Series([], dtype="int64"),
+                }
+            )
+        c = g.groupby("word")["word"].transform("size")
+        d = pd.DataFrame({"doc_id": g["doc_id"], "word": g["word"], "freq": c})
+        d = d.sort_values(["doc_id", "freq", "word"], kind="stable")
+        out = d.groupby("doc_id", as_index=False).first()
+        out["pbucket"] = out["doc_id"] % NUM_BUCKETS
+        return out[["doc_id", "word", "freq", "pbucket"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "word": pd.Series([], dtype="object"),
+                    "freq": pd.Series([], dtype="int64"),
+                }
+            )
+        d = g.sort_values(["doc_id", "freq", "word"], kind="stable")
+        return d.groupby("doc_id", as_index=False).first()[["doc_id", "word", "freq"]]
+
+    out = (
+        _word_instance_rows(sf_dir)
+        .groupby("bucket")
+        .map_groups(bucket_cand, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_RAREST_TERM = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), j AS (
+  SELECT DISTINCT doc_id, w, c FROM toks JOIN wc USING (w)
+)
+SELECT doc_id, w AS word, CAST(c AS BIGINT) AS freq FROM j
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c, w) = 1
+ORDER BY doc_id
 """

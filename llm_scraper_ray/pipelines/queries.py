@@ -1549,6 +1549,9 @@ def all_queries():
         "doc_token_bins": _curation.q_doc_token_bins,
         "doc_length_quantiles": _curation.q_doc_length_quantiles,
         "vocab_top_terms": _curation.q_vocab_top_terms,
+        "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
+        "doc_unigram_scores": _curation.q_doc_unigram_scores,
+        "doc_rarest_term": _curation.q_doc_rarest_term,
     }
 
 
@@ -1771,6 +1774,9 @@ def all_oracle_sql():
         "doc_token_bins": _curation.SQL_DOC_TOKEN_BINS,
         "doc_length_quantiles": _curation.SQL_DOC_LENGTH_QUANTILES,
         "vocab_top_terms": _curation.SQL_VOCAB_TOP_TERMS,
+        "doc_dedup_corpus": _curation.SQL_DOC_DEDUP_CORPUS,
+        "doc_unigram_scores": _curation.SQL_DOC_UNIGRAM_SCORES,
+        "doc_rarest_term": _curation.SQL_DOC_RAREST_TERM,
     }
 
 # ---------------------------------------------------------------------------

@@ -324,3 +324,49 @@ def test_events_asof_join_matches_oracle_and_boundaries(ray_session):
         )
     assert out["prev_purchase_value"].notna().sum() > 0
     assert out["prev_purchase_value"].isna().sum() > 0  # pre-purchase clicks
+
+
+def test_doc_dedup_corpus_matches_oracle_and_invariants(ray_session):
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    out = all_queries()["doc_dedup_corpus"](SF)
+    row = out.iloc[0]
+    assert row["n_docs"] == row["n_kept"] + row["n_dropped"]
+    assert row["n_dropped"] > 0  # corpus has dup clusters
+    # consistency with the cluster listing: dropped = non-canonical nodes
+    clusters = all_queries()["doc_dedup_clusters"](SF)
+    assert row["n_dropped"] == int((clusters["keep"] == 0).sum())
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["doc_dedup_corpus"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_doc_unigram_scores_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    out = all_queries()["doc_unigram_scores"](SF)
+    assert (out["sum_freq"] >= out["n_words"]).all()  # every word counts itself
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["doc_unigram_scores"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_doc_rarest_term_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    out = all_queries()["doc_rarest_term"](SF)
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["doc_rarest_term"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
