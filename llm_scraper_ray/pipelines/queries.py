@@ -1525,6 +1525,7 @@ def all_queries():
         "extract_cascade": q_extract_cascade,
         "image_analysis": q_image_analysis,
         # multimodal plumbing + sampling
+        "media_decode": q_media_decode,
         "media_features": q_media_features,
         "doc_sample": q_doc_sample,
         # embedding near-dup + ANN scale path
@@ -1603,7 +1604,17 @@ FROM read_parquet('{root}/fields.parquet') ORDER BY url_hash
 SELECT url_hash, heading_path, body
 FROM read_parquet('{root}/sessions.parquet') ORDER BY url_hash, heading_path
 """,
+        "media_decode": f"""
+SELECT media_id, kind, width, height, sample_rate, n_samples, sum_vals
+FROM read_parquet('{_media_truth(sf)}') ORDER BY media_id
+""",
     }
+
+
+def _media_truth(sf: str) -> str:
+    from ..sources.media import persist_media_truth
+
+    return persist_media_truth(sf)
 
 
 def _triplet_oracle_sqls() -> dict[str, str]:
@@ -2049,6 +2060,43 @@ def q_judge_panel(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("claim").reset_index(drop=True)
+
+
+def q_media_decode(sf_dir: str) -> pd.DataFrame:
+    """REAL multimodal decode (S13 upgraded from a declared stub): render
+    genuine PGM-image / PCM-WAV payloads per doc_id, then an actor-pool
+    decode stage parses the actual bytes (PGM header+raster; RIFF/WAV via
+    the stdlib parser) and must recover exactly the integer facts the
+    generator encoded — dimensions, sample counts, pixel/sample checksums.
+    Oracle = the generator's persisted truth table
+    (``sources/media.persist_media_truth``): generator-writes vs
+    decoder-reads, independent directions. Wide binary rows → small
+    batch_size; stateless decode runs in the task pool."""
+    from ..sources.media import render_media
+    from ..stages.multimodal import MediaDecode
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        kinds, payloads = [], []
+        for d in ids:
+            kind, payload = render_media(int(d))
+            kinds.append(kind)
+            payloads.append(payload)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(to_media, batch_format="pyarrow", batch_size=256)
+        .map_batches(MediaDecode(), batch_format="pandas", batch_size=64)
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:

@@ -1,0 +1,123 @@
+"""Deterministic multimodal payload generation WITH generator truth.
+
+The sandbox has no PIL/ffmpeg, but two real media containers are fully
+decodable with the stdlib + numpy: binary PGM (P5) images and PCM WAV
+audio. This module renders genuine payloads of both (gradient+noise
+images; sine-tone audio), records what it encoded (dimensions, sample
+counts, exact integer pixel/sample checksums) as a persisted truth table,
+and the decode pipeline (`stages/multimodal.MediaDecode`) must recover
+those numbers FROM THE BYTES — generator-writes vs decoder-reads, the
+same independent-oracle pattern as ``sources/pages.persist_truth``.
+
+Payload layout mirrors a 100 TB pipeline's media table: opaque ``binary``
+column + typed metadata, one row per media item (SURVEY.md §7.4.5 notes
+wide-binary rows need small batches — the decode query sizes
+``batch_size`` accordingly).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import wave
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MEDIA_VERSION = 1
+
+_CACHE_ROOT = "/tmp/llmsr_cache"
+
+
+def _rng(media_id: int) -> np.random.RandomState:
+    return np.random.RandomState((media_id * 2654435761 + 97) % (2**31 - 1))
+
+
+def render_pgm(media_id: int, truth: dict | None = None) -> bytes:
+    """Binary PGM (P5): deterministic gradient + noise image."""
+    r = _rng(media_id)
+    w = 8 + int(r.randint(0, 57))  # 8..64
+    h = 8 + int(r.randint(0, 57))
+    gx = np.linspace(0, 200, w, dtype=np.float64)
+    gy = np.linspace(0, 55, h, dtype=np.float64)
+    img = (gy[:, None] + gx[None, :] + r.randint(0, 32, size=(h, w))).clip(0, 255)
+    arr = img.astype(np.uint8)
+    if truth is not None:
+        truth.update(
+            width=w, height=h, sample_rate=0,
+            n_samples=w * h, sum_vals=int(arr.astype(np.int64).sum()),
+        )
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def render_wav(media_id: int, truth: dict | None = None) -> bytes:
+    """Mono 16-bit PCM WAV: deterministic sine tone + noise."""
+    r = _rng(media_id)
+    sr = 8000
+    seconds = 1 + int(r.randint(0, 3))  # 1..3 s
+    n = sr * seconds
+    t = np.arange(n, dtype=np.float64)
+    freq = 110.0 + float(r.randint(0, 880))
+    sig = 0.6 * np.sin(2 * np.pi * freq * t / sr) + 0.05 * r.randn(n)
+    pcm = (sig.clip(-1, 1) * 32000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(pcm.tobytes())
+    if truth is not None:
+        truth.update(
+            width=0, height=0, sample_rate=sr,
+            n_samples=n, sum_vals=int(np.abs(pcm.astype(np.int64)).sum()),
+        )
+    return buf.getvalue()
+
+
+def render_media(media_id: int, truth: dict | None = None) -> tuple[str, bytes]:
+    """(kind, payload) for one media id — images on even ids, audio on odd."""
+    if media_id % 2 == 0:
+        return "image", render_pgm(media_id, truth)
+    return "audio", render_wav(media_id, truth)
+
+
+def persist_media_truth(sf_dir: str) -> str:
+    """Write (once per corpus+version) the generator's record of every
+    encoded payload: (media_id, kind, width, height, sample_rate,
+    n_samples, sum_vals) — all exact integers. Media ids = the documents
+    table's doc_ids (one media item per doc)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_CACHE_ROOT, f"mediatruth-{name}-m{MEDIA_VERSION}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = {k: [] for k in ("media_id", "kind", "width", "height", "sample_rate", "n_samples", "sum_vals")}
+    for d in sorted(ids):
+        truth: dict = {}
+        kind, _ = render_media(int(d), truth)
+        rows["media_id"].append(int(d))
+        rows["kind"].append(kind)
+        for k in ("width", "height", "sample_rate", "n_samples", "sum_vals"):
+            rows[k].append(int(truth[k]))
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "width": pa.array(rows["width"], pa.int64()),
+            "height": pa.array(rows["height"], pa.int64()),
+            "sample_rate": pa.array(rows["sample_rate"], pa.int64()),
+            "n_samples": pa.array(rows["n_samples"], pa.int64()),
+            "sum_vals": pa.array(rows["sum_vals"], pa.int64()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path

@@ -2,12 +2,14 @@
 frame-sample plumbing over opaque ``binary`` payloads.
 
 A 100 TB training-data pipeline carries images/audio/video as binary
-columns with typed metadata. The image/audio libraries are not in this
-container, so the DECODE step is stubbed behind ``NotImplementedError``
-(or a clearly-marked deterministic fake), while everything Ray-side is
-real and tested: Arrow schemas, small-batch sizing for wide binary rows
-(SURVEY.md §7.4.5), per-actor setup in ``__init__``, list<float> feature
-output layout compatible with the ANN stages (pipelines/queries ANN ops).
+columns with typed metadata. Formats that need PIL/ffmpeg are stubbed
+behind ``NotImplementedError`` (or a clearly-marked deterministic fake),
+BUT two containers are fully decodable with stdlib+numpy and get REAL
+decoders below (binary PGM images, PCM WAV audio — ``MediaDecode``,
+oracled against the generator's persisted truth). Everything Ray-side is
+real and tested either way: Arrow schemas, small-batch sizing for wide
+binary rows (SURVEY.md §7.4.5), per-actor setup in ``__init__``,
+list<float> feature output layout compatible with the ANN stages.
 """
 
 from __future__ import annotations
@@ -109,5 +111,87 @@ class FrameSampleStub:
                 "media_id": pa.array(ids, pa.string()),
                 "frame_no": pa.array(frames, pa.int32()),
                 "frame_payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders: two media containers are fully decodable with stdlib+numpy
+# (binary PGM images; PCM WAV audio), so for these the decode step is NOT a
+# stub — the stage parses actual bytes and must recover exactly what the
+# generator encoded (`sources/media.persist_media_truth` is the independent
+# truth). PIL/ffmpeg-class formats remain the declared stub boundary above.
+
+
+def decode_pgm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PGM (P5) → (width, height, uint8 array). Minimal grammar:
+    magic, whitespace-separated width/height/maxval, single whitespace,
+    raster (maxval ≤ 255)."""
+    if payload[:2] != b"P5":
+        raise ValueError("not a binary PGM payload")
+    # header tokens: walk past magic, then read 3 ASCII integers
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace before raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("multi-byte PGM not supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+    return w, h, arr.reshape(h, w)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """PCM WAV → (sample_rate, int16 sample array) via the stdlib parser."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise ValueError("only mono 16-bit PCM supported")
+        sr = wf.getframerate()
+        pcm = np.frombuffer(wf.readframes(wf.getnframes()), dtype=np.int16)
+    return sr, pcm
+
+
+class MediaDecode:
+    """Actor-pool decode stage over wide binary rows: real byte parsing
+    (PGM header + raster, RIFF/WAV), emitting exact integer facts — the
+    hash gate compares them against the generator truth table. Wide-binary
+    inputs ⇒ callers pass a small ``batch_size``."""
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        mids, kinds, ws, hs, srs, ns, sums = [], [], [], [], [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"], batch["kind"], batch["payload"]
+        ):
+            payload = bytes(payload)
+            if kind == "image":
+                w, h, arr = decode_pgm(payload)
+                ws.append(w); hs.append(h); srs.append(0)
+                ns.append(w * h)
+                sums.append(int(arr.astype(np.int64).sum()))
+            elif kind == "audio":
+                sr, pcm = decode_wav(payload)
+                ws.append(0); hs.append(0); srs.append(sr)
+                ns.append(int(pcm.size))
+                sums.append(int(np.abs(pcm.astype(np.int64)).sum()))
+            else:
+                raise NotImplementedError(f"no real decoder for kind={kind}")
+            mids.append(int(mid)); kinds.append(kind)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "sample_rate": pa.array(srs, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "sum_vals": pa.array(sums, pa.int64()),
             }
         )

@@ -68,3 +68,54 @@ def test_media_decode_and_features():
     frames = FrameSampleStub(every_n=2)(batch)
     assert frames.num_rows >= 3
     assert set(frames.column_names) == {"media_id", "frame_no", "frame_payload"}
+
+
+def test_real_decoders_roundtrip():
+    """PGM and WAV decode must recover exactly what the renderer encoded
+    (generator-writes vs decoder-reads)."""
+    import numpy as np
+
+    from llm_scraper_ray.sources.media import render_pgm, render_wav
+    from llm_scraper_ray.stages.multimodal import decode_pgm, decode_wav
+
+    for mid in (0, 2, 44, 1234):
+        truth: dict = {}
+        payload = render_pgm(mid, truth)
+        w, h, arr = decode_pgm(payload)
+        assert (w, h) == (truth["width"], truth["height"])
+        assert int(arr.astype(np.int64).sum()) == truth["sum_vals"]
+    for mid in (1, 3, 777):
+        truth = {}
+        payload = render_wav(mid, truth)
+        sr, pcm = decode_wav(payload)
+        assert sr == truth["sample_rate"] and pcm.size == truth["n_samples"]
+        assert int(np.abs(pcm.astype(np.int64)).sum()) == truth["sum_vals"]
+
+
+def test_decode_pgm_rejects_foreign_bytes():
+    import pytest as _pytest
+
+    from llm_scraper_ray.stages.multimodal import decode_pgm
+
+    with _pytest.raises(ValueError):
+        decode_pgm(b"JFIF....")
+
+
+def test_media_decode_matches_truth_oracle(ray_session):
+    import os
+
+    import duckdb
+
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    sf = "/root/testdata/sf0.001"
+    os.environ["LLMSR_ORACLE_SF_DIR"] = sf
+    try:
+        out = all_queries()["media_decode"](sf)
+        exp = duckdb.connect().execute(all_oracle_sql()["media_decode"]).df()
+    finally:
+        del os.environ["LLMSR_ORACLE_SF_DIR"]
+    assert set(out["kind"]) == {"image", "audio"}
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
