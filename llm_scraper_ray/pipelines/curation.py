@@ -152,6 +152,11 @@ def connected_components(
     """(doc_a, doc_b) pair Dataset → (doc_id, cluster_id) for every node in
     a pair, cluster_id = min doc_id of the component. All rounds chain
     lazily — ONE streaming execution of K+1 NB-key bucket groupbys."""
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64") for c in ("doc_id", "cluster_id")}
+    )
+    if pairs.count() == 0:  # metadata-only on the materialized pair table
+        return empty
     state = pairs.map_batches(_cc_state_seed, batch_format="pandas")
     for _ in range(iterations):
         state = state.groupby("bucket").map_groups(_cc_step, batch_format="pandas")
@@ -161,9 +166,7 @@ def connected_components(
         .to_pandas()
     )
     if len(out) == 0:
-        return pd.DataFrame(
-            {c: pd.Series([], dtype="int64") for c in ("doc_id", "cluster_id")}
-        )
+        return empty
     return out.astype("int64")
 
 

@@ -994,6 +994,137 @@ FROM rules ORDER BY doc_id
 """
 
 
+def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The FLAGSHIP composed curation chain a real training-data run
+    executes end-to-end: Gopher quality FILTER → fuzzy-dedup DROP
+    (non-canonical connected-component members, computed corpus-wide
+    before filtering — dedup-then-filter ordering) → per-source keep-K
+    QUOTA → packed per-source stats. Everything distributed: the verdict
+    kernel runs per batch, the dup drop set (dup-node-sized) anti-joins
+    hash-partitioned, the quota + aggregation fold inside source-hash
+    bucket groups. Output = one integer row per surviving source
+    (count, doc_id checksum, token mass) — the whole chain hash-gated
+    by ONE composed SQL oracle."""
+    from .curation import QUOTA_K, _doc_clusters, _source_bucket
+
+    lab = _doc_clusters(sf_dir)
+    drop = lab[lab["doc_id"] != lab["cluster_id"]][["doc_id"]]
+
+    def verdict(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            A.gopher_rules(A.quality_counts(t))["keep"] == 1 for t in batch["text"]
+        ]
+        toks = [A.count_tokens_ws(t) for t in batch["text"]]
+        out = pd.DataFrame(
+            {
+                "doc_id": list(batch["doc_id"]),
+                "source": list(batch["source"]),
+                "n_tokens": toks,
+            }
+        )
+        return out[pd.Series(keep, index=out.index)].reset_index(drop=True)
+
+    kept = _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        verdict, batch_format="pandas"
+    )
+    if len(drop):
+        drop_ds = rd.from_pandas(drop.rename(columns={"doc_id": "drop_id"}))
+        kept = kept.join(
+            drop_ds, "left_anti", num_partitions=8, on=("doc_id",), right_on=("drop_id",)
+        )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sbucket"] = _source_bucket(df["source"])
+        return df
+
+    def quota_agg(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "n_kept": pd.Series([], dtype="int64"),
+                    "sum_doc_id": pd.Series([], dtype="int64"),
+                    "sum_tokens": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["source", "doc_id"], kind="stable")
+        q = g.groupby("source", sort=False).head(QUOTA_K)
+        out = q.groupby("source", as_index=False).agg(
+            n_kept=("doc_id", "size"),
+            sum_doc_id=("doc_id", "sum"),
+            sum_tokens=("n_tokens", "sum"),
+        )
+        return out
+
+    out = (
+        kept.map_batches(add_bucket, batch_format="pandas")
+        .groupby("sbucket")
+        .map_groups(quota_agg, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _sql_curation_pipeline() -> str:
+    from .curation import QUOTA_K
+    from .neardup import NGRAM_PAIRS_CTE
+
+    return f"""
+WITH RECURSIVE {NGRAM_PAIRS_CTE},
+cc_edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM cc_edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN cc_edges e ON r.b = e.a
+),
+dropset AS (
+  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) <> a
+),
+gwc AS (
+  SELECT doc_id, max(c) AS max_word_count FROM (
+    SELECT doc_id, word, count(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS word FROM words) GROUP BY doc_id, word
+  ) GROUP BY doc_id
+),
+gcounts AS (
+  SELECT d.doc_id,
+    length(d.text) AS n_chars,
+    len(words.w) AS n_words,
+    length(d.text) - length(regexp_replace(d.text, '[[:alpha:]]', '', 'g')) AS n_alpha,
+    len(list_filter(words.w, x -> list_contains([{_STOPS_EN_SQL}], x))) AS n_stop,
+    coalesce(list_aggregate(list_transform(words.w, x -> length(x)), 'sum'), 0) AS sum_word_len,
+    coalesce(gwc.max_word_count, 0) AS max_word_count
+  FROM documents d
+  JOIN words ON d.doc_id = words.doc_id
+  LEFT JOIN gwc ON d.doc_id = gwc.doc_id
+),
+keepers AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN trim(d.text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(d.text), '\\s+')) END AS n_tokens
+  FROM documents d JOIN gcounts c ON d.doc_id = c.doc_id
+  WHERE c.n_words BETWEEN 30 AND 90
+    AND 3*c.n_words <= c.sum_word_len AND c.sum_word_len <= 8*c.n_words
+    AND 4*c.n_alpha >= 3*c.n_chars
+    AND c.n_stop >= 2
+    AND 5*c.max_word_count <= c.n_words
+    AND d.doc_id NOT IN (SELECT doc_id FROM dropset)
+),
+quota AS (
+  SELECT * FROM keepers
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {QUOTA_K}
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM quota GROUP BY source ORDER BY source
+"""
+
+
 def _pii_text_sql(col: str) -> str:
     """The deterministic PII-bearing derivation of a document's text (the
     synthetic corpus has no real PII, so the redaction operator is exercised
@@ -1553,6 +1684,8 @@ def all_queries():
         "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
         "doc_unigram_scores": _curation.q_doc_unigram_scores,
         "doc_rarest_term": _curation.q_doc_rarest_term,
+        # flagship composed curation chain (filter → dedup → quota → pack)
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1788,6 +1921,7 @@ def all_oracle_sql():
         "doc_dedup_corpus": _curation.SQL_DOC_DEDUP_CORPUS,
         "doc_unigram_scores": _curation.SQL_DOC_UNIGRAM_SCORES,
         "doc_rarest_term": _curation.SQL_DOC_RAREST_TERM,
+        "curation_pipeline": _sql_curation_pipeline(),
     }
 
 # ---------------------------------------------------------------------------

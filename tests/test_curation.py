@@ -370,3 +370,29 @@ def test_doc_rarest_term_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_curation_pipeline_matches_composed_oracle(ray_session):
+    """The flagship composed chain (Gopher filter → dedup drop → source
+    quota → packed stats) must equal ONE composed SQL oracle, and be
+    consistent with its stages run individually."""
+    from llm_scraper_ray.pipelines.curation import QUOTA_K
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    q = all_queries()
+    out = q["curation_pipeline"](SF)
+    assert len(out) > 0 and (out["n_kept"] <= QUOTA_K).all()
+    # cross-stage consistency: every surviving doc passes the gopher filter
+    gopher_keep = set(
+        q["doc_gopher_filter"](SF).query("keep == 1")["doc_id"]
+    )
+    clusters = q["doc_dedup_clusters"](SF)
+    dropped = set(clusters.loc[clusters["keep"] == 0, "doc_id"])
+    assert out["n_kept"].sum() <= len(gopher_keep - dropped)
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        all_oracle_sql()["curation_pipeline"],
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
