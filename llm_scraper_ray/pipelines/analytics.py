@@ -1,0 +1,398 @@
+"""Windowed / ranked event analytics — three operator shapes Ray Data has
+no primitive for (SURVEY.md §2.7 top-k, §2.9 streaming windows), each built
+on the engine's proven sort + vectorized-batch + metadata-sized-edge-fixup
+pattern (see ``queries.q_events_lag`` / ``q_session_windows``):
+
+  - ``events_topk_per_user``: per-GROUP top-k (``row_number() OVER
+    (PARTITION BY user ORDER BY value DESC) <= K``). One global
+    (user, value DESC, id) sort; every batch finalizes rows whose user run
+    starts inside it (local rank == global rank there) and prunes local
+    rank >= K immediately (global rank can only be larger). Only each
+    batch's FIRST user needs its earlier-batch row count — a 1-row capped
+    tail per batch, so the driver fixup is O(#batches · K) rows. No
+    per-key groupby (1 ms/key at web-scale user cardinality is the known
+    failure mode).
+  - ``events_sliding``: hopping-window aggregate (1 h windows every
+    15 min) — each event expands to exactly WINDOW/HOP window starts
+    INSIDE its batch (vectorized repeat), partials pre-agg per
+    (type, window) before the small groupby; the shuffle carries one row
+    per non-empty (type, window) per batch, never the ×4 event stream.
+  - ``events_window_count``: a RANGE-frame self-join (per event, how many
+    same-user events in the preceding hour, strictly before it) —
+    searchsorted over run-shifted keys per batch; heads whose window can
+    cross the batch split + a window-deep tail context set are the only
+    edge rows.
+
+All three are SQL-oracled (QUALIFY / UNNEST-expansion / range self-join).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+TOPK_K = 3
+SLIDE_SIZE_S = 3600
+SLIDE_HOP_S = 900
+WINDOW_US = 3600 * 1_000_000
+
+
+def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k
+
+
+def q_events_topk_per_user(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Top-K events per user by value (tie → event_id ASC): the per-group
+    top-k operator without a per-key groupby. Batches partition the sorted
+    stream, so a row's global rank differs from its in-batch rank only when
+    its user's run started in an EARLIER batch — i.e. only for each batch's
+    first user. Everything else finalizes distributed; local rank >= K is
+    pruned in-batch (the global rank is never smaller). Tail counts are
+    capped at K+1: once a user's earlier-row total reaches K every later
+    candidate drops, so the cap preserves the decision while keeping edge
+    rows O(1) each."""
+    K = TOPK_K
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+            ("event_id", pa.int64()),
+            ("rank", pa.int64()),  # final 1-based rank (kind 0 only)
+            ("lrank", pa.int64()),  # in-batch rank (kind 1), tail count (kind 2)
+            ("kind", pa.int8()),  # 0 interior-final, 1 head candidate, 2 tail
+        ]
+    )
+
+    def rank_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        lrank = np.arange(n, dtype=np.int64) - starts[run_id]
+        first = run_id == 0
+        keep = lrank < K
+        fin = keep & ~first
+        head = keep & first
+        parts = []
+        if fin.any():
+            parts.append(
+                pa.Table.from_pydict(
+                    {
+                        "user_id": pa.array(u[fin], pa.int64()),
+                        "value": pa.array(v[fin], pa.float64()),
+                        "event_id": pa.array(e[fin], pa.int64()),
+                        "rank": pa.array(lrank[fin] + 1, pa.int64()),
+                        "lrank": pa.array(lrank[fin], pa.int64()),
+                        "kind": pa.array(np.zeros(int(fin.sum()), np.int8), pa.int8()),
+                    },
+                    schema=schema,
+                )
+            )
+        if head.any():
+            parts.append(
+                pa.Table.from_pydict(
+                    {
+                        "user_id": pa.array(u[head], pa.int64()),
+                        "value": pa.array(v[head], pa.float64()),
+                        "event_id": pa.array(e[head], pa.int64()),
+                        "rank": pa.array(np.zeros(int(head.sum()), np.int64), pa.int64()),
+                        "lrank": pa.array(lrank[head], pa.int64()),
+                        "kind": pa.array(np.ones(int(head.sum()), np.int8), pa.int8()),
+                    },
+                    schema=schema,
+                )
+            )
+        # tail: the last user's in-batch row count, capped at K+1 (ordering
+        # key = the batch's LAST row, so every later batch's head sorts
+        # after it and the head's own batch tail never precedes it)
+        cnt = min(int(n - starts[-1]), K + 1)
+        parts.append(
+            pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([int(u[-1])], pa.int64()),
+                    "value": pa.array([float(v[-1])], pa.float64()),
+                    "event_id": pa.array([int(e[-1])], pa.int64()),
+                    "rank": pa.array([0], pa.int64()),
+                    "lrank": pa.array([cnt], pa.int64()),
+                    "kind": pa.array([2], pa.int8()),
+                },
+                schema=schema,
+            )
+        )
+        return pa.concat_tables(parts)
+
+    rows = (
+        _read_events(sf_dir, ["user_id", "value", "event_id"])
+        .sort(["user_id", "value", "event_id"], descending=[False, True, False])
+        .map_batches(rank_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+    cols = ["user_id", "rank", "event_id", "value"]
+    interior = rows.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(cols),
+        batch_format="pyarrow",
+    )
+    edges = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    out_parts = [interior.to_pandas()]
+    if len(edges):
+        # stream order = the global sort key; a head precedes an equal-key
+        # tail (1-row batches emit both for the same event — its own tail
+        # must not count toward its own offset)
+        edges = edges.sort_values(
+            ["user_id", "value", "event_id", "kind"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        ).reset_index(drop=True)
+        tc = np.where(edges["kind"] == 2, edges["lrank"], 0)
+        edges["_tc"] = tc
+        before = edges.groupby("user_id")["_tc"].cumsum() - edges["_tc"]
+        heads = edges[edges["kind"] == 1].copy()
+        grank = before[heads.index].to_numpy() + heads["lrank"].to_numpy()
+        heads = heads[grank < K]
+        heads["rank"] = grank[grank < K] + 1
+        out_parts.append(heads[cols])
+    out = pd.concat(out_parts, ignore_index=True)
+    return out.sort_values(["user_id", "rank"]).reset_index(drop=True)
+
+
+SQL_EVENTS_TOPK = f"""
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rank, event_id, value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+QUALIFY row_number() OVER w <= {TOPK_K}
+ORDER BY user_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) windows
+
+
+def q_events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Hopping-window aggregate: 1-hour windows starting every 15 min, so
+    each event lands in exactly SIZE/HOP = 4 windows. The ×4 expansion AND
+    the per-(type, window) partial aggregation happen inside one batch pass
+    — the shuffle moves pre-summed partials, not the expanded event
+    stream."""
+    nhop = SLIDE_SIZE_S // SLIDE_HOP_S
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.int64()),
+                    "part_n": pa.array([], pa.int64()),
+                    "part_sum": pa.array([], pa.float64()),
+                }
+            )
+        es = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000).to_numpy()
+        base = (es // SLIDE_HOP_S) * SLIDE_HOP_S
+        off = np.repeat(np.arange(nhop, dtype=np.int64) * SLIDE_HOP_S, n)
+        ws = np.tile(base, nhop) - off
+        df = pd.DataFrame(
+            {
+                "event_type": np.tile(t["event_type"].to_numpy(zero_copy_only=False), nhop),
+                "window_start": ws,
+                "value": np.tile(
+                    t["value"].to_numpy(zero_copy_only=False).astype(np.float64), nhop
+                ),
+            }
+        )
+        part = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            part_n=("value", "size"), part_sum=("value", "sum")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (
+        _read_events(sf_dir, ["event_type", "ts", "value"])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("part_n", alias_name="n_events"),
+            Sum("part_sum", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return (
+        out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    )
+
+
+SQL_EVENTS_SLIDING = f"""
+SELECT event_type,
+       ((epoch_us(ts) // 1000000 // {SLIDE_HOP_S}) - i.i) * {SLIDE_HOP_S} AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events CROSS JOIN (SELECT unnest(range({SLIDE_SIZE_S // SLIDE_HOP_S})) AS i) i
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# preceding-window range count (RANGE-frame / range-self-join shape)
+
+
+def q_events_window_count(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Per event: how many of the SAME user's events happened in the
+    preceding hour, strictly before it (ts earlier, or equal ts with a
+    smaller event_id — exactly the sort order). One (user, ts, event_id)
+    sort; per batch the count is ``idx - searchsorted(ts, ts - 1h)``
+    within the row's user run, vectorized across runs by shifting each
+    run onto a disjoint key interval. The window only looks BACKWARD, so
+    the cross-batch dependency is confined to each batch's first user:
+    heads = first-run rows whose window reaches the batch split; context
+    = the last user's rows within one window of the batch end (each row
+    emitted at most once). Edge volume is O(#batches · per-user events
+    per window) — bounded by the window, not the corpus; a hot user
+    hammering one window is the documented skew caveat."""
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("n_prev_hour", pa.int64()),
+            ("kind", pa.int8()),  # 0 final, 1 head (partial), 2 context
+            ("bk_ts", pa.int64()),  # batch key: first row's (ts, event_id)
+            ("bk_e", pa.int64()),
+        ]
+    )
+
+    def cnt_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        tmin, tmax = int(ts.min()), int(ts.max())
+        span = (tmax - tmin) + WINDOW_US + 2
+        nruns = int(run_id[-1]) + 1
+        idx = np.arange(n, dtype=np.int64)
+        if nruns * span < 2**62:
+            shifted = run_id.astype(np.int64) * span + (ts - tmin)
+            lo = np.searchsorted(shifted, shifted - WINDOW_US, side="left")
+        else:  # pathological ts span: per-run fallback, same arithmetic
+            lo = np.empty(n, dtype=np.int64)
+            for r in range(nruns):
+                s = starts[r]
+                t_end = starts[r + 1] if r + 1 < nruns else n
+                seg = ts[s:t_end]
+                lo[s:t_end] = s + np.searchsorted(seg, seg - WINDOW_US, side="left")
+        nprev = idx - lo
+        head = (run_id == 0) & (ts - WINDOW_US <= ts[0])
+        ctx = (run_id == nruns - 1) & (ts >= ts[-1] - WINDOW_US)
+        kind = np.zeros(n, dtype=np.int8)
+        kind[head] = 1
+        base = pa.Table.from_pydict(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "n_prev_hour": pa.array(nprev, pa.int64()),
+                "kind": pa.array(kind, pa.int8()),
+                "bk_ts": pa.array(np.full(n, ts[0]), pa.int64()),
+                "bk_e": pa.array(np.full(n, e[0]), pa.int64()),
+            },
+            schema=schema,
+        )
+        if not ctx.any():
+            return base
+        ci = np.flatnonzero(ctx)
+        ctx_t = pa.Table.from_pydict(
+            {
+                "event_id": pa.array(e[ci], pa.int64()),
+                "user_id": pa.array(u[ci], pa.int64()),
+                "ts_us": pa.array(ts[ci], pa.int64()),
+                "n_prev_hour": pa.array(np.zeros(len(ci), np.int64), pa.int64()),
+                "kind": pa.array(np.full(len(ci), 2, np.int8), pa.int8()),
+                "bk_ts": pa.array(np.full(len(ci), ts[0]), pa.int64()),
+                "bk_e": pa.array(np.full(len(ci), e[0]), pa.int64()),
+            },
+            schema=schema,
+        )
+        return pa.concat_tables([base, ctx_t])
+
+    rows = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts"])
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(cnt_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+    cols = ["event_id", "user_id", "n_prev_hour"]
+    interior = rows.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(cols),
+        batch_format="pyarrow",
+    )
+    edges = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    parts = [interior.to_pandas()]
+    heads = edges[edges["kind"] == 1]
+    ctx = edges[edges["kind"] == 2]
+    if len(heads):
+        if len(ctx):
+            # extra = earlier-batch context rows of the same user inside the
+            # head's window. Context rows from the head's own (or a later)
+            # batch are excluded by the strict batch-key comparison — every
+            # earlier-batch row precedes the head in stream order, so no
+            # (ts, event_id) tie-break against the head itself is needed.
+            m = heads.merge(ctx, on="user_id", suffixes=("", "_c"))
+            in_win = (m["ts_us_c"] >= m["ts_us"] - WINDOW_US) & (
+                m["ts_us_c"] <= m["ts_us"]
+            )
+            earlier = (m["bk_ts_c"] < m["bk_ts"]) | (
+                (m["bk_ts_c"] == m["bk_ts"]) & (m["bk_e_c"] < m["bk_e"])
+            )
+            extra = (
+                m[in_win & earlier]
+                .groupby("event_id", as_index=False)
+                .size()
+                .set_index("event_id")["size"]
+            )
+            heads = heads.copy()
+            heads["n_prev_hour"] = (
+                heads["n_prev_hour"]
+                + heads["event_id"].map(extra).fillna(0).astype(np.int64)
+            )
+        parts.append(heads[cols])
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_WINDOW_COUNT = """
+SELECT e.event_id, e.user_id, count(p.event_id) AS n_prev_hour
+FROM events e LEFT JOIN events p
+  ON p.user_id = e.user_id
+ AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts
+ AND (p.ts < e.ts OR p.event_id < e.event_id)
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""

@@ -835,3 +835,140 @@ SELECT doc_id, w AS word, CAST(c AS BIGINT) AS freq FROM j
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c, w) = 1
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/valid/test split assignment (hash split)
+
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VALID_PCT = 10  # valid = [80, 90), test = [90, 100)
+
+
+def _md5_lower64(s: str) -> int:
+    """DuckDB ``md5_number_lower`` twin: the UPPER 8 digest bytes read
+    little-endian (verified byte-for-byte against DuckDB 1.x)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+
+def q_doc_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/valid/test split by content-stable hash — the
+    split step every training-data pipeline runs last. Pure per-batch map
+    (no shuffle, no state): bucket = md5(doc_id) % 100, split by fixed
+    percentage bands. The hash twin is exact (DuckDB md5_number_lower),
+    so assignment is reproducible across engines and runs."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        b = np.fromiter(
+            (_md5_lower64(str(d)) % 100 for d in ids), dtype=np.int64, count=len(ids)
+        )
+        split = np.where(
+            b < SPLIT_TRAIN_PCT, "train", np.where(b < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid", "test")
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "split": pa.array(split.tolist(), pa.string()),
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+        )
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < {SPLIT_TRAIN_PCT}
+            THEN 'train'
+            WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT}
+            THEN 'valid' ELSE 'test' END AS split,
+       n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction (exact integer surrogate)
+
+
+def q_doc_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top TF-IDF term with EXACT integer arithmetic: score =
+    tf × (N − df) (document-frequency-penalized term weight — the integer
+    surrogate for tf·ln(N/df), chosen so the driver hash can never trip on
+    float log rounding). Same no-broadcast machinery as
+    ``doc_rarest_term``: word instances bucketed by stable word hash, so
+    BOTH tf(doc, word) and the GLOBAL df(word) are whole within one
+    bucket; per-bucket argmax candidates (one row per doc per bucket) fold
+    to the global max. N (corpus size) is Parquet metadata — no read."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def bucket_cand(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "word": pd.Series([], dtype="object"),
+                    "score": pd.Series([], dtype="int64"),
+                    "pbucket": pd.Series([], dtype="int64"),
+                }
+            )
+        tf = g.groupby(["doc_id", "word"], as_index=False).agg(tf=("word", "size"))
+        df_ = tf.groupby("word")["doc_id"].transform("size")
+        tf["score"] = tf["tf"] * (n_docs - df_)
+        tf = tf.sort_values(
+            ["doc_id", "score", "word"], ascending=[True, False, True], kind="stable"
+        )
+        out = tf.groupby("doc_id", as_index=False).first()
+        out["pbucket"] = out["doc_id"] % NUM_BUCKETS
+        return out[["doc_id", "word", "score", "pbucket"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "word": pd.Series([], dtype="object"),
+                    "score": pd.Series([], dtype="int64"),
+                }
+            )
+        d = g.sort_values(
+            ["doc_id", "score", "word"], ascending=[True, False, True], kind="stable"
+        )
+        return d.groupby("doc_id", as_index=False).first()[["doc_id", "word", "score"]]
+
+    out = (
+        _word_instance_rows(sf_dir)
+        .groupby("bucket")
+        .map_groups(bucket_cand, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out["score"] = out["score"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(*) AS d FROM tf GROUP BY w
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, w AS word, CAST(c * (n_docs - d) AS BIGINT) AS score
+FROM tf JOIN df USING (w) CROSS JOIN n
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) = 1
+ORDER BY doc_id
+"""

@@ -1196,6 +1196,7 @@ from .neardup import (  # noqa: E402  (distributed near-dup operators)
     simhash_buckets as q_simhash_buckets,
 )
 from . import curation as _curation  # noqa: E402  (corpus-curation operators)
+from . import analytics as _analytics  # noqa: E402  (windowed/ranked event ops)
 
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
@@ -1686,6 +1687,14 @@ def all_queries():
         "doc_rarest_term": _curation.q_doc_rarest_term,
         # flagship composed curation chain (filter → dedup → quota → pack)
         "curation_pipeline": q_curation_pipeline,
+        # windowed / ranked event analytics (pipelines/analytics.py):
+        # per-group top-k, hopping windows, preceding-window range count
+        "events_topk_per_user": _analytics.q_events_topk_per_user,
+        "events_sliding": _analytics.q_events_sliding,
+        "events_window_count": _analytics.q_events_window_count,
+        # split assignment + integer tf-idf keywords (pipelines/curation.py)
+        "doc_split_assign": _curation.q_doc_split_assign,
+        "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
     }
 
 
@@ -1922,6 +1931,11 @@ def all_oracle_sql():
         "doc_unigram_scores": _curation.SQL_DOC_UNIGRAM_SCORES,
         "doc_rarest_term": _curation.SQL_DOC_RAREST_TERM,
         "curation_pipeline": _sql_curation_pipeline(),
+        "events_topk_per_user": _analytics.SQL_EVENTS_TOPK,
+        "events_sliding": _analytics.SQL_EVENTS_SLIDING,
+        "events_window_count": _analytics.SQL_EVENTS_WINDOW_COUNT,
+        "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
+        "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
     }
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,91 @@
+"""Windowed / ranked event analytics (pipelines/analytics.py) + the new
+curation ops: oracle-SQL equality at sf0.001 — the same compare the driver
+runs at sf0.01 — with the edge-fixup paths boundary-stressed at
+batch_size=16 (every row near a block edge)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(table: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{SF}/{table}.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+@pytest.mark.parametrize("bs", [65536, 16])
+def test_events_topk_per_user_matches_oracle(ray_session, bs):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_TOPK,
+        TOPK_K,
+        q_events_topk_per_user,
+    )
+
+    out = q_events_topk_per_user(SF, batch_size=bs)
+    exp = _oracle("events", SQL_EVENTS_TOPK)
+    assert out["rank"].max() <= TOPK_K
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_events_sliding_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import SQL_EVENTS_SLIDING, q_events_sliding
+
+    out = q_events_sliding(SF)
+    exp = _oracle("events", SQL_EVENTS_SLIDING)
+    # every event lands in exactly 4 windows
+    assert out["n_events"].sum() == 4 * duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+@pytest.mark.parametrize("bs", [65536, 16])
+def test_events_window_count_matches_oracle(ray_session, bs):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_WINDOW_COUNT,
+        q_events_window_count,
+    )
+
+    out = q_events_window_count(SF, batch_size=bs)
+    exp = _oracle("events", SQL_EVENTS_WINDOW_COUNT)
+    assert (out["n_prev_hour"] > 0).any(), "window must be non-trivial"
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_doc_split_assign_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.curation import (
+        SQL_DOC_SPLIT_ASSIGN,
+        q_doc_split_assign,
+    )
+
+    out = q_doc_split_assign(SF)
+    exp = _oracle("documents", SQL_DOC_SPLIT_ASSIGN)
+    frac = (out["split"] == "train").mean()
+    assert 0.7 < frac < 0.9, "hash split must land near the 80% band"
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_doc_tfidf_top_terms_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.curation import (
+        SQL_DOC_TFIDF_TOP_TERMS,
+        q_doc_tfidf_top_terms,
+    )
+
+    out = q_doc_tfidf_top_terms(SF)
+    exp = _oracle("documents", SQL_DOC_TFIDF_TOP_TERMS)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
