@@ -47,6 +47,32 @@ def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     return df
 
 
+def _topk_cut(
+    ds: rd.Dataset,
+    by: list[str],
+    ascending: list[bool],
+    k: int,
+    round_cols: dict[str, int] | None = None,
+) -> pd.DataFrame:
+    """Distributed top-k epilogue: per-batch head(k) partials (each batch's
+    global top-k members are within its local top-k), so the driver collects
+    O(#blocks · k) candidate rows instead of the full aggregate output
+    (O(distinct keys) — the at-scale driver-memory trap). Rounds BEFORE
+    ranking so the cut key equals the SQL ORDER BY key."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if round_cols:
+            df = _round(df.copy(), round_cols)
+        return df.sort_values(by, ascending=ascending, kind="stable").head(k)
+
+    cand = ds.map_batches(part, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(by, ascending=ascending, kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational operators (SURVEY.md §2.5-2.8 analogs on the TPC-H-ish tables)
 
@@ -113,12 +139,12 @@ def q_top_customers(sf_dir: str) -> pd.DataFrame:
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .groupby("o_custkey")
         .aggregate(Sum("o_totalprice", alias_name="revenue"))
-        .to_pandas()
     )
-    agg["c_name"] = agg["o_custkey"].map(dict(zip(cust["c_custkey"], cust["c_name"])))
-    agg = agg.rename(columns={"o_custkey": "c_custkey"})
-    agg = _round(agg, {"revenue": 2})
-    out = agg.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(10)
+    out = _topk_cut(
+        agg, ["revenue", "o_custkey"], [False, True], 10, round_cols={"revenue": 2}
+    ).rename(columns={"o_custkey": "c_custkey"})
+    # dimension lookup only for the k winners
+    out["c_name"] = out["c_custkey"].map(dict(zip(cust["c_custkey"], cust["c_name"])))
     return out[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 
@@ -689,18 +715,15 @@ FROM events GROUP BY event_type ORDER BY event_type
 def q_top_orders_by_qty(sf_dir: str) -> pd.DataFrame:
     """O4 sort-desc-limit over a grouped sum (per-vertex edge-count shape);
     direct groupby — Ray combines map-side."""
-    out = (
+    agg = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
         .groupby("l_orderkey")
         .aggregate(Sum("l_quantity", alias_name="total_qty"))
-        .to_pandas()
     )
-    out = _round(out, {"total_qty": 2})
-    return (
-        out.sort_values(["total_qty", "l_orderkey"], ascending=[False, True])
-        .head(10)
-        .reset_index(drop=True)
-    )
+    return _topk_cut(
+        agg, ["total_qty", "l_orderkey"], [False, True], 10,
+        round_cols={"total_qty": 2},
+    )[["l_orderkey", "total_qty"]]
 
 
 _SQL_TOP_ORDERS_QTY = """
