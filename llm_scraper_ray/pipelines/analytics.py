@@ -35,7 +35,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 TOPK_K = 3
 SLIDE_SIZE_S = 3600
@@ -276,7 +276,11 @@ def q_events_window_count(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
             ("ts_us", pa.int64()),
             ("n_prev_hour", pa.int64()),
             ("kind", pa.int8()),  # 0 final, 1 head (partial), 2 context
-            ("bk_ts", pa.int64()),  # batch key: first row's (ts, event_id)
+            # batch key: first row's FULL stream-order key (user, ts, event).
+            # ts alone is not monotonic across batches — it resets at every
+            # user boundary — so batch order needs the user component too.
+            ("bk_u", pa.int64()),
+            ("bk_ts", pa.int64()),
             ("bk_e", pa.int64()),
         ]
     )
@@ -318,6 +322,7 @@ def q_events_window_count(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
                 "ts_us": pa.array(ts, pa.int64()),
                 "n_prev_hour": pa.array(nprev, pa.int64()),
                 "kind": pa.array(kind, pa.int8()),
+                "bk_u": pa.array(np.full(n, u[0]), pa.int64()),
                 "bk_ts": pa.array(np.full(n, ts[0]), pa.int64()),
                 "bk_e": pa.array(np.full(n, e[0]), pa.int64()),
             },
@@ -333,6 +338,7 @@ def q_events_window_count(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
                 "ts_us": pa.array(ts[ci], pa.int64()),
                 "n_prev_hour": pa.array(np.zeros(len(ci), np.int64), pa.int64()),
                 "kind": pa.array(np.full(len(ci), 2, np.int8), pa.int8()),
+                "bk_u": pa.array(np.full(len(ci), u[0]), pa.int64()),
                 "bk_ts": pa.array(np.full(len(ci), ts[0]), pa.int64()),
                 "bk_e": pa.array(np.full(len(ci), e[0]), pa.int64()),
             },
@@ -368,8 +374,12 @@ def q_events_window_count(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
             in_win = (m["ts_us_c"] >= m["ts_us"] - WINDOW_US) & (
                 m["ts_us_c"] <= m["ts_us"]
             )
-            earlier = (m["bk_ts_c"] < m["bk_ts"]) | (
-                (m["bk_ts_c"] == m["bk_ts"]) & (m["bk_e_c"] < m["bk_e"])
+            earlier = (m["bk_u_c"] < m["bk_u"]) | (
+                (m["bk_u_c"] == m["bk_u"])
+                & (
+                    (m["bk_ts_c"] < m["bk_ts"])
+                    | ((m["bk_ts_c"] == m["bk_ts"]) & (m["bk_e_c"] < m["bk_e"]))
+                )
             )
             extra = (
                 m[in_win & earlier]
@@ -395,4 +405,83 @@ FROM events e LEFT JOIN events p
  AND (p.ts < e.ts OR p.event_id < e.event_id)
 GROUP BY e.event_id, e.user_id
 ORDER BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group exact quantiles (grouped value-count fold)
+
+
+QTYPE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_event_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-GROUP quantiles of event value: quantize to integer cents
+    (values are 2-dp by contract, so the cast is lossless), fold
+    (type, cents) value counts — per-batch pandas partials, then ONE small
+    groupby whose cardinality is #types × cents-domain, NOT #rows — and
+    invert each group's discrete CDF at ceil(q·n) on the driver (the
+    ``doc_length_quantiles`` machinery, partitioned). The driver table is
+    value-domain-sized, never corpus-sized."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                    "part_c": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "cents": np.rint(
+                    t["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        p = df.groupby(["event_type", "cents"], as_index=False).agg(
+            part_c=("cents", "size")
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    vc = (
+        _read_events(sf_dir, ["event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("part_c", alias_name="c"))
+        .to_pandas()
+    )
+    vc = vc.sort_values(["event_type", "cents"], kind="stable")
+    rows = []
+    for etype, g in vc.groupby("event_type", sort=True):
+        cum = g["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        cents = g["cents"].to_numpy()
+        for q in QTYPE_QS:
+            k = int(np.ceil(q * n))
+            rows.append(
+                {
+                    "event_type": etype,
+                    "q": q,
+                    "value": round(float(cents[np.searchsorted(cum, k)]) / 100, 2),
+                }
+            )
+    return pd.DataFrame(rows, columns=["event_type", "q", "value"])
+
+
+SQL_EVENT_VALUE_QUANTILES = """
+WITH vc AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c
+  FROM events GROUP BY event_type, v
+), cum AS (
+  SELECT event_type, v,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cc,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM vc
+), qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+SELECT event_type, q, round(min(v) / 100.0, 2) AS value
+FROM cum, qs WHERE cc >= ceil(q * n)
+GROUP BY event_type, q ORDER BY event_type, q
 """

@@ -972,3 +972,150 @@ FROM tf JOIN df USING (w) CROSS JOIN n
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) = 1
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# conjunctive term search (inverted-index probe shape)
+
+
+SEARCH_TERMS = ("vector", "spark", "window")
+
+
+def q_doc_search_terms(sf_dir: str) -> pd.DataFrame:
+    """Boolean AND search: documents containing EVERY query term, with
+    per-term occurrence counts (the retrieval probe a corpus index serves
+    — F12's search shape over the documents table). A document row is
+    whole, so matching is a pure per-batch map: zero shuffles, zero state,
+    embarrassingly parallel at any corpus size."""
+
+    def match(t: pa.Table) -> pa.Table:
+        ids, cnts = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(_WORD.findall(txt.lower()))
+            row = [c.get(term, 0) for term in SEARCH_TERMS]
+            if all(row):
+                ids.append(d)
+                cnts.append(row)
+        cols = {"doc_id": pa.array(ids, pa.int64())}
+        for j, term in enumerate(SEARCH_TERMS):
+            cols[f"n_{term}"] = pa.array(
+                [r[j] for r in cnts], pa.int64()
+            )
+        return pa.Table.from_pydict(cols)
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(match, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_SEARCH_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         {", ".join(f"sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in SEARCH_TERMS)}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {", ".join(f"CAST(n_{t} AS BIGINT) AS n_{t}" for t in SEARCH_TERMS)}
+FROM c WHERE {" AND ".join(f"n_{t} > 0" for t in SEARCH_TERMS)}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring (n-gram extension of doc_unigram_scores)
+
+
+def _bigram_instance_rows(sf_dir: str) -> rd.Dataset:
+    """(doc_id, bigram, bucket) instance rows — the 2-gram analog of
+    ``_word_instance_rows``; a bigram is whole within its hash bucket, so
+    global bigram counts are computable in-bucket (no LM broadcast)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        grams: list[str] = []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = _WORD.findall(txt.lower())
+            gs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            ids.extend([d] * len(gs))
+            grams.extend(gs)
+        bk = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+                & _MASK63
+                for g in grams
+            ),
+            dtype=np.int64,
+            count=len(grams),
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "word": pa.array(grams, pa.string()),
+                "bucket": pa.array(bk % NUM_BUCKETS, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(explode, batch_format="pyarrow")
+
+
+def q_doc_bigram_scores(sf_dir: str) -> pd.DataFrame:
+    """Bigram-LM naturalness proxy (the n-gram LM step up from
+    ``doc_unigram_scores``), exact integer arithmetic: per doc, the bigram
+    instance count and the sum over instances of each bigram's GLOBAL
+    corpus frequency. Same two-stage bucket fold — global counts inside
+    the bigram-hash bucket, per-doc partials re-keyed by doc bucket."""
+
+    def bucket_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_id", "part_n", "part_sum", "pbucket")}
+            )
+        c = g.groupby("word")["word"].transform("size")
+        out = pd.DataFrame({"doc_id": g["doc_id"], "c": c}).groupby(
+            "doc_id", as_index=False
+        ).agg(part_n=("c", "size"), part_sum=("c", "sum"))
+        out["pbucket"] = out["doc_id"] % NUM_BUCKETS
+        return out.astype("int64")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_id", "n_bigrams", "sum_freq")}
+            )
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("part_n", "sum"), sum_freq=("part_sum", "sum")
+        )
+        return out.astype("int64")
+
+    out = (
+        _bigram_instance_rows(sf_dir)
+        .groupby("bucket")
+        .map_groups(bucket_part, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_BIGRAM_SCORES = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS w
+  FROM toks, unnest(range(1, len(ws))) AS t(i)
+), wc AS (
+  SELECT w, count(*) AS c FROM bg GROUP BY w
+)
+SELECT doc_id, count(*) AS n_bigrams, CAST(sum(c) AS BIGINT) AS sum_freq
+FROM bg JOIN wc USING (w) GROUP BY doc_id ORDER BY doc_id
+"""

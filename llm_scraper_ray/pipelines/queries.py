@@ -1718,6 +1718,11 @@ def all_queries():
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
+        # conjunctive term search + per-group exact quantiles
+        "doc_search_terms": _curation.q_doc_search_terms,
+        "event_value_quantiles": _analytics.q_event_value_quantiles_by_type,
+        # bigram LM scoring (n-gram LM family, with doc_unigram_scores)
+        "doc_bigram_scores": _curation.q_doc_bigram_scores,
     }
 
 
@@ -1959,6 +1964,9 @@ def all_oracle_sql():
         "events_window_count": _analytics.SQL_EVENTS_WINDOW_COUNT,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
+        "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,
+        "event_value_quantiles": _analytics.SQL_EVENT_VALUE_QUANTILES,
+        "doc_bigram_scores": _curation.SQL_DOC_BIGRAM_SCORES,
     }
 
 # ---------------------------------------------------------------------------

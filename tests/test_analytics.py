@@ -18,7 +18,7 @@ def _oracle(table: str, sql: str) -> pd.DataFrame:
     return con.execute(sql).df()
 
 
-@pytest.mark.parametrize("bs", [65536, 16])
+@pytest.mark.parametrize("bs", [65536, 16, 7])
 def test_events_topk_per_user_matches_oracle(ray_session, bs):
     from llm_scraper_ray.pipelines.analytics import (
         SQL_EVENTS_TOPK,
@@ -48,7 +48,7 @@ def test_events_sliding_matches_oracle(ray_session):
     )
 
 
-@pytest.mark.parametrize("bs", [65536, 16])
+@pytest.mark.parametrize("bs", [65536, 16, 7])
 def test_events_window_count_matches_oracle(ray_session, bs):
     from llm_scraper_ray.pipelines.analytics import (
         SQL_EVENTS_WINDOW_COUNT,
@@ -86,6 +86,53 @@ def test_doc_tfidf_top_terms_matches_oracle(ray_session):
 
     out = q_doc_tfidf_top_terms(SF)
     exp = _oracle("documents", SQL_DOC_TFIDF_TOP_TERMS)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_doc_search_terms_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.curation import (
+        SEARCH_TERMS,
+        SQL_DOC_SEARCH_TERMS,
+        q_doc_search_terms,
+    )
+
+    out = q_doc_search_terms(SF)
+    exp = _oracle("documents", SQL_DOC_SEARCH_TERMS)
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert 0 < len(out) < n_docs, "AND search must be non-trivial"
+    assert (out[[f"n_{t}" for t in SEARCH_TERMS]] > 0).all().all()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_event_value_quantiles_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENT_VALUE_QUANTILES,
+        q_event_value_quantiles_by_type,
+    )
+
+    out = q_event_value_quantiles_by_type(SF)
+    exp = _oracle("events", SQL_EVENT_VALUE_QUANTILES)
+    assert out.groupby("event_type").size().eq(5).all()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_doc_bigram_scores_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.curation import (
+        SQL_DOC_BIGRAM_SCORES,
+        q_doc_bigram_scores,
+    )
+
+    out = q_doc_bigram_scores(SF)
+    exp = _oracle("documents", SQL_DOC_BIGRAM_SCORES)
+    assert (out["sum_freq"] >= out["n_bigrams"]).all()  # every freq >= 1
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
