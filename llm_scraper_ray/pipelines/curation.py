@@ -1119,3 +1119,121 @@ WITH toks AS (
 SELECT doc_id, count(*) AS n_bigrams, CAST(sum(c) AS BIGINT) AS sum_freq
 FROM bg JOIN wc USING (w) GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide duplicated-span coverage (substring-granularity dedup)
+
+
+SCRUB_K = 5
+
+
+def q_doc_dup_span_scrub(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring dedup at 5-gram granularity (the Lee-et-al
+    repeated-span scrub, distinct from doc-level near-dup AND from the
+    intra-doc ``doc_repetition`` signal): per doc, how many word positions
+    are covered by a 5-gram occurring MORE THAN ONCE anywhere in the
+    CORPUS. Instance rows (doc_id, pos, gram) route by gram-hash bucket —
+    a gram is whole within its bucket, so the global occurrence count is
+    computable in-bucket with no vocabulary broadcast; surviving dup
+    instances re-key by doc bucket where fixed-width interval merge is one
+    vectorized pass (covered = K + Σ min(K, Δpos), positions sorted). The
+    scrubbed-text rewrite is a per-batch epilogue over these spans; the
+    hash gate covers the span arithmetic."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        poss: list[int] = []
+        grams: list[str] = []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = _WORD.findall(txt.lower())
+            for i in range(len(ws) - SCRUB_K + 1):
+                ids.append(d)
+                poss.append(i)
+                grams.append(" ".join(ws[i : i + SCRUB_K]))
+        bk = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+                & _MASK63
+                for g in grams
+            ),
+            dtype=np.int64,
+            count=len(grams),
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "gram": pa.array(grams, pa.string()),
+                "bucket": pa.array(bk % NUM_BUCKETS, pa.int64()),
+            }
+        )
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_id", "pos", "pbucket")}
+            )
+        c = g.groupby("gram")["gram"].transform("size")
+        keep = g[c >= 2]
+        return pd.DataFrame(
+            {
+                "doc_id": keep["doc_id"],
+                "pos": keep["pos"],
+                "pbucket": keep["doc_id"] % NUM_BUCKETS,
+            }
+        ).astype("int64")
+
+    def doc_cover(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_id", "n_dup5", "dup_tokens")}
+            )
+        g = g.sort_values(["doc_id", "pos"], kind="stable")
+        prev = g.groupby("doc_id")["pos"].shift()
+        contrib = np.where(
+            prev.isna(), SCRUB_K, np.minimum(SCRUB_K, (g["pos"] - prev).to_numpy())
+        ).astype(np.int64)
+        return (
+            pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "t": contrib})
+            .groupby("doc_id", as_index=False)
+            .agg(n_dup5=("t", "size"), dup_tokens=("t", "sum"))
+            .astype("int64")
+        )
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_dups, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(doc_cover, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_DUP_SPAN_SCRUB = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, i AS pos,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+  FROM toks, unnest(range(1, len(ws) - {SCRUB_K - 2})) AS t(i)
+  WHERE len(ws) >= {SCRUB_K}
+), gc AS (
+  SELECT gram, count(*) AS c FROM g GROUP BY gram
+), dup AS (
+  SELECT doc_id, pos FROM g JOIN gc USING (gram) WHERE c >= 2
+), cov AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM dup
+)
+SELECT doc_id, count(*) AS n_dup5,
+       CAST(sum(CASE WHEN prev IS NULL THEN {SCRUB_K}
+                ELSE least({SCRUB_K}, pos - prev) END) AS BIGINT) AS dup_tokens
+FROM cov GROUP BY doc_id ORDER BY doc_id
+"""

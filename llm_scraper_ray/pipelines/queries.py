@@ -1723,6 +1723,8 @@ def all_queries():
         "event_value_quantiles": _analytics.q_event_value_quantiles_by_type,
         # bigram LM scoring (n-gram LM family, with doc_unigram_scores)
         "doc_bigram_scores": _curation.q_doc_bigram_scores,
+        # corpus-wide duplicated 5-gram span coverage (substring dedup)
+        "doc_dup_span_scrub": _curation.q_doc_dup_span_scrub,
     }
 
 
@@ -1967,6 +1969,7 @@ def all_oracle_sql():
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,
         "event_value_quantiles": _analytics.SQL_EVENT_VALUE_QUANTILES,
         "doc_bigram_scores": _curation.SQL_DOC_BIGRAM_SCORES,
+        "doc_dup_span_scrub": _curation.SQL_DOC_DUP_SPAN_SCRUB,
     }
 
 # ---------------------------------------------------------------------------

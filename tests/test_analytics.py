@@ -136,3 +136,21 @@ def test_doc_bigram_scores_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_doc_dup_span_scrub_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.curation import (
+        SCRUB_K,
+        SQL_DOC_DUP_SPAN_SCRUB,
+        q_doc_dup_span_scrub,
+    )
+
+    out = q_doc_dup_span_scrub(SF)
+    exp = _oracle("documents", SQL_DOC_DUP_SPAN_SCRUB)
+    assert len(out) > 0, "generated corpora repeat template phrases"
+    # covered tokens per doc are bounded by K per dup instance
+    assert (out["dup_tokens"] <= out["n_dup5"] * SCRUB_K).all()
+    assert (out["dup_tokens"] >= SCRUB_K).all()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
