@@ -41,6 +41,7 @@ TOPK_K = 3
 SLIDE_SIZE_S = 3600
 SLIDE_HOP_S = 900
 WINDOW_US = 3600 * 1_000_000
+RJOIN_W_US = 24 * 3600 * 1_000_000  # range-join lookback window
 
 
 def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
@@ -405,6 +406,205 @@ FROM events e LEFT JOIN events p
  AND (p.ts < e.ts OR p.event_id < e.event_id)
 GROUP BY e.event_id, e.user_id
 ORDER BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join: clicks ⋈ same-user purchases in a preceding window
+
+
+def q_events_range_join(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """A true RANGE JOIN (equality key + interval predicate), the custom-op
+    shape Ray Data has no primitive for: every click pairs with each of the
+    SAME user's purchases in the strictly-preceding 24 h
+    (``c.ts - W <= p.ts < c.ts``). Strictness makes every matched purchase
+    precede its click in the (user, ts, event_id) stream order, so ONE
+    tagged sort bounds the cross-batch dependency exactly as in
+    ``q_events_window_count``: per batch, each click's purchase range is two
+    ``searchsorted`` calls over the run's purchase-ts subsequence (runs
+    shifted onto disjoint key intervals → one vectorized call), and pairs
+    materialize with a ragged-arange repeat. Only each batch's FIRST user's
+    clicks can reach earlier batches (head probes); the context set is the
+    last user's purchases within one window of the batch end — edge volume
+    is O(#batches · purchases-per-window), bounded by the window, not the
+    corpus. The driver fixup merges probes against strictly-earlier-batch
+    context (full batch sort key comparison — ts alone resets per user)."""
+    W = RJOIN_W_US
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("click_id", pa.int64()),
+            ("purchase_id", pa.int64()),
+            ("gap_s", pa.int64()),
+            ("ts_us", pa.int64()),  # probe/context rows: own event ts
+            ("kind", pa.int8()),  # 0 final pair, 1 head probe, 2 context
+            ("bk_u", pa.int64()),
+            ("bk_ts", pa.int64()),
+            ("bk_e", pa.int64()),
+        ]
+    )
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        is_c = t["event_type"].to_numpy(zero_copy_only=False) == "click"
+        is_p = t["event_type"].to_numpy(zero_copy_only=False) == "purchase"
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        run_id = np.cumsum(new) - 1
+        nruns = int(run_id[-1]) + 1
+        # shift each run's ts onto a disjoint interval so one searchsorted
+        # over the purchase subsequence covers every run at once
+        tmin, tmax = int(ts.min()), int(ts.max())
+        span = (tmax - tmin) + W + 2
+        p_idx = np.flatnonzero(is_p)
+        c_idx = np.flatnonzero(is_c)
+        parts = []
+        if len(p_idx) and len(c_idx):
+            if nruns * span < 2**62:
+                key = run_id.astype(np.int64) * span + (ts - tmin)
+                pk = key[p_idx]
+                ck = key[c_idx]
+                lo = np.searchsorted(pk, ck - W, side="left")
+                hi = np.searchsorted(pk, ck, side="left")
+            else:  # pathological ts span: per-run fallback, same arithmetic
+                lo = np.empty(len(c_idx), dtype=np.int64)
+                hi = np.empty(len(c_idx), dtype=np.int64)
+                p_run = run_id[p_idx]
+                c_run = run_id[c_idx]
+                for r in range(nruns):
+                    cm = c_run == r
+                    if not cm.any():
+                        continue
+                    ps = np.flatnonzero(p_run == r)
+                    seg = ts[p_idx[ps]] if len(ps) else np.empty(0, np.int64)
+                    base = int(ps[0]) if len(ps) else 0
+                    ct = ts[c_idx[cm]]
+                    lo[cm] = base + np.searchsorted(seg, ct - W, side="left")
+                    hi[cm] = base + np.searchsorted(seg, ct, side="left")
+            cnt = hi - lo
+            has = cnt > 0
+            if has.any():
+                reps = cnt[has]
+                # ragged arange: for click j, purchase indices lo[j]..hi[j]-1
+                offs = np.repeat(np.cumsum(reps) - reps, reps)
+                pj = np.repeat(lo[has], reps) + (np.arange(int(reps.sum())) - offs)
+                src = p_idx[pj]
+                dst = np.repeat(c_idx[has], reps)
+                m = len(src)
+                parts.append(
+                    pa.Table.from_pydict(
+                        {
+                            "user_id": pa.array(u[dst], pa.int64()),
+                            "click_id": pa.array(e[dst], pa.int64()),
+                            "purchase_id": pa.array(e[src], pa.int64()),
+                            "gap_s": pa.array(
+                                (ts[dst] - ts[src]) // 1_000_000, pa.int64()
+                            ),
+                            "ts_us": pa.array(np.zeros(m, np.int64), pa.int64()),
+                            "kind": pa.array(np.zeros(m, np.int8), pa.int8()),
+                            "bk_u": pa.array(np.full(m, u[0]), pa.int64()),
+                            "bk_ts": pa.array(np.full(m, ts[0]), pa.int64()),
+                            "bk_e": pa.array(np.full(m, e[0]), pa.int64()),
+                        },
+                        schema=schema,
+                    )
+                )
+        # head probes: first run's clicks whose window reaches the split;
+        # context: last run's purchases within one window of the batch end
+        head = is_c & (run_id == 0) & (ts - W <= ts[0])
+        ctx = is_p & (run_id == nruns - 1) & (ts >= ts[-1] - W)
+        for mask, knd in ((head, 1), (ctx, 2)):
+            if not mask.any():
+                continue
+            mi = np.flatnonzero(mask)
+            m = len(mi)
+            parts.append(
+                pa.Table.from_pydict(
+                    {
+                        "user_id": pa.array(u[mi], pa.int64()),
+                        "click_id": pa.array(
+                            e[mi] if knd == 1 else np.zeros(m, np.int64), pa.int64()
+                        ),
+                        "purchase_id": pa.array(
+                            e[mi] if knd == 2 else np.zeros(m, np.int64), pa.int64()
+                        ),
+                        "gap_s": pa.array(np.zeros(m, np.int64), pa.int64()),
+                        "ts_us": pa.array(ts[mi], pa.int64()),
+                        "kind": pa.array(np.full(m, knd, np.int8), pa.int8()),
+                        "bk_u": pa.array(np.full(m, u[0]), pa.int64()),
+                        "bk_ts": pa.array(np.full(m, ts[0]), pa.int64()),
+                        "bk_e": pa.array(np.full(m, e[0]), pa.int64()),
+                    },
+                    schema=schema,
+                )
+            )
+        if not parts:
+            return schema.empty_table()
+        return pa.concat_tables(parts)
+
+    rows = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(join_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+    cols = ["user_id", "click_id", "purchase_id", "gap_s"]
+    interior = rows.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(cols),
+        batch_format="pyarrow",
+    )
+    edges = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    parts = [interior.to_pandas()]
+    heads = edges[edges["kind"] == 1]
+    ctx = edges[edges["kind"] == 2]
+    if len(heads) and len(ctx):
+        m = heads.merge(ctx, on="user_id", suffixes=("", "_c"))
+        # in-window AND the purchase's batch strictly precedes the click's
+        # (same-batch pairs were already emitted in-batch)
+        in_win = (m["ts_us_c"] >= m["ts_us"] - W) & (m["ts_us_c"] < m["ts_us"])
+        earlier = (m["bk_u_c"] < m["bk_u"]) | (
+            (m["bk_u_c"] == m["bk_u"])
+            & (
+                (m["bk_ts_c"] < m["bk_ts"])
+                | ((m["bk_ts_c"] == m["bk_ts"]) & (m["bk_e_c"] < m["bk_e"]))
+            )
+        )
+        x = m[in_win & earlier]
+        if len(x):
+            extra = pd.DataFrame(
+                {
+                    "user_id": x["user_id"],
+                    "click_id": x["click_id"],
+                    "purchase_id": x["purchase_id_c"],
+                    "gap_s": (x["ts_us"] - x["ts_us_c"]) // 1_000_000,
+                }
+            )
+            parts.append(extra[cols])
+    out = pd.concat(parts, ignore_index=True)
+    return (
+        out.sort_values(["click_id", "purchase_id"])
+        .reset_index(drop=True)
+        .astype({c: np.int64 for c in cols})
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       (epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 AS gap_s
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(c.ts) - {RJOIN_W_US}
+ AND p.ts < c.ts
+ORDER BY click_id, purchase_id
 """
 
 

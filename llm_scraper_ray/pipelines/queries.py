@@ -1715,6 +1715,7 @@ def all_queries():
         "events_topk_per_user": _analytics.q_events_topk_per_user,
         "events_sliding": _analytics.q_events_sliding,
         "events_window_count": _analytics.q_events_window_count,
+        "events_range_join": _analytics.q_events_range_join,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -1964,6 +1965,7 @@ def all_oracle_sql():
         "events_topk_per_user": _analytics.SQL_EVENTS_TOPK,
         "events_sliding": _analytics.SQL_EVENTS_SLIDING,
         "events_window_count": _analytics.SQL_EVENTS_WINDOW_COUNT,
+        "events_range_join": _analytics.SQL_EVENTS_RANGE_JOIN,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

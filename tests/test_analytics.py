@@ -63,6 +63,22 @@ def test_events_window_count_matches_oracle(ray_session, bs):
     )
 
 
+@pytest.mark.parametrize("bs", [65536, 16, 7])
+def test_events_range_join_matches_oracle(ray_session, bs):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_RANGE_JOIN,
+        q_events_range_join,
+    )
+
+    out = q_events_range_join(SF, batch_size=bs)
+    exp = _oracle("events", SQL_EVENTS_RANGE_JOIN)
+    assert len(out) > 0, "range join must produce pairs at sf0.001"
+    assert (out["gap_s"] >= 0).all() and (out["gap_s"] < 24 * 3600).all()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
 def test_doc_split_assign_matches_oracle(ray_session):
     from llm_scraper_ray.pipelines.curation import (
         SQL_DOC_SPLIT_ASSIGN,
