@@ -609,6 +609,205 @@ ORDER BY click_id, purchase_id
 
 
 # ---------------------------------------------------------------------------
+# distinct counting: exact (bucketed, no driver key sets) + HLL sketch
+
+NDIST_NB = 64
+HLL_P = 12
+HLL_M = 1 << HLL_P
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public splitmix64 constants) — the HLL and
+    bucket hash. uint64 wraparound is the point; numpy warns, we don't."""
+    z = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group COUNT(DISTINCT): distinct users per event type with
+    NO driver-side key set and NO per-user groupby key. Per batch: local
+    (type, user) dedup + a stable user-hash bucket; shuffle groups by
+    BUCKET ONLY (NDIST_NB keys — flat cost at any user cardinality), so
+    every surviving copy of a user co-locates and the in-bucket pandas
+    dedup yields per-(bucket, type) distinct partials; the driver sums a
+    NB × #types table. The same shape Ray's own Count(distinct) can't do
+    without a per-key shuffle."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "user_id": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        df["bucket"] = (
+            _splitmix64(df["user_id"].to_numpy()) % np.uint64(NDIST_NB)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["bucket", "event_type", "user_id"]], preserve_index=False
+        )
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).agg(part_nd=("user_id", "size"))
+        return out
+
+    parts = (
+        _read_events(sf_dir, ["event_type", "user_id"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("event_type", as_index=False).agg(n_users=("part_nd", "sum"))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-user estimate per event type — the mergeable
+    sketch pattern: each batch folds its rows into per-type register arrays
+    (m=4096, splitmix64 hash, vectorized leading-zero rank via exact
+    float64 log2 on the 52-bit tail) and emits ONE row per (type, batch)
+    holding the 4 KiB register bytes; the driver elementwise-max-merges
+    O(#batches · #types) sketches — metadata-sized at any corpus scale —
+    and applies the standard bias + linear-counting corrections. Rows-only
+    by design (an estimate has no SQL twin); pytest bounds the error
+    against the oracled exact query."""
+
+    def sketch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"event_type": pa.array([], pa.string()), "regs": pa.array([], pa.binary())}
+            )
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        h = _splitmix64(t["user_id"].to_numpy(zero_copy_only=False))
+        idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        w = (h << np.uint64(HLL_P)) >> np.uint64(HLL_P)  # low 52 bits
+        # rank = leading-zero count within the 52-bit field + 1;
+        # w < 2^52 fits float64's mantissa, so floor(log2) is exact
+        rank = np.where(
+            w == 0,
+            np.int64(64 - HLL_P + 1),
+            (64 - HLL_P) - np.floor(np.log2(np.maximum(w, 1).astype(np.float64))).astype(np.int64),
+        ).astype(np.uint8)
+        types = []
+        regs = []
+        for ty in np.unique(et):
+            m = et == ty
+            r = np.zeros(HLL_M, dtype=np.uint8)
+            np.maximum.at(r, idx[m], rank[m])
+            types.append(str(ty))
+            regs.append(r.tobytes())
+        return pa.Table.from_pydict(
+            {"event_type": pa.array(types, pa.string()), "regs": pa.array(regs, pa.binary())}
+        )
+
+    parts = (
+        _read_events(sf_dir, ["event_type", "user_id"])
+        .map_batches(sketch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    rows = []
+    for ty, g in parts.groupby("event_type", sort=True):
+        merged = np.zeros(HLL_M, dtype=np.uint8)
+        for b in g["regs"]:
+            merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+        est = alpha * HLL_M * HLL_M / np.sum(np.power(2.0, -merged.astype(np.float64)))
+        zeros = int((merged == 0).sum())
+        if est <= 2.5 * HLL_M and zeros > 0:  # linear-counting small range
+            est = HLL_M * np.log(HLL_M / zeros)
+        rows.append({"event_type": ty, "n_users_est": int(round(est))})
+    return pd.DataFrame(rows, columns=["event_type", "n_users_est"])
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ROLLUP (hierarchical subtotals from ONE finest-level shuffle)
+
+
+def q_orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(o_orderpriority, o_orderstatus) over orders: count + revenue
+    at every prefix level. One shuffle at the FINEST grain (per-batch
+    pandas partials → small groupby — the hierarchy's coarser levels are
+    pure arithmetic over that metadata-sized aggregate, computed
+    driver-side), never three scans. NULL group labels are spelled 'ALL'
+    on both sides to keep the hash compare representation-stable."""
+    import ray.data as _rd
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_numpy(zero_copy_only=False),
+                "o_orderstatus": t["o_orderstatus"].to_numpy(zero_copy_only=False),
+                "o_totalprice": t["o_totalprice"].to_numpy(zero_copy_only=False),
+            }
+        )
+        p = df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            part_n=("o_totalprice", "size"), part_rev=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    fine = (
+        _rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(
+            Sum("part_n", alias_name="n_orders"),
+            Sum("part_rev", alias_name="revenue"),
+        )
+        .to_pandas()
+    )
+    lv1 = fine.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue=("revenue", "sum")
+    )
+    lv1["o_orderstatus"] = "ALL"
+    lv0 = pd.DataFrame(
+        {
+            "o_orderpriority": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "n_orders": [fine["n_orders"].sum()],
+            "revenue": [fine["revenue"].sum()],
+        }
+    )
+    cols = ["o_orderpriority", "o_orderstatus", "n_orders", "revenue"]
+    out = pd.concat([fine[cols], lv1[cols], lv0[cols]], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values(["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-group exact quantiles (grouped value-count fold)
 
 

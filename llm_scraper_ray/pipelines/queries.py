@@ -1716,6 +1716,11 @@ def all_queries():
         "events_sliding": _analytics.q_events_sliding,
         "events_window_count": _analytics.q_events_window_count,
         "events_range_join": _analytics.q_events_range_join,
+        # distinct counting: exact bucketed + HLL mergeable sketch
+        "events_distinct_users": _analytics.q_events_distinct_users,
+        "events_distinct_hll": _analytics.q_events_distinct_hll,
+        # hierarchical subtotals from one finest-level shuffle
+        "orders_rollup": _analytics.q_orders_rollup,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -1966,6 +1971,8 @@ def all_oracle_sql():
         "events_sliding": _analytics.SQL_EVENTS_SLIDING,
         "events_window_count": _analytics.SQL_EVENTS_WINDOW_COUNT,
         "events_range_join": _analytics.SQL_EVENTS_RANGE_JOIN,
+        "events_distinct_users": _analytics.SQL_EVENTS_DISTINCT_USERS,
+        "orders_rollup": _analytics.SQL_ORDERS_ROLLUP,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

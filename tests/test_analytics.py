@@ -79,6 +79,48 @@ def test_events_range_join_matches_oracle(ray_session, bs):
     )
 
 
+def test_events_distinct_users_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_DISTINCT_USERS,
+        q_events_distinct_users,
+    )
+
+    out = q_events_distinct_users(SF)
+    exp = _oracle("events", SQL_EVENTS_DISTINCT_USERS)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_events_distinct_hll_within_bound(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_DISTINCT_USERS,
+        q_events_distinct_hll,
+    )
+
+    est = q_events_distinct_hll(SF).set_index("event_type")["n_users_est"]
+    exact = _oracle("events", SQL_EVENTS_DISTINCT_USERS).set_index("event_type")[
+        "n_users"
+    ]
+    assert set(est.index) == set(exact.index)
+    for ty in exact.index:
+        rel = abs(est[ty] - exact[ty]) / max(1, exact[ty])
+        assert rel < 0.05, f"{ty}: est {est[ty]} vs exact {exact[ty]}"
+
+
+def test_orders_rollup_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import SQL_ORDERS_ROLLUP, q_orders_rollup
+
+    out = q_orders_rollup(SF)
+    exp = _oracle("orders", SQL_ORDERS_ROLLUP)
+    # every level present: finest rows + per-priority subtotals + grand total
+    assert (out["o_orderpriority"] == "ALL").sum() == 1
+    assert (out["o_orderstatus"] == "ALL").sum() > 1
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
 def test_doc_split_assign_matches_oracle(ray_session):
     from llm_scraper_ray.pipelines.curation import (
         SQL_DOC_SPLIT_ASSIGN,
