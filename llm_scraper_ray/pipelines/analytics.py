@@ -609,6 +609,197 @@ ORDER BY click_id, purchase_id
 
 
 # ---------------------------------------------------------------------------
+# funnel analysis: per-user ordered-subsequence stage via composable
+# segment state machines (distributed scan over a keyed sort)
+
+FUNNEL_TYPES = ("signup", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Per-user funnel stage: the deepest prefix of signup → click →
+    purchase that occurs as an ORDERED subsequence of the user's event
+    stream (stream order = (ts, event_id); greedy earliest-match is optimal
+    for subsequence existence, so engine and SQL-EXISTS agree). One
+    (user, ts, event_id) sort; each batch evaluates every user run as a
+    STATE-MACHINE SEGMENT, vectorized across runs: "first event of type T
+    at-or-after position p in this run" is one searchsorted over the
+    type's run-shifted position array, chained three times. A segment's
+    effect is the 4-vector g[s] = stage reached given carry-in stage s —
+    segments COMPOSE (g_ab = g_b ∘ g_a), so interior runs finalize as
+    g[0] in-batch and only each batch's edge runs (first/last user) emit
+    their g-vector; the driver folds O(#batches) vectors per boundary
+    user in batch order. The monoid-scan shape ``doc_token_bins`` uses for
+    prefix sums, generalized to non-commutative state."""
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("funnel_stage", pa.int64()),  # final (kind 0); unused for edges
+            ("g0", pa.int64()),
+            ("g1", pa.int64()),
+            ("g2", pa.int64()),
+            ("kind", pa.int8()),  # 0 interior-final, 1 edge segment
+            ("bk_u", pa.int64()),
+            ("bk_ts", pa.int64()),
+            ("bk_e", pa.int64()),
+        ]
+    )
+
+    def seg_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        nruns = len(starts)
+        MISS = np.int64(2 * n + 2)
+
+        # run-shifted position keys per funnel type (positions < n, so
+        # run_id * (n+1) intervals are disjoint)
+        span = np.int64(n + 1)
+        keys = {}
+        for ty in FUNNEL_TYPES:
+            m = et == ty
+            keys[ty] = run_id[m].astype(np.int64) * span + np.flatnonzero(m)
+
+        def first_at_or_after(ty: str, run: np.ndarray, pos: np.ndarray) -> np.ndarray:
+            """Per probe: smallest position of type ty in `run` that is
+            >= pos, else MISS (positions are batch-local)."""
+            k = keys[ty]
+            out = np.full(len(run), MISS, dtype=np.int64)
+            if len(k) == 0:
+                return out
+            q = run.astype(np.int64) * span + pos
+            j = np.searchsorted(k, q, side="left")
+            hit = (j < len(k)) & (k[np.minimum(j, len(k) - 1)] < (run + 1) * span)
+            if hit.any():
+                out[hit] = k[j[hit]] - run[hit].astype(np.int64) * span
+            return out
+
+        runs = np.arange(nruns, dtype=np.int64)
+        rs = starts.astype(np.int64)
+        # carry-in 0: signup -> click -> purchase, each strictly after
+        i1 = first_at_or_after("signup", runs, rs)
+        i2 = first_at_or_after("click", runs, np.minimum(i1 + 1, MISS))
+        i3 = first_at_or_after("purchase", runs, np.minimum(i2 + 1, MISS))
+        g0 = np.where(i3 < MISS, 3, np.where(i2 < MISS, 2, np.where(i1 < MISS, 1, 0)))
+        # carry-in 1 (signup already achieved before this segment)
+        j2 = first_at_or_after("click", runs, rs)
+        j3 = first_at_or_after("purchase", runs, np.minimum(j2 + 1, MISS))
+        g1 = np.where(j3 < MISS, 3, np.where(j2 < MISS, 2, 1))
+        # carry-in 2
+        k3 = first_at_or_after("purchase", runs, rs)
+        g2 = np.where(k3 < MISS, 3, 2)
+
+        edge = (runs == 0) | (runs == nruns - 1)
+        ue = u[rs]
+        parts = []
+        interior = ~edge
+        if interior.any():
+            m = int(interior.sum())
+            parts.append(
+                pa.Table.from_pydict(
+                    {
+                        "user_id": pa.array(ue[interior], pa.int64()),
+                        "funnel_stage": pa.array(g0[interior], pa.int64()),
+                        "g0": pa.array(np.zeros(m, np.int64), pa.int64()),
+                        "g1": pa.array(np.zeros(m, np.int64), pa.int64()),
+                        "g2": pa.array(np.zeros(m, np.int64), pa.int64()),
+                        "kind": pa.array(np.zeros(m, np.int8), pa.int8()),
+                        "bk_u": pa.array(np.full(m, u[0]), pa.int64()),
+                        "bk_ts": pa.array(np.full(m, ts[0]), pa.int64()),
+                        "bk_e": pa.array(np.full(m, e[0]), pa.int64()),
+                    },
+                    schema=schema,
+                )
+            )
+        em = int(edge.sum())
+        parts.append(
+            pa.Table.from_pydict(
+                {
+                    "user_id": pa.array(ue[edge], pa.int64()),
+                    "funnel_stage": pa.array(np.zeros(em, np.int64), pa.int64()),
+                    "g0": pa.array(g0[edge], pa.int64()),
+                    "g1": pa.array(g1[edge], pa.int64()),
+                    "g2": pa.array(g2[edge], pa.int64()),
+                    "kind": pa.array(np.ones(em, np.int8), pa.int8()),
+                    "bk_u": pa.array(np.full(em, u[0]), pa.int64()),
+                    "bk_ts": pa.array(np.full(em, ts[0]), pa.int64()),
+                    "bk_e": pa.array(np.full(em, e[0]), pa.int64()),
+                },
+                schema=schema,
+            )
+        )
+        return pa.concat_tables(parts)
+
+    rows = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(seg_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+    cols = ["user_id", "funnel_stage"]
+    interior = rows.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(cols),
+        batch_format="pyarrow",
+    )
+    edges = rows.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    parts = [interior.to_pandas()]
+    if len(edges):
+        edges = edges.sort_values(
+            ["user_id", "bk_u", "bk_ts", "bk_e"], kind="stable"
+        )
+        fold_rows = []
+        for uid, g in edges.groupby("user_id", sort=False):
+            st = 0
+            for g0v, g1v, g2v in zip(g["g0"], g["g1"], g["g2"]):
+                st = (int(g0v), int(g1v), int(g2v), 3)[st]
+            fold_rows.append({"user_id": int(uid), "funnel_stage": st})
+        parts.append(pd.DataFrame(fold_rows, columns=cols))
+    out = pd.concat(parts, ignore_index=True)
+    return (
+        out.sort_values("user_id")
+        .reset_index(drop=True)
+        .astype({c: np.int64 for c in cols})
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+SELECT u.user_id,
+  CASE
+    WHEN EXISTS (
+      SELECT 1 FROM events s, events c, events p
+      WHERE s.user_id = u.user_id AND c.user_id = u.user_id AND p.user_id = u.user_id
+        AND s.event_type = 'signup' AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+        AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+    ) THEN 3
+    WHEN EXISTS (
+      SELECT 1 FROM events s, events c
+      WHERE s.user_id = u.user_id AND c.user_id = u.user_id
+        AND s.event_type = 'signup' AND c.event_type = 'click'
+        AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+    ) THEN 2
+    WHEN EXISTS (
+      SELECT 1 FROM events s
+      WHERE s.user_id = u.user_id AND s.event_type = 'signup'
+    ) THEN 1
+    ELSE 0
+  END AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+ORDER BY u.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # distinct counting: exact (bucketed, no driver key sets) + HLL sketch
 
 NDIST_NB = 64

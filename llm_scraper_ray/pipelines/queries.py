@@ -1716,6 +1716,8 @@ def all_queries():
         "events_sliding": _analytics.q_events_sliding,
         "events_window_count": _analytics.q_events_window_count,
         "events_range_join": _analytics.q_events_range_join,
+        # funnel stage via composable segment state machines
+        "events_funnel": _analytics.q_events_funnel,
         # distinct counting: exact bucketed + HLL mergeable sketch
         "events_distinct_users": _analytics.q_events_distinct_users,
         "events_distinct_hll": _analytics.q_events_distinct_hll,
@@ -1971,6 +1973,7 @@ def all_oracle_sql():
         "events_sliding": _analytics.SQL_EVENTS_SLIDING,
         "events_window_count": _analytics.SQL_EVENTS_WINDOW_COUNT,
         "events_range_join": _analytics.SQL_EVENTS_RANGE_JOIN,
+        "events_funnel": _analytics.SQL_EVENTS_FUNNEL,
         "events_distinct_users": _analytics.SQL_EVENTS_DISTINCT_USERS,
         "orders_rollup": _analytics.SQL_ORDERS_ROLLUP,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,

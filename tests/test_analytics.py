@@ -79,6 +79,18 @@ def test_events_range_join_matches_oracle(ray_session, bs):
     )
 
 
+@pytest.mark.parametrize("bs", [65536, 16, 7])
+def test_events_funnel_matches_oracle(ray_session, bs):
+    from llm_scraper_ray.pipelines.analytics import SQL_EVENTS_FUNNEL, q_events_funnel
+
+    out = q_events_funnel(SF, batch_size=bs)
+    exp = _oracle("events", SQL_EVENTS_FUNNEL)
+    assert out["funnel_stage"].max() == 3, "some user must complete the funnel"
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
 def test_events_distinct_users_matches_oracle(ray_session):
     from llm_scraper_ray.pipelines.analytics import (
         SQL_EVENTS_DISTINCT_USERS,
