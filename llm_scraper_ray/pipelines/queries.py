@@ -1673,6 +1673,7 @@ def all_queries():
         "triplets_dedup": q_triplets_dedup,
         "kg_nodes": q_kg_nodes,
         "kg_top_vertices": q_kg_top_vertices,
+        "kg_components": q_kg_components,
         "kg_export": q_kg_export,
         "judge_panel": q_judge_panel,
         "triplet_validation_text": q_triplet_validation_text,
@@ -1685,9 +1686,11 @@ def all_queries():
         "doc_sample": q_doc_sample,
         # embedding near-dup + ANN scale path
         "embedding_dups": q_embedding_dups,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "embedding_topk_pq": q_embedding_topk_pq,
         # search-driven discovery (F12/F13)
         "search_discovery": q_search_discovery,
         # E23 pattern extraction + oracled deterministic sample
@@ -1851,6 +1854,38 @@ SELECT method, count(*) AS n, round(avg(weight), 4) AS mean_weight,
        sum(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS n_nonzero
 FROM read_parquet('{path}') GROUP BY method ORDER BY method
 """,
+        "kg_components": f"""
+WITH RECURSIVE dedup AS (
+  SELECT subj_type, subj_name, obj_type, obj_name
+  FROM read_parquet('{path}') GROUP BY {key}
+), hashed AS (
+  SELECT subj_type, {gk('subj_name')} AS subj_key,
+         obj_type, {gk('obj_name')} AS obj_key FROM dedup
+), he AS (
+  SELECT
+    CAST(md5_number_lower(subj_type || '|' || subj_key)
+         % 9223372036854775808 AS BIGINT) AS a,
+    CAST(md5_number_lower(obj_type || '|' || obj_key)
+         % 9223372036854775808 AS BIGINT) AS b,
+    subj_type, subj_key, obj_type, obj_key
+  FROM hashed
+), nodes AS (
+  SELECT subj_type AS node_type, subj_key AS node_key, a AS h FROM he
+  UNION
+  SELECT obj_type, obj_key, b FROM he
+), edges AS (
+  SELECT a, b FROM he UNION SELECT b, a FROM he
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT n.node_type, n.node_key,
+       least(n.h, coalesce(min(r.b), n.h)) AS component_id
+FROM nodes n LEFT JOIN reach r ON r.a = n.h
+GROUP BY n.node_type, n.node_key, n.h
+ORDER BY node_type, node_key
+""",
     }
 
 
@@ -1955,6 +1990,7 @@ def all_oracle_sql():
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
         "embedding_dups": _SQL_EMBEDDING_DUPS,
+        "embedding_dedup_clusters": _SQL_EMBEDDING_DEDUP_CLUSTERS,
         "event_props_numbers": _SQL_EVENT_PROPS_NUMBERS,
         "order_price_strings": _SQL_ORDER_PRICE_STRINGS,
         "doc_sample_hash": _SQL_DOC_SAMPLE_HASH,
@@ -2096,6 +2132,57 @@ def q_kg_top_vertices(sf_dir: str) -> pd.DataFrame:
 
     _, edges = kg_tables(rd.from_pandas(_deduped_triplets_df(sf_dir)))
     return top_vertices_by_edges(edges, k=10)
+
+
+def q_kg_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the knowledge graph: which entities are
+    transitively linked by any triplet. Node identity = the kg_nodes
+    (node_type, node_key) pair hashed with the md5_number_lower twin
+    (mask 63 — uint64 degrades to float64 in pandas blocks); edges =
+    subject↔object per DEDUPED triplet. Reuses the curation plane's
+    contracting min-label CC (K bucket-grouped rounds, one lazy
+    execution), so the same dataflow that clusters near-dup docs labels
+    KG communities. component_id = min node hash in the component;
+    oracle = recursive-CTE closure over the sequential oracle's expected
+    triplets with the identical hash (convergence is hash-checked)."""
+    from ..functions.textnorm import graph_key
+    from .curation import _MASK63, _md5_lower64, connected_components
+
+    tri = _deduped_triplets_df(sf_dir)
+    if len(tri) == 0:
+        return pd.DataFrame(columns=["node_type", "node_key", "component_id"])
+
+    def node_hash(ntype: pd.Series, name: pd.Series) -> np.ndarray:
+        return np.fromiter(
+            (
+                _md5_lower64(f"{t}|{graph_key(n)}") & _MASK63
+                for t, n in zip(ntype, name)
+            ),
+            dtype=np.int64,
+            count=len(ntype),
+        )
+
+    ha = node_hash(tri["subj_type"], tri["subj_name"])
+    hb = node_hash(tri["obj_type"], tri["obj_name"])
+    pairs = rd.from_pandas(pd.DataFrame({"doc_a": ha, "doc_b": hb}))
+    lab = connected_components(pairs).set_index("doc_id")["cluster_id"]
+    nodes = pd.DataFrame(
+        {
+            "node_type": pd.concat([tri["subj_type"], tri["obj_type"]]),
+            "node_key": pd.concat(
+                [tri["subj_name"].map(graph_key), tri["obj_name"].map(graph_key)]
+            ),
+            "h": np.concatenate([ha, hb]),
+        }
+    ).drop_duplicates(["node_type", "node_key"])
+    nodes["component_id"] = np.minimum(
+        nodes["h"].to_numpy(), nodes["h"].map(lab).fillna(nodes["h"]).astype(np.int64)
+    )
+    return (
+        nodes[["node_type", "node_key", "component_id"]]
+        .sort_values(["node_type", "node_key"])
+        .reset_index(drop=True)
+    )
 
 
 def q_triplet_validation_text(sf_dir: str) -> pd.DataFrame:
@@ -2407,6 +2494,81 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 ORDER BY vec_a, vec_b
+"""
+
+
+def q_embedding_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """SEMANTIC dedup clusters: connected components over the exact
+    embedding-cosine near-dup pairs — the same contracting min-label CC
+    the text-dedup plane uses (``curation.connected_components``, K
+    bucket-grouped rounds in one lazy execution), composed over a second
+    modality. The pair stage here is the brute-force oracle twin (pairs
+    stay a Dataset, never collected pre-CC); the 10^9-row path swaps in
+    ``embedding_dups_lsh``'s banded pair expansion unchanged, since CC
+    only sees (a, b) rows. keep = 1 on each cluster's min vec_id; oracle
+    = recursive-CTE closure over the identical SQL pair set."""
+    import pyarrow.parquet as pq
+
+    from .curation import connected_components
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    all_ref = ray.put((ids, mat))
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        ids_all, mat_all = ray.get(all_ref)
+        b_ids = batch["vec_id"].to_numpy()
+        b_mat = _emb_matrix(batch["embedding"])
+        b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = b_mat @ mat_all.T
+        rows, cols = np.nonzero(sims >= _EMB_DUP_THRESHOLD)
+        a_ids = b_ids[rows].astype(np.int64)
+        b2 = ids_all[cols].astype(np.int64)
+        keep = a_ids < b2
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(a_ids[keep], pa.int64()),
+                "doc_b": pa.array(b2[keep], pa.int64()),
+            }
+        )
+
+    pairs = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]).map_batches(
+        pairs_batch, batch_format="pyarrow", batch_size=1024
+    )
+    lab = connected_components(pairs.materialize())
+    if len(lab) == 0:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "cluster_id": pd.Series([], dtype="int64"),
+                "keep": pd.Series([], dtype="int64"),
+            }
+        )
+    lab = lab.rename(columns={"doc_id": "vec_id"})
+    lab["keep"] = (lab["vec_id"] == lab["cluster_id"]).astype("int64")
+    return lab.sort_values("vec_id").reset_index(drop=True)
+
+
+_SQL_EMBEDDING_DEDUP_CLUSTERS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+), edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS vec_id, least(a, min(b)) AS cluster_id,
+       CAST(least(a, min(b)) = a AS BIGINT) AS keep
+FROM reach GROUP BY a ORDER BY vec_id
 """
 
 
@@ -2751,6 +2913,133 @@ def q_embedding_topk_ivf(
         )
 
     cands = ds.map_batches(ivf_score, batch_format="pyarrow", batch_size=2048).to_pandas()
+    if len(cands) == 0:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "sim", "rank"])
+    out = cands.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = out.groupby("query_id", as_index=False).head(_ANN_TOPK)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out.reset_index(drop=True)
+
+
+def q_embedding_topk_pq(
+    sf_dir: str, n_sub: int = 8, n_codes: int = 16, iters: int = 2, rerank: int = 50
+) -> pd.DataFrame:
+    """ANN scale path #3: PRODUCT QUANTIZATION with in-batch exact re-rank.
+    Training reuses the IVF path's shuffle-free distributed k-means — one
+    streaming pass per iteration accumulates per-(subspace, code) partial
+    (sum, count) against broadcast codebooks, all ``n_sub`` subspaces in
+    the same pass; driver state is the (n_sub × n_codes × d/n_sub)
+    codebook tensor only. Search is asymmetric distance computation: each
+    batch encodes its OWN vectors (corpus vectors never leave their
+    batch), sums per-query LUT entries (one (n_sub × n_codes) table per
+    query, broadcast), takes the top-``rerank`` ADC candidates per query
+    per batch, and re-scores exactly against the broadcast query matrix —
+    so emitted sims are EXACT cosines and candidate volume is
+    O(#batches · Q · rerank), shuffle-free. Rows-only (iterative k-means
+    is not SQL); recall is pytest-bounded vs the oracled brute force."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    all_ids = qt["vec_id"].to_numpy()
+    order = np.argsort(all_ids)
+    q_order = order[:_ANN_QUERIES]
+    q_ids = all_ids[q_order]
+    q_mat = np.stack(
+        [np.asarray(qt["embedding"][int(i)].as_py(), dtype=np.float64) for i in q_order]
+    )
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    d = q_mat.shape[1]
+    dsub = d // n_sub
+
+    # deterministic init: the n_codes lowest vec_ids' normalized subvectors
+    seed_idx = order[:n_codes]
+    seed = np.stack(
+        [np.asarray(qt["embedding"][int(i)].as_py(), dtype=np.float64) for i in seed_idx]
+    )
+    seed = seed / np.linalg.norm(seed, axis=1, keepdims=True)
+    # books[m]: (n_codes, dsub)
+    books = np.stack([seed[:, m * dsub : (m + 1) * dsub] for m in range(n_sub)])
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    for _ in range(iters):
+        b_ref = ray.put(books)
+
+        def pq_partial(batch: pa.Table) -> pa.Table:
+            bk = ray.get(b_ref)
+            mat = _emb_matrix(batch["embedding"])
+            nmat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            subs, codes, counts, sums = [], [], [], []
+            for m in range(n_sub):
+                x = nmat[:, m * dsub : (m + 1) * dsub]  # (n, dsub)
+                # nearest code by L2: argmin |x - c|^2 = argmax (2 x·c - |c|^2)
+                sc = 2 * (x @ bk[m].T) - np.sum(bk[m] ** 2, axis=1)
+                assign = np.argmax(sc, axis=1)
+                for code in np.unique(assign):
+                    mm = assign == code
+                    subs.append(m)
+                    codes.append(int(code))
+                    counts.append(int(mm.sum()))
+                    sums.append(x[mm].sum(axis=0).tolist())
+            return pa.Table.from_pydict(
+                {
+                    "sub": pa.array(subs, pa.int64()),
+                    "code": pa.array(codes, pa.int64()),
+                    "count": pa.array(counts, pa.int64()),
+                    "vsum": pa.array(sums, pa.list_(pa.float64())),
+                }
+            )
+
+        part = ds.map_batches(pq_partial, batch_format="pyarrow", batch_size=2048).to_pandas()
+        new = books.copy()
+        for (m, code), grp in part.groupby(["sub", "code"]):
+            s = np.sum(np.stack([np.asarray(v) for v in grp["vsum"]]), axis=0)
+            n = grp["count"].sum()
+            if n > 0:
+                new[int(m), int(code)] = s / n
+        books = new
+
+    bcast = ray.put((books, q_ids, q_norm))
+
+    def pq_score(batch: pa.Table) -> pa.Table:
+        bk, q_ids_, q_norm_ = ray.get(bcast)
+        ids = batch["vec_id"].to_numpy()
+        mat = _emb_matrix(batch["embedding"])
+        nmat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        n = len(ids)
+        # encode the batch: codes (n_sub, n)
+        adc = np.zeros((len(q_ids_), n), dtype=np.float64)
+        for m in range(n_sub):
+            x = nmat[:, m * dsub : (m + 1) * dsub]
+            sc = 2 * (x @ bk[m].T) - np.sum(bk[m] ** 2, axis=1)
+            assign = np.argmax(sc, axis=1)  # (n,)
+            # per-query LUT for this subspace: (Q, n_codes)
+            lut = q_norm_[:, m * dsub : (m + 1) * dsub] @ bk[m].T
+            adc += lut[:, assign]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            cand = ids != q_ids_[qi]
+            ci = np.flatnonzero(cand)
+            if len(ci) == 0:
+                continue
+            take = ci[np.argsort(-adc[qi, ci], kind="stable")[:rerank]]
+            sims = nmat[take] @ q_norm_[qi]  # exact re-rank
+            for n_id, s in zip(ids[take], sims):
+                out_q.append(int(q_ids_[qi]))
+                out_n.append(int(n_id))
+                out_s.append(round(float(s), 4))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(pq_score, batch_format="pyarrow", batch_size=2048).to_pandas()
     if len(cands) == 0:
         return pd.DataFrame(columns=["query_id", "neighbor_id", "sim", "rank"])
     out = cands.sort_values(

@@ -33,6 +33,47 @@ def test_ivf_recall_vs_bruteforce(ray_session):
             assert abs(bf[(q, n)] - s) < 1e-9
 
 
+def test_pq_recall_vs_bruteforce(ray_session):
+    from llm_scraper_ray.pipelines.queries import q_embedding_topk, q_embedding_topk_pq
+
+    exact = q_embedding_topk("/root/testdata/sf0.001")
+    approx = q_embedding_topk_pq("/root/testdata/sf0.001")
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # PQ quantization error on near-orthogonal synthetics is the worst
+    # case; the in-batch exact re-rank (top-50 ADC per query per batch)
+    # still recovers most true neighbors
+    assert recall >= 0.5, recall
+    # re-ranked sims are EXACT cosines — must agree with brute force
+    bf = {(q, n): s for q, n, s in zip(exact["query_id"], exact["neighbor_id"], exact["sim"])}
+    for q, n, s in zip(approx["query_id"], approx["neighbor_id"], approx["sim"]):
+        if (q, n) in bf:
+            assert abs(bf[(q, n)] - s) < 1e-9
+
+
+def test_embedding_dedup_clusters_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from llm_scraper_ray.pipelines.queries import (
+        _SQL_EMBEDDING_DEDUP_CLUSTERS,
+        q_embedding_dedup_clusters,
+    )
+
+    out = q_embedding_dedup_clusters("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    exp = con.execute(_SQL_EMBEDDING_DEDUP_CLUSTERS).df()
+    assert (out.groupby("cluster_id")["keep"].sum() == 1).all()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
 def test_embedding_dups_symmetric_unique(ray_session):
     from llm_scraper_ray.pipelines.queries import q_embedding_dups
 

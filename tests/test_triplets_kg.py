@@ -73,3 +73,45 @@ def test_triplets_equal_sequential_oracle(ray_session, triplet_df):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(triplet_df, expected)
+
+
+def test_kg_components_matches_recursive_closure(ray_session):
+    """CC labels over the KG edge list == a driver-side union-find over the
+    same deduped triplets (independent of the bucket-grouped propagation),
+    and every component label is the component's min node hash."""
+    from llm_scraper_ray.functions.textnorm import graph_key
+    from llm_scraper_ray.pipelines.curation import _MASK63, _md5_lower64
+    from llm_scraper_ray.pipelines.queries import (
+        _deduped_triplets_df,
+        q_kg_components,
+    )
+
+    out = q_kg_components("/root/testdata/sf0.001")
+    assert not out.duplicated(["node_type", "node_key"]).any()
+    tri = _deduped_triplets_df("/root/testdata/sf0.001")
+
+    def h(t, n):
+        return _md5_lower64(f"{t}|{graph_key(n)}") & _MASK63
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in tri.itertuples():
+        union(h(r.subj_type, r.subj_name), h(r.obj_type, r.obj_name))
+    got = {
+        (r.node_type, r.node_key): r.component_id for r in out.itertuples()
+    }
+    for (ty, key), comp in got.items():
+        assert comp == find(_md5_lower64(f"{ty}|{key}") & _MASK63)
+    # at least one non-trivial component (some entity pair is linked)
+    assert out["component_id"].duplicated().any()
