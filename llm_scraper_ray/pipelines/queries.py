@@ -266,6 +266,100 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+_Q3_CUTOFF_US = int(pd.Timestamp("1998-06-15").value // 1000)
+
+
+def q_q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q3-shaped 3-way join: top-10 unshipped BUILDING orders by
+    pending revenue. The whole chain is hash-partitioned Datasets: orders
+    (date-filtered in-batch) ⋉ BUILDING customers via ``join(left_semi)``,
+    lineitem pre-aggregated to per-(batch, orderkey) revenue PARTIALS
+    before its shuffle (the shuffle moves partials, not line items), one
+    inner ``Dataset.join`` on orderkey, a groupby whose Sum folds the
+    partials, and the ``_topk_cut`` epilogue — the driver sees
+    O(#blocks · 10) candidate rows, never the full per-order aggregate."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def orders_filter(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.int64())
+        keep = pc.less(od, _Q3_CUTOFF_US)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": t["o_orderkey"].filter(keep),
+                "o_custkey": t["o_custkey"].filter(keep),
+                "od_us": od.filter(keep),
+            }
+        )
+
+    bo = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_filter, batch_format="pyarrow")
+        .join(cust, "left_semi", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    )
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        sd = pc.cast(t["l_shipdate"], pa.int64())
+        keep = pc.greater(sd, _Q3_CUTOFF_US).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return pa.Table.from_pydict(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "part_rev": pa.array([], pa.float64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                "rev": (
+                    t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+                    * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+                ),
+            }
+        )
+        p = df.groupby("l_orderkey", as_index=False).agg(part_rev=("rev", "sum"))
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_partials, batch_format="pyarrow")
+
+    agg = (
+        li.join(bo, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("part_rev", alias_name="revenue"),
+            Min("od_us", alias_name="od_us"),
+        )
+    )
+    top = _topk_cut(
+        agg, ["revenue", "l_orderkey"], [False, True], 10, round_cols={"revenue": 2}
+    )
+    top["o_orderdate"] = (
+        pd.to_datetime(top["od_us"], unit="us").dt.strftime("%Y-%m-%d")
+    )
+    return top[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+_SQL_Q3_SHIPPING = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-15'
+  AND l.l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+"""
+
+
 def q_active_nations(sf_dir: str) -> pd.DataFrame:
     """S11/A3 union+distinct: nations having customers ∪ nations having
     suppliers, sorted — the reference's URL-set merge sink shape."""
@@ -1636,6 +1730,7 @@ def all_queries():
         "mktsegments": q_mktsegments,
         "customers_without_orders": q_customers_without_orders,
         "parts_shipped_by_brand": q_parts_shipped_by_brand,
+        "q3_shipping_priority": q_q3_shipping_priority,
         "active_nations": q_active_nations,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
@@ -1970,6 +2065,7 @@ def all_oracle_sql():
         "mktsegments": _SQL_MKTSEGMENTS,
         "customers_without_orders": _SQL_CUST_NO_ORDERS,
         "parts_shipped_by_brand": _SQL_PARTS_SHIPPED,
+        "q3_shipping_priority": _SQL_Q3_SHIPPING,
         "active_nations": _SQL_ACTIVE_NATIONS,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "session_windows": _SQL_SESSION_WINDOWS,

@@ -49,6 +49,7 @@ from ..functions.urls import canonicalize_url, url_sha1
 GEN_VERSION = 9
 GEN_SEED = 42
 NUM_BUCKETS = 256  # fetch parallelism is bucket-affine; 256 keeps bucket→actor assignment balanced (≤6% skew at 30 actors)
+PAGE_RG_ROWS = 512  # row-group size of the bucketed pages layout (range-read granularity)
 # 2025-06-01T00:00:00Z in microseconds since epoch (fixed constant — no
 # local-timezone dependence; engine-internal warc_ts is always int64 us,
 # declared as Arrow timestamp[us] only in published tables)
@@ -464,7 +465,7 @@ def generate_corpus(
         # small row groups: the fetch actors range-read by url_hash row-group
         # statistics — group size bounds per-lookup read amplification AND
         # the actor's cache granularity at 10^10-URL bucket sizes
-        pq.write_table(table, os.path.join(d, "part.parquet"), row_group_size=512)
+        pq.write_table(table, os.path.join(d, "part.parquet"), row_group_size=PAGE_RG_ROWS)
         for c in chunks:
             os.remove(c)
         bucket_hosts = [

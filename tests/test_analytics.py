@@ -224,3 +224,25 @@ def test_doc_dup_span_scrub_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_q3_shipping_priority_matches_oracle(ray_session):
+    import duckdb
+
+    from llm_scraper_ray.pipelines.queries import (
+        _SQL_Q3_SHIPPING,
+        q_q3_shipping_priority,
+    )
+
+    out = q_q3_shipping_priority(SF)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    exp = con.execute(_SQL_Q3_SHIPPING).df()
+    assert len(out) == 10
+    assert list(out["revenue"]) == sorted(out["revenue"], reverse=True)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
