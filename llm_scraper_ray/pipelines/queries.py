@@ -266,6 +266,87 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+_FUZZY_MAX_DIST = 3
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, DuckDB ``levenshtein`` twin (insert /
+    delete / substitute, no transposition)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def q_part_name_fuzzy_join(sf_dir: str) -> pd.DataFrame:
+    """FUZZY similarity self-join on part names (edit distance ≤ 3) — the
+    E10 fuzzy kernels as a JOIN operator. Stage 1 reduces the corpus to
+    its DISTINCT name vocabulary with a groupby (names are a vocabulary:
+    cardinality is bounded by the generator's word sets, not the row
+    count), so the quadratic stage runs over vocab × vocab, not
+    rows × rows. Stage 2 broadcasts the vocab array once (``ray.put``)
+    and each batch of names scores itself against the suffix of the
+    vocabulary above it (length-difference pruning before the DP) —
+    emitted pairs are (a < b) unique by construction. Oracle = DuckDB
+    ``levenshtein`` (the DP is its exact twin, pytest-pinned)."""
+    names = (
+        _read(sf_dir, "part", ["p_name"])
+        .groupby("p_name")
+        .aggregate(Count(alias_name="n"))
+    )
+    vocab = sorted(names.to_pandas()["p_name"])  # vocabulary-sized
+    vref = ray.put(vocab)
+    vds = rd.from_pandas(pd.DataFrame({"name": vocab}))
+
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        vv = ray.get(vref)
+        pos = {n: i for i, n in enumerate(vv)}
+        out_a, out_b, out_d = [], [], []
+        for a in t["name"].to_pylist():
+            i = pos[a]
+            for b in vv[i + 1 :]:
+                if abs(len(a) - len(b)) > _FUZZY_MAX_DIST:
+                    continue
+                d = _levenshtein(a, b)
+                if d <= _FUZZY_MAX_DIST:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_d.append(d)
+        return pa.Table.from_pydict(
+            {
+                "name_a": pa.array(out_a, pa.string()),
+                "name_b": pa.array(out_b, pa.string()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    out = vds.map_batches(pairs_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+_SQL_PART_NAME_FUZZY = f"""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
+
+
 _Q3_CUTOFF_US = int(pd.Timestamp("1998-06-15").value // 1000)
 
 
@@ -1731,6 +1812,7 @@ def all_queries():
         "customers_without_orders": q_customers_without_orders,
         "parts_shipped_by_brand": q_parts_shipped_by_brand,
         "q3_shipping_priority": q_q3_shipping_priority,
+        "part_name_fuzzy_join": q_part_name_fuzzy_join,
         "active_nations": q_active_nations,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
@@ -2066,6 +2148,7 @@ def all_oracle_sql():
         "customers_without_orders": _SQL_CUST_NO_ORDERS,
         "parts_shipped_by_brand": _SQL_PARTS_SHIPPED,
         "q3_shipping_priority": _SQL_Q3_SHIPPING,
+        "part_name_fuzzy_join": _SQL_PART_NAME_FUZZY,
         "active_nations": _SQL_ACTIVE_NATIONS,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "session_windows": _SQL_SESSION_WINDOWS,

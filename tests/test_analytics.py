@@ -246,3 +246,41 @@ def test_q3_shipping_priority_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_part_name_fuzzy_join_matches_oracle(ray_session):
+    import duckdb
+
+    from llm_scraper_ray.pipelines.queries import (
+        _SQL_PART_NAME_FUZZY,
+        q_part_name_fuzzy_join,
+    )
+
+    out = q_part_name_fuzzy_join(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{SF}/part.parquet')"
+    )
+    exp = con.execute(_SQL_PART_NAME_FUZZY).df()
+    assert len(out) > 0 and (out["name_a"] < out["name_b"]).all()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_levenshtein_is_duckdb_twin():
+    import duckdb
+    import random
+    import string
+
+    from llm_scraper_ray.pipelines.queries import _levenshtein
+
+    rng = random.Random(3)
+    con = duckdb.connect()
+    for _ in range(200):
+        a = "".join(rng.choices(string.ascii_lowercase + " ", k=rng.randint(0, 12)))
+        b = "".join(rng.choices(string.ascii_lowercase + " ", k=rng.randint(0, 12)))
+        assert (
+            con.execute("select levenshtein(?,?)", [a, b]).fetchone()[0]
+            == _levenshtein(a, b)
+        )
