@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TRIPLET_ORACLE_VERSION = 1
+PAGERANK_ORACLE_VERSION = 1
 
 _COLS = [
     "url_hash", "subj_type", "subj_name", "pred", "obj_type", "obj_name",
@@ -53,6 +54,74 @@ def sequential_triplets(
             w, m = val.validate(trip, text)
             rows.append((url_hash, st, sn, p, ot, on, w, m))
     return pd.DataFrame(rows, columns=_COLS)
+
+
+def sequential_pagerank(tri: pd.DataFrame) -> pd.DataFrame:
+    """Expected triplet rows → (node_type, node_key, pagerank): plain
+    dict-based weighted PageRank with uniform dangling redistribution, one
+    edge at a time — independent of the distributed bucket-grouped rounds
+    in ``pipelines/graph.py`` (same spec constants, different dataflow; no
+    node hashing, so a hash collision on the engine side would hash-fail
+    here). Node identity = (type, graph_key(name)); edge weight = number
+    of distinct triplets between the node pair."""
+    from ..functions.textnorm import graph_key
+    from .graph import DAMPING, PR_ITERATIONS, PR_ROUND
+
+    dedup = tri.drop_duplicates(
+        ["subj_type", "subj_name", "pred", "obj_type", "obj_name"]
+    )
+    edges: dict[tuple, float] = {}
+    nodes: set[tuple] = set()
+    for st, sn, ot, on in zip(
+        dedup["subj_type"], dedup["subj_name"], dedup["obj_type"], dedup["obj_name"]
+    ):
+        a = (st, graph_key(sn))
+        b = (ot, graph_key(on))
+        edges[(a, b)] = edges.get((a, b), 0.0) + 1.0
+        nodes.add(a)
+        nodes.add(b)
+    order = sorted(nodes)
+    n = len(order)
+    if n == 0:
+        return pd.DataFrame(
+            {"node_type": pd.Series([], dtype=object),
+             "node_key": pd.Series([], dtype=object),
+             "pagerank": pd.Series([], dtype="float64")}
+        )
+    out_w: dict[tuple, float] = {}
+    for (a, _b), w in edges.items():
+        out_w[a] = out_w.get(a, 0.0) + w
+    d = DAMPING
+    rank = {v: 1.0 / n for v in order}
+    for _ in range(PR_ITERATIONS):
+        dang = sum(rank[v] for v in order if v not in out_w)
+        nxt = {v: (1.0 - d) / n + d * dang / n for v in order}
+        for (a, b), w in edges.items():
+            nxt[b] += d * rank[a] * w / out_w[a]
+        rank = nxt
+    return pd.DataFrame(
+        {
+            "node_type": [t for t, _ in order],
+            "node_key": [k for _, k in order],
+            "pagerank": [round(rank[v], PR_ROUND) for v in order],
+        }
+    )
+
+
+def persist_expected_pagerank(sf_dir: str, gate_keywords: tuple[str, ...]) -> str:
+    """Sequential PageRank over the persisted expected triplets; cached per
+    (sf, corpus size, triplet + pagerank oracle versions)."""
+    tri_path = persist_expected_triplets(sf_dir, gate_keywords)
+    path = tri_path.replace(
+        "expected-triplets-", "expected-pagerank-"
+    ).replace(".parquet", f".p{PAGERANK_ORACLE_VERSION}.parquet")
+    if os.path.exists(path):
+        return path
+    expected = sequential_pagerank(pq.read_table(tri_path).to_pandas())
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(expected, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def persist_expected_triplets(sf_dir: str, gate_keywords: tuple[str, ...]) -> str:

@@ -1851,6 +1851,7 @@ def all_queries():
         "kg_nodes": q_kg_nodes,
         "kg_top_vertices": q_kg_top_vertices,
         "kg_components": q_kg_components,
+        "kg_pagerank": q_kg_pagerank,
         "kg_export": q_kg_export,
         "judge_panel": q_judge_panel,
         "triplet_validation_text": q_triplet_validation_text,
@@ -1985,10 +1986,11 @@ def _triplet_oracle_sqls() -> dict[str, str]:
     so the distributed groupbys are checked against an independent
     re-statement of their semantics (graph_key re-expressed with
     regexp_replace)."""
-    from .oracle_triplets import persist_expected_triplets
+    from .oracle_triplets import persist_expected_pagerank, persist_expected_triplets
 
     sf = os.environ.get("LLMSR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     path = persist_expected_triplets(sf, _GATE)
+    pr_path = persist_expected_pagerank(sf, _GATE)
     key = "subj_type, subj_name, pred, obj_type, obj_name"
     gk = (
         lambda col: "regexp_replace(regexp_replace("
@@ -2031,6 +2033,10 @@ SELECT method, count(*) AS n, round(avg(weight), 4) AS mean_weight,
        sum(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS n_nonzero
 FROM read_parquet('{path}') GROUP BY method ORDER BY method
 """,
+        "kg_pagerank": (
+            "SELECT node_type, node_key, pagerank "
+            f"FROM read_parquet('{pr_path}') ORDER BY node_type, node_key"
+        ),
         "kg_components": f"""
 WITH RECURSIVE dedup AS (
   SELECT subj_type, subj_name, obj_type, obj_name
@@ -2313,6 +2319,19 @@ def q_kg_top_vertices(sf_dir: str) -> pd.DataFrame:
     return top_vertices_by_edges(edges, k=10)
 
 
+def _kg_node_hash(ntype: pd.Series, name: pd.Series) -> np.ndarray:
+    """KG node identity: md5_number_lower twin of ``type|graph_key(name)``,
+    masked to 63 bits (uint64 degrades to float64 in pandas blocks)."""
+    from ..functions.textnorm import graph_key
+    from .curation import _MASK63, _md5_lower64
+
+    return np.fromiter(
+        (_md5_lower64(f"{t}|{graph_key(n)}") & _MASK63 for t, n in zip(ntype, name)),
+        dtype=np.int64,
+        count=len(ntype),
+    )
+
+
 def q_kg_components(sf_dir: str) -> pd.DataFrame:
     """Connected components over the knowledge graph: which entities are
     transitively linked by any triplet. Node identity = the kg_nodes
@@ -2325,24 +2344,14 @@ def q_kg_components(sf_dir: str) -> pd.DataFrame:
     oracle = recursive-CTE closure over the sequential oracle's expected
     triplets with the identical hash (convergence is hash-checked)."""
     from ..functions.textnorm import graph_key
-    from .curation import _MASK63, _md5_lower64, connected_components
+    from .curation import connected_components
 
     tri = _deduped_triplets_df(sf_dir)
     if len(tri) == 0:
         return pd.DataFrame(columns=["node_type", "node_key", "component_id"])
 
-    def node_hash(ntype: pd.Series, name: pd.Series) -> np.ndarray:
-        return np.fromiter(
-            (
-                _md5_lower64(f"{t}|{graph_key(n)}") & _MASK63
-                for t, n in zip(ntype, name)
-            ),
-            dtype=np.int64,
-            count=len(ntype),
-        )
-
-    ha = node_hash(tri["subj_type"], tri["subj_name"])
-    hb = node_hash(tri["obj_type"], tri["obj_name"])
+    ha = _kg_node_hash(tri["subj_type"], tri["subj_name"])
+    hb = _kg_node_hash(tri["obj_type"], tri["obj_name"])
     pairs = rd.from_pandas(pd.DataFrame({"doc_a": ha, "doc_b": hb}))
     lab = connected_components(pairs).set_index("doc_id")["cluster_id"]
     nodes = pd.DataFrame(
@@ -2359,6 +2368,50 @@ def q_kg_components(sf_dir: str) -> pd.DataFrame:
     )
     return (
         nodes[["node_type", "node_key", "component_id"]]
+        .sort_values(["node_type", "node_key"])
+        .reset_index(drop=True)
+    )
+
+
+def q_kg_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Weighted PageRank over the knowledge graph (directed subj→obj edges,
+    weight = number of distinct triplets between the node pair): K
+    bucket-grouped relaxation rounds with dangling-mass redistribution,
+    lazily chained into ONE streaming execution (``pipelines/graph.py`` —
+    the CC dataflow generalized from min-fold to weighted sum-fold). Node
+    identity matches ``kg_components``; oracle = an independent dict-based
+    sequential PageRank over the sequential oracle's expected triplets
+    (``oracle_triplets.sequential_pagerank`` — no hashing, no buckets),
+    persisted and SELECTed, so the driver hash check proves both the
+    dataflow and the float-rounding contract."""
+    from ..functions.textnorm import graph_key
+    from .graph import pagerank
+
+    tri = _deduped_triplets_df(sf_dir)
+    if len(tri) == 0:
+        return pd.DataFrame(columns=["node_type", "node_key", "pagerank"])
+    ha = _kg_node_hash(tri["subj_type"], tri["subj_name"])
+    hb = _kg_node_hash(tri["obj_type"], tri["obj_name"])
+    edges = (
+        pd.DataFrame({"src": ha, "dst": hb})
+        .groupby(["src", "dst"], as_index=False)
+        .size()
+        .rename(columns={"size": "weight"})
+    )
+    edges["weight"] = edges["weight"].astype("float64")
+    nodes = pd.DataFrame(
+        {
+            "node_type": pd.concat([tri["subj_type"], tri["obj_type"]]),
+            "node_key": pd.concat(
+                [tri["subj_name"].map(graph_key), tri["obj_name"].map(graph_key)]
+            ),
+            "h": np.concatenate([ha, hb]),
+        }
+    ).drop_duplicates(["node_type", "node_key"])
+    pr = pagerank(rd.from_pandas(edges), n_nodes=int(nodes["h"].nunique()))
+    nodes["pagerank"] = nodes["h"].map(pr.set_index("node")["pagerank"])
+    return (
+        nodes[["node_type", "node_key", "pagerank"]]
         .sort_values(["node_type", "node_key"])
         .reset_index(drop=True)
     )

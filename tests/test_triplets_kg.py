@@ -115,3 +115,66 @@ def test_kg_components_matches_recursive_closure(ray_session):
         assert comp == find(_md5_lower64(f"{ty}|{key}") & _MASK63)
     # at least one non-trivial component (some entity pair is linked)
     assert out["component_id"].duplicated().any()
+
+def test_pagerank_tiny_graph_matches_reference(ray_session):
+    """Distributed PageRank over a hand-built 5-node graph (one dangling
+    node, parallel-edge weights, a self-loop) == a dense-matrix power
+    iteration with the same spec."""
+    import numpy as np
+    import ray.data as rd
+
+    from llm_scraper_ray.pipelines.graph import (
+        DAMPING,
+        PR_ITERATIONS,
+        PR_ROUND,
+        pagerank,
+    )
+
+    # nodes 0..4; node 4 is dangling; (0,1) has weight 2; 3 has a self-loop
+    edges = pd.DataFrame(
+        {
+            "src": [0, 0, 1, 2, 3, 3],
+            "dst": [1, 2, 2, 4, 3, 0],
+            "weight": [2.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+        }
+    )
+    n = 5
+    rank = np.full(n, 1.0 / n)
+    w = np.zeros((n, n))
+    for s, d_, wt in edges.itertuples(index=False):
+        w[int(s), int(d_)] += wt
+    outw = w.sum(axis=1)
+    for _ in range(PR_ITERATIONS):
+        dang = rank[outw == 0].sum()
+        contrib = np.zeros(n)
+        for s in range(n):
+            if outw[s] > 0:
+                contrib += rank[s] * w[s] / outw[s]
+        rank = (1 - DAMPING) / n + DAMPING * (contrib + dang / n)
+    got = pagerank(rd.from_pandas(edges), n_nodes=n).set_index("node")[
+        "pagerank"
+    ]
+    assert abs(rank.sum() - 1.0) < 1e-12
+    for v in range(n):
+        assert got[v] == round(float(rank[v]), PR_ROUND), (v, got[v], rank[v])
+
+
+def test_kg_pagerank_equals_sequential_oracle(ray_session):
+    """Engine kg_pagerank == the persisted dict-based sequential oracle
+    (the same equality the driver hash-checks)."""
+    import pyarrow.parquet as pq
+
+    from llm_scraper_ray.pipelines.oracle_triplets import persist_expected_pagerank
+    from llm_scraper_ray.pipelines.queries import _GATE, q_kg_pagerank
+
+    out = q_kg_pagerank("/root/testdata/sf0.001")
+    path = persist_expected_pagerank("/root/testdata/sf0.001", _GATE)
+    expected = (
+        pq.read_table(path)
+        .to_pandas()
+        .sort_values(["node_type", "node_key"])
+        .reset_index(drop=True)
+    )
+    assert len(out) > 0
+    assert abs(out["pagerank"].sum() - 1.0) < 1e-4
+    pd.testing.assert_frame_equal(out, expected)
