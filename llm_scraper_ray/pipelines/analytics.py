@@ -1075,3 +1075,343 @@ SELECT event_type, q, round(min(v) / 100.0, 2) AS value
 FROM cum, qs WHERE cc >= ceil(q * n)
 GROUP BY event_type, q ORDER BY event_type, q
 """
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY CUBE (all four marginal levels from the same finest shuffle)
+
+
+def q_orders_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE(o_orderpriority, o_orderstatus) over orders: count + revenue at
+    ALL four grouping levels. Like ``q_orders_rollup``, the corpus is
+    shuffled ONCE at the finest grain (per-batch pandas partials → small
+    groupby); the three coarser levels — including the by-status marginal
+    ROLLUP lacks — are arithmetic over that metadata-sized aggregate."""
+    import ray.data as _rd
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_numpy(zero_copy_only=False),
+                "o_orderstatus": t["o_orderstatus"].to_numpy(zero_copy_only=False),
+                "o_totalprice": t["o_totalprice"].to_numpy(zero_copy_only=False),
+            }
+        )
+        p = df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            part_n=("o_totalprice", "size"), part_rev=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    fine = (
+        _rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(
+            Sum("part_n", alias_name="n_orders"),
+            Sum("part_rev", alias_name="revenue"),
+        )
+        .to_pandas()
+    )
+    by_prio = fine.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue=("revenue", "sum")
+    )
+    by_prio["o_orderstatus"] = "ALL"
+    by_stat = fine.groupby("o_orderstatus", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue=("revenue", "sum")
+    )
+    by_stat["o_orderpriority"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "o_orderpriority": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "n_orders": [fine["n_orders"].sum()],
+            "revenue": [fine["revenue"].sum()],
+        }
+    )
+    cols = ["o_orderpriority", "o_orderstatus", "n_orders", "revenue"]
+    out = pd.concat(
+        [fine[cols], by_prio[cols], by_stat[cols], total[cols]], ignore_index=True
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values(["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
+
+
+SQL_ORDERS_CUBE = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (the events_distinct_users machinery, two-level)
+
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q_events_retention(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort retention: users grouped by their FIRST event's epoch
+    week; for each (cohort_week, week_offset), the number of distinct users
+    active offset weeks later. Per-batch (user, week) dedup partials shuffle
+    to stable user-hash buckets (a user is whole within one bucket, so the
+    per-bucket cohort min and distinct-user counts are exact and disjoint);
+    the driver sums O(NB · #weeks²) count partials — metadata-sized at any
+    user cardinality. Weeks are pure integer arithmetic (epoch_us div
+    week_us), so the SQL twin cannot drift."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "wk": pa.array([], pa.int64()),
+                }
+            )
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "wk": us // _WEEK_US,
+            }
+        ).drop_duplicates()
+        df["bucket"] = (
+            _splitmix64(df["user_id"].to_numpy()) % np.uint64(NDIST_NB)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["bucket", "user_id", "wk"]], preserve_index=False
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype="int64")
+                    for c in ("cohort_week", "week_offset", "part_users")
+                }
+            )
+        uw = g[["user_id", "wk"]].drop_duplicates()
+        coh = uw.groupby("user_id")["wk"].transform("min")
+        per = pd.DataFrame(
+            {"cohort_week": coh, "week_offset": uw["wk"] - coh}
+        ).groupby(["cohort_week", "week_offset"], as_index=False).agg(
+            part_users=("week_offset", "size")
+        )
+        return per.astype("int64")
+
+    parts = (
+        _read_events(sf_dir, ["user_id", "ts"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("cohort_week", "week_offset", "n_users")}
+        )
+    out = parts.groupby(["cohort_week", "week_offset"], as_index=False).agg(
+        n_users=("part_users", "sum")
+    )
+    return (
+        out.astype("int64")
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH uw AS (
+  SELECT user_id, CAST(epoch_us(ts) // {_WEEK_US} AS BIGINT) AS wk
+  FROM events GROUP BY user_id, wk
+), coh AS (
+  SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id
+)
+SELECT c.cw AS cohort_week, u.wk - c.cw AS week_offset,
+       count(DISTINCT u.user_id) AS n_users
+FROM uw u JOIN coh c USING (user_id)
+GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-type z-score outliers (two-pass: mergeable moments, then a scan)
+
+
+Z_THRESHOLD = 3.0
+
+
+def q_events_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type z-score outlier counts: pass 1 folds mergeable moment
+    partials (n, Σv, Σv²) per type — a #types-sized aggregate; pass 2
+    re-scans with the tiny per-type (mean, std) table closed over (no
+    corpus-sized state, no join shuffle) and folds outlier-count/max-|z|
+    partials. The z values are float; both sides round max_absz to 4 and
+    the |z| > 3 predicate uses the raw float (diff vs DuckDB's stable
+    stddev is ~1e-12 relative — far from the threshold at any realistic
+    value distribution)."""
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "v": t["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df["v2"] = df["v"] * df["v"]
+        p = df.groupby("event_type", as_index=False).agg(
+            part_n=("v", "size"), part_s=("v", "sum"), part_s2=("v2", "sum")
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    mom = (
+        _read_events(sf_dir, ["event_type", "value"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("part_n", alias_name="n"),
+            Sum("part_s", alias_name="s"),
+            Sum("part_s2", alias_name="s2"),
+        )
+        .to_pandas()
+    )
+    mean = (mom["s"] / mom["n"]).to_numpy()
+    var = np.maximum(mom["s2"].to_numpy() / mom["n"].to_numpy() - mean * mean, 0.0)
+    stats = {
+        ty: (m, float(np.sqrt(v)))
+        for ty, m, v in zip(mom["event_type"], mean, var)
+    }
+
+    def flag(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "v": t["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        m = df["event_type"].map(lambda ty: stats[ty][0]).to_numpy()
+        sd = df["event_type"].map(lambda ty: stats[ty][1]).to_numpy()
+        df["absz"] = np.abs(df["v"].to_numpy() - m) / np.where(sd > 0, sd, 1.0)
+        p = df.groupby("event_type", as_index=False).agg(
+            part_out=("absz", lambda s: int((s > Z_THRESHOLD).sum())),
+            part_max=("absz", "max"),
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    out = (
+        _read_events(sf_dir, ["event_type", "value"])
+        .map_batches(flag, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("part_out", alias_name="n_outliers"),
+            Max("part_max", alias_name="max_absz"),
+        )
+        .to_pandas()
+    )
+    out = out.merge(mom[["event_type", "n"]], on="event_type")
+    out["n"] = out["n"].astype(np.int64)
+    out["n_outliers"] = out["n_outliers"].astype(np.int64)
+    out["max_absz"] = out["max_absz"].round(4)
+    return (
+        out[["event_type", "n", "n_outliers", "max_absz"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+SQL_EVENTS_OUTLIERS = f"""
+WITH s AS (
+  SELECT event_type, count(*) AS n, avg(value) AS m, stddev_pop(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, max(s.n) AS n,
+       sum(CASE WHEN abs(e.value - s.m) / (CASE WHEN s.sd > 0 THEN s.sd ELSE 1 END)
+                > {Z_THRESHOLD} THEN 1 ELSE 0 END) AS n_outliers,
+       round(max(abs(e.value - s.m) /
+                 (CASE WHEN s.sd > 0 THEN s.sd ELSE 1 END)), 4) AS max_absz
+FROM events e JOIN s USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed COUNT DISTINCT (tumbling windows × the bucketed-distinct pattern)
+
+
+_HOUR_US = 3_600 * 1_000_000
+
+
+def q_events_hourly_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct active users per tumbling 1-hour window: the
+    ``events_hourly`` window floor composed with the
+    ``events_distinct_users`` stable-user-hash bucket shuffle. A user is
+    whole within one bucket, so per-(bucket, hour) distinct counts are
+    disjoint and the driver folds a metadata-sized (NB × #hours) partial
+    table — no hour ever needs a corpus-wide user set."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "hour_us": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "hour_us": (pc.cast(t["ts"], pa.int64()).to_numpy() // _HOUR_US)
+                * _HOUR_US,
+            }
+        ).drop_duplicates()
+        df["bucket"] = (
+            _splitmix64(df["user_id"].to_numpy()) % np.uint64(NDIST_NB)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["bucket", "user_id", "hour_us"]], preserve_index=False
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("hour_us", "part_users")}
+            )
+        uniq = g[["user_id", "hour_us"]].drop_duplicates()
+        return (
+            uniq.groupby("hour_us", as_index=False)
+            .agg(part_users=("user_id", "size"))
+            .astype("int64")
+        )
+
+    parts = (
+        _read_events(sf_dir, ["user_id", "ts"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("hour_us", "n_users")}
+        )
+    out = parts.groupby("hour_us", as_index=False).agg(n_users=("part_users", "sum"))
+    return out.astype("int64").sort_values("hour_us").reset_index(drop=True)
+
+
+SQL_EVENTS_HOURLY_USERS = f"""
+SELECT CAST(epoch_us(ts) // {_HOUR_US} AS BIGINT) * {_HOUR_US} AS hour_us,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY hour_us ORDER BY hour_us
+"""

@@ -441,6 +441,119 @@ ORDER BY revenue DESC, l.l_orderkey LIMIT 10
 """
 
 
+_Q5_LO_US = int(pd.Timestamp("1996-01-01").value // 1000)
+_Q5_HI_US = int(pd.Timestamp("1998-01-01").value // 1000)
+
+
+def q_q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q5-shaped 4-fact multi-join: per (region, nation) revenue from
+    lineitems where the CUSTOMER and the SUPPLIER share a nation, in a
+    2-year order window. The two big tables meet in ONE hash-partitioned
+    ``Dataset.join`` on orderkey: orders (date-filtered in-batch) joins
+    customer by custkey to pick up c_nationkey; lineitem resolves
+    l_suppkey → supplier nation through a BROADCAST dimension map
+    (``ray.put`` once, read per actor — supplier is a dimension, not a
+    fact-derived key set) and pre-aggregates per-(batch, orderkey, nation)
+    revenue partials BEFORE its shuffle. The same-nation filter runs
+    in-batch after the join; the final groupby folds partials over ≤25
+    nation keys, and nation/region names attach driver-side."""
+    supp = _small_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp_ref = ray.put(
+        pd.Series(
+            supp["s_nationkey"].to_numpy(np.int64),
+            index=supp["s_suppkey"].to_numpy(np.int64),
+        )
+    )
+    nation = _small_table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _small_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    names = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+
+    def orders_filter(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(od, _Q5_LO_US), pc.less(od, _Q5_HI_US))
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": t["o_orderkey"].filter(keep),
+                "o_custkey": t["o_custkey"].filter(keep),
+            }
+        )
+
+    oc = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_filter, batch_format="pyarrow")
+        .join(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            "inner",
+            num_partitions=8,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+    )
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        lut = ray.get(supp_ref)
+        snat = lut.reindex(t["l_suppkey"].to_numpy(zero_copy_only=False)).to_numpy(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "s_nat": snat,
+                "rev": t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        p = df.groupby(["l_orderkey", "s_nat"], as_index=False).agg(
+            part_rev=("rev", "sum"), part_n=("rev", "size")
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partials, batch_format="pyarrow")
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["s_nat"], pc.cast(t["c_nationkey"], pa.int64()))
+        return t.filter(keep).select(["s_nat", "part_rev", "part_n"])
+
+    agg = (
+        li.join(oc, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(same_nation, batch_format="pyarrow")
+        .groupby("s_nat")
+        .aggregate(
+            Sum("part_rev", alias_name="revenue"),
+            Sum("part_n", alias_name="n_items"),
+        )
+        .to_pandas()
+    )
+    out = agg.merge(names, left_on="s_nat", right_on="n_nationkey")
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return (
+        out[["r_name", "n_name", "revenue", "n_items"]]
+        .sort_values(
+            ["r_name", "revenue", "n_name"], ascending=[True, False, True]
+        )
+        .reset_index(drop=True)
+    )
+
+
+_SQL_Q5_LOCAL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name ORDER BY r_name, revenue DESC, n_name
+"""
+
+
 def q_active_nations(sf_dir: str) -> pd.DataFrame:
     """S11/A3 union+distinct: nations having customers ∪ nations having
     suppliers, sorted — the reference's URL-set merge sink shape."""
@@ -1812,6 +1925,7 @@ def all_queries():
         "customers_without_orders": q_customers_without_orders,
         "parts_shipped_by_brand": q_parts_shipped_by_brand,
         "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "part_name_fuzzy_join": q_part_name_fuzzy_join,
         "active_nations": q_active_nations,
         "events_hourly": q_events_hourly,
@@ -1904,6 +2018,13 @@ def all_queries():
         "events_distinct_hll": _analytics.q_events_distinct_hll,
         # hierarchical subtotals from one finest-level shuffle
         "orders_rollup": _analytics.q_orders_rollup,
+        "orders_cube": _analytics.q_orders_cube,
+        # weekly cohort retention (bucketed-distinct machinery, two-level)
+        "events_retention": _analytics.q_events_retention,
+        # per-type z-score outliers (mergeable moments + flagged re-scan)
+        "events_outliers": _analytics.q_events_outliers,
+        # tumbling windows × bucketed distinct (windowed COUNT DISTINCT)
+        "events_hourly_users": _analytics.q_events_hourly_users,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2154,6 +2275,7 @@ def all_oracle_sql():
         "customers_without_orders": _SQL_CUST_NO_ORDERS,
         "parts_shipped_by_brand": _SQL_PARTS_SHIPPED,
         "q3_shipping_priority": _SQL_Q3_SHIPPING,
+        "q5_local_supplier_volume": _SQL_Q5_LOCAL,
         "part_name_fuzzy_join": _SQL_PART_NAME_FUZZY,
         "active_nations": _SQL_ACTIVE_NATIONS,
         "events_hourly": _SQL_EVENTS_HOURLY,
@@ -2197,6 +2319,10 @@ def all_oracle_sql():
         "events_funnel": _analytics.SQL_EVENTS_FUNNEL,
         "events_distinct_users": _analytics.SQL_EVENTS_DISTINCT_USERS,
         "orders_rollup": _analytics.SQL_ORDERS_ROLLUP,
+        "orders_cube": _analytics.SQL_ORDERS_CUBE,
+        "events_retention": _analytics.SQL_EVENTS_RETENTION,
+        "events_outliers": _analytics.SQL_EVENTS_OUTLIERS,
+        "events_hourly_users": _analytics.SQL_EVENTS_HOURLY_USERS,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

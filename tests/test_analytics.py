@@ -284,3 +284,86 @@ def test_levenshtein_is_duckdb_twin():
             con.execute("select levenshtein(?,?)", [a, b]).fetchone()[0]
             == _levenshtein(a, b)
         )
+
+
+def test_orders_cube_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import SQL_ORDERS_CUBE, q_orders_cube
+
+    out = q_orders_cube(SF)
+    exp = _oracle("orders", SQL_ORDERS_CUBE)
+    # all four levels present: finest + both marginals + grand total
+    n_prio_all = (out["o_orderpriority"] == "ALL").sum()
+    n_stat_all = (out["o_orderstatus"] == "ALL").sum()
+    assert n_prio_all > 1 and n_stat_all > 1  # marginals + the shared total
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_events_retention_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_RETENTION,
+        q_events_retention,
+    )
+
+    out = q_events_retention(SF)
+    exp = _oracle("events", SQL_EVENTS_RETENTION)
+    assert (out["week_offset"] >= 0).all()
+    # offset-0 count per cohort == cohort size (every user is active in
+    # their own first week by construction)
+    zero = out[out["week_offset"] == 0]
+    assert zero["n_users"].sum() == duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_events_outliers_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_OUTLIERS,
+        q_events_outliers,
+    )
+
+    out = q_events_outliers(SF)
+    exp = _oracle("events", SQL_EVENTS_OUTLIERS)
+    assert (out["n_outliers"] <= out["n"]).all()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_events_hourly_users_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_HOURLY_USERS,
+        q_events_hourly_users,
+    )
+
+    out = q_events_hourly_users(SF)
+    exp = _oracle("events", SQL_EVENTS_HOURLY_USERS)
+    assert len(out) > 1
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_q5_local_supplier_volume_matches_oracle(ray_session):
+    import duckdb
+
+    from llm_scraper_ray.pipelines.queries import (
+        _SQL_Q5_LOCAL,
+        q_q5_local_supplier_volume,
+    )
+
+    out = q_q5_local_supplier_volume(SF)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    exp = con.execute(_SQL_Q5_LOCAL).df()
+    assert len(out) > 0
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
