@@ -1237,3 +1237,143 @@ SELECT doc_id, count(*) AS n_dup5,
                 ELSE least({SCRUB_K}, pos - prev) END) AS BIGINT) AS dup_tokens
 FROM cov GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (the ranked top-k complement of the boolean
+# ``doc_search_terms`` probe and the per-doc ``doc_tfidf_top_terms`` keyword)
+
+
+BM25_TERMS = ("vector", "spark", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def q_doc_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 ranked retrieval: the top-K documents for a fixed conjunctive-OR
+    query, scored with Lucene-style BM25. Two streaming scans, NO shuffle:
+    pass 1 folds a CONSTANT-size stats partial per batch (doc count, token
+    count, per-query-term document frequency — the query is a tiny fixed
+    set, so global DF needs no word-hash bucketing, unlike the open-vocab
+    ops above); pass 2 re-scans with the scalar (idf, avgdl) closed over,
+    scores in-batch, and keeps only each batch's top-K rows, so the driver
+    concatenates O(#batches × K) candidates. Scores are float; both sides
+    round to 4 after an identically-sequenced arithmetic, and ties (exact
+    dup docs score identically) break on doc_id."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        n_tok = 0
+        df = [0] * len(BM25_TERMS)
+        for txt in t["text"].to_pylist():
+            ws = _WORD.findall(txt.lower())
+            n_tok += len(ws)
+            s = set(ws)
+            for j, term in enumerate(BM25_TERMS):
+                if term in s:
+                    df[j] += 1
+        cols = {
+            "part_docs": pa.array([n_docs], pa.int64()),
+            "part_tokens": pa.array([n_tok], pa.int64()),
+        }
+        for j, term in enumerate(BM25_TERMS):
+            cols[f"part_df_{term}"] = pa.array([df[j]], pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    parts = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        .map_batches(stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n_docs = int(parts["part_docs"].sum())
+    avgdl = float(parts["part_tokens"].sum()) / n_docs
+    idf = {
+        term: float(
+            np.log(
+                1.0
+                + (n_docs - int(parts[f"part_df_{term}"].sum()) + 0.5)
+                / (int(parts[f"part_df_{term}"].sum()) + 0.5)
+            )
+        )
+        for term in BM25_TERMS
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = _WORD.findall(txt.lower())
+            c = Counter(ws)
+            s = 0.0
+            for term in BM25_TERMS:
+                tf = c.get(term, 0)
+                if tf:
+                    s += idf[term] * (
+                        tf
+                        * (BM25_K1 + 1.0)
+                        / (
+                            tf
+                            + BM25_K1
+                            * (1.0 - BM25_B + BM25_B * len(ws) / avgdl)
+                        )
+                    )
+            if s > 0.0:
+                ids.append(d)
+                scores.append(s)
+        df = pd.DataFrame({"doc_id": ids, "bm25": scores}).sort_values(
+            ["bm25", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(BM25_TOPK)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = cand.sort_values(
+        ["bm25", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(BM25_TOPK)
+    out["bm25"] = out["bm25"].round(4)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _bm25_sql() -> str:
+    """SQL twin mirroring the exact arithmetic sequence of ``q_doc_bm25_topk``
+    (idf and avgdl from the same global counts; per-term saturation with the
+    identical operand order, so raw doubles agree bit-for-bit)."""
+    tf_cols = ", ".join(
+        f"sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS tf_{t}" for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"count(DISTINCT CASE WHEN w = '{t}' THEN doc_id END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    score = " + ".join(
+        f"(CASE WHEN tf_{t} > 0 THEN ln(1.0 + (nd - df_{t} + 0.5) / (df_{t} + 0.5)) "
+        f"* ((tf_{t} * {BM25_K1 + 1.0}) / (tf_{t} + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * dl / avgdl))) ELSE 0.0 END)"
+        for t in BM25_TERMS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, count(*) AS dl, {tf_cols} FROM toks GROUP BY doc_id
+), st AS (
+  SELECT (SELECT count(*) FROM documents) AS nd,
+         (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents)
+           AS avgdl, {df_cols}
+  FROM toks
+), s AS (
+  SELECT doc_id, {score} AS bm25 FROM g CROSS JOIN st
+)
+SELECT doc_id, round(bm25, 4) AS bm25 FROM s WHERE bm25 > 0
+ORDER BY s.bm25 DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+SQL_DOC_BM25_TOPK = _bm25_sql()

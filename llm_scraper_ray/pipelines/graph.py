@@ -204,3 +204,133 @@ def pagerank(
              "pagerank": pd.Series([], dtype="float64")}
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (wedge-check join — the enumeration class, vs the
+# iterative-propagation class above)
+
+_T_EDGE = 0  # (a, b) canonical edge, a < b
+_T_WEDGE = 1  # (a, b) candidate closing pair, c = center (min vertex)
+
+_TRI_COLS = ("bucket", "kind", "a", "b", "c")
+
+
+def _tri_frame(
+    bucket: np.ndarray, kind: int, a: np.ndarray, b: np.ndarray, c: np.ndarray
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "bucket": bucket.astype(np.int64),
+            "kind": np.full(len(a), kind, dtype=np.int64),
+            "a": a.astype(np.int64),
+            "b": b.astype(np.int64),
+            "c": c.astype(np.int64),
+        }
+    )
+
+
+def _tri_empty(cols=_TRI_COLS) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Stable bucket for an (a, b) vertex pair: splitmix-style uint64 mix so
+    the wedge-check join's keys spread evenly even on skewed adjacency."""
+    h = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(np.uint64)
+    h ^= h >> np.uint64(31)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    return ((h & np.uint64(0x7FFFFFFFFFFFFFFF)) % np.uint64(NUM_BUCKETS)).astype(
+        np.int64
+    )
+
+
+def _tri_seed(edges: pd.DataFrame) -> pd.DataFrame:
+    """Edge batch (a, b), a < b distinct → adjacency rows keyed by the MIN
+    endpoint (each triangle is counted once, centered at its smallest
+    vertex, so only min-endpoint adjacency is ever materialized)."""
+    a = edges["a"].to_numpy(np.int64)
+    b = edges["b"].to_numpy(np.int64)
+    return _tri_frame(a % NUM_BUCKETS, _T_EDGE, a, b, np.zeros(a.size, np.int64))
+
+
+def _tri_wedges(g: pd.DataFrame) -> pd.DataFrame:
+    """Per center vertex: emit every neighbor pair (u < w) as a wedge row
+    keyed by the pair's bucket, and re-key the edges themselves to their own
+    pair bucket for the closing check. Wedge mass is Σ C(deg_>v, 2) — the
+    min-vertex centering is the standard skew bound (a hot vertex only
+    centers wedges over HIGHER-numbered neighbors)."""
+    if len(g) == 0:
+        return _tri_empty()
+    g = g.sort_values(["a", "b"], kind="stable")
+    a = g["a"].to_numpy(np.int64)
+    b = g["b"].to_numpy(np.int64)
+    out = [_tri_frame(_pair_bucket(a, b), _T_EDGE, a, b, np.zeros(a.size, np.int64))]
+    starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+    ends = np.r_[starts[1:], a.size]
+    for s, e in zip(starts, ends):
+        nb = b[s:e]
+        if nb.size < 2:
+            continue
+        iu, iw = np.triu_indices(nb.size, 1)
+        u, w = nb[iu], nb[iw]
+        out.append(
+            _tri_frame(_pair_bucket(u, w), _T_WEDGE, u, w,
+                       np.full(u.size, a[s], np.int64))
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def _tri_close(g: pd.DataFrame) -> pd.DataFrame:
+    """Close wedges against co-bucketed edges: each (u, w) wedge whose pair
+    is an edge is one triangle {center, u, w}; emit per-vertex count
+    partials pre-summed inside the bucket (3 increments per triangle)."""
+    if len(g) == 0:
+        return _tri_empty(("bucket", "node", "part"))
+    ek = g[g["kind"] == _T_EDGE][["a", "b"]]
+    wk = g[g["kind"] == _T_WEDGE]
+    hit = wk.merge(ek, on=["a", "b"], how="inner")
+    if len(hit) == 0:
+        return _tri_empty(("bucket", "node", "part"))
+    nodes = np.concatenate(
+        [hit["a"].to_numpy(np.int64), hit["b"].to_numpy(np.int64),
+         hit["c"].to_numpy(np.int64)]
+    )
+    p = (
+        pd.DataFrame({"node": nodes})
+        .groupby("node", as_index=False)
+        .size()
+        .rename(columns={"size": "part"})
+    )
+    p["bucket"] = p["node"] % NUM_BUCKETS
+    return p[["bucket", "node", "part"]].astype("int64")
+
+
+def _tri_fold(g: pd.DataFrame) -> pd.DataFrame:
+    if len(g) == 0:
+        return _tri_empty(("node", "n_triangles"))
+    return (
+        g.groupby("node", as_index=False)
+        .agg(n_triangles=("part", "sum"))
+        .astype("int64")
+    )
+
+
+def triangle_counts(edges: rd.Dataset) -> pd.DataFrame:
+    """Canonical undirected edge Dataset (a, b with a < b, distinct, no
+    self-loops) → (node, n_triangles) for every vertex in ≥1 triangle.
+    Three lazily-chained NB-key bucket groupbys in ONE streaming execution:
+    min-endpoint adjacency → wedge emission keyed by closing-pair hash →
+    in-bucket wedge⋈edge closing join → per-vertex count fold. No adjacency
+    list, wedge set, or edge set ever materializes on the driver."""
+    state = edges.map_batches(_tri_seed, batch_format="pandas")
+    state = state.groupby("bucket").map_groups(_tri_wedges, batch_format="pandas")
+    state = state.groupby("bucket").map_groups(_tri_close, batch_format="pandas")
+    out = (
+        state.groupby("bucket")
+        .map_groups(_tri_fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return _tri_empty(("node", "n_triangles"))
+    return out[["node", "n_triangles"]]

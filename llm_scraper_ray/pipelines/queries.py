@@ -1966,6 +1966,7 @@ def all_queries():
         "kg_top_vertices": q_kg_top_vertices,
         "kg_components": q_kg_components,
         "kg_pagerank": q_kg_pagerank,
+        "kg_triangles": q_kg_triangles,
         "kg_export": q_kg_export,
         "judge_panel": q_judge_panel,
         "triplet_validation_text": q_triplet_validation_text,
@@ -2030,6 +2031,8 @@ def all_queries():
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
         # conjunctive term search + per-group exact quantiles
         "doc_search_terms": _curation.q_doc_search_terms,
+        # BM25 ranked retrieval: two shuffle-free scans (stats fold + top-k)
+        "doc_bm25_topk": _curation.q_doc_bm25_topk,
         "event_value_quantiles": _analytics.q_event_value_quantiles_by_type,
         # bigram LM scoring (n-gram LM family, with doc_unigram_scores)
         "doc_bigram_scores": _curation.q_doc_bigram_scores,
@@ -2158,6 +2161,39 @@ FROM read_parquet('{path}') GROUP BY method ORDER BY method
             "SELECT node_type, node_key, pagerank "
             f"FROM read_parquet('{pr_path}') ORDER BY node_type, node_key"
         ),
+        "kg_triangles": f"""
+WITH dedup AS (
+  SELECT subj_type, subj_name, obj_type, obj_name
+  FROM read_parquet('{path}') GROUP BY {key}
+), hashed AS (
+  SELECT subj_type, {gk('subj_name')} AS subj_key,
+         obj_type, {gk('obj_name')} AS obj_key FROM dedup
+), he AS (
+  SELECT
+    CAST(md5_number_lower(subj_type || '|' || subj_key)
+         % 9223372036854775808 AS BIGINT) AS a,
+    CAST(md5_number_lower(obj_type || '|' || obj_key)
+         % 9223372036854775808 AS BIGINT) AS b,
+    subj_type, subj_key, obj_type, obj_key
+  FROM hashed
+), nodes AS (
+  SELECT subj_type AS node_type, subj_key AS node_key, a AS h FROM he
+  UNION
+  SELECT obj_type, obj_key, b FROM he
+), e0 AS (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y FROM he WHERE a <> b
+), tri AS (
+  SELECT e1.x AS v1, e1.y AS v2, e2.y AS v3
+  FROM e0 e1 JOIN e0 e2 ON e2.x = e1.y
+  JOIN e0 e3 ON e3.x = e1.x AND e3.y = e2.y
+), tn AS (
+  SELECT v1 AS h FROM tri UNION ALL SELECT v2 FROM tri
+  UNION ALL SELECT v3 FROM tri
+), tc AS (SELECT h, count(*) AS c FROM tn GROUP BY h)
+SELECT n.node_type, n.node_key, CAST(coalesce(tc.c, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN tc ON tc.h = n.h
+ORDER BY node_type, node_key
+""",
         "kg_components": f"""
 WITH RECURSIVE dedup AS (
   SELECT subj_type, subj_name, obj_type, obj_name
@@ -2326,6 +2362,7 @@ def all_oracle_sql():
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,
+        "doc_bm25_topk": _curation.SQL_DOC_BM25_TOPK,
         "event_value_quantiles": _analytics.SQL_EVENT_VALUE_QUANTILES,
         "doc_bigram_scores": _curation.SQL_DOC_BIGRAM_SCORES,
         "doc_dup_span_scrub": _curation.SQL_DOC_DUP_SPAN_SCRUB,
@@ -2538,6 +2575,52 @@ def q_kg_pagerank(sf_dir: str) -> pd.DataFrame:
     nodes["pagerank"] = nodes["h"].map(pr.set_index("node")["pagerank"])
     return (
         nodes[["node_type", "node_key", "pagerank"]]
+        .sort_values(["node_type", "node_key"])
+        .reset_index(drop=True)
+    )
+
+
+def q_kg_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle counting over the knowledge graph (the graph-ENUMERATION
+    class, vs kg_components/kg_pagerank's iterative propagation): per node,
+    the number of entity triangles it participates in. Edges = distinct
+    undirected subject↔object node-hash pairs (canonical lo<hi, self-loops
+    dropped); the count runs as ``pipelines/graph.triangle_counts`` —
+    min-vertex-centered wedge emission bucketed by closing-pair hash, an
+    in-bucket wedge⋈edge closing join, and a per-vertex fold, three
+    NB-key groupbys lazily chained in ONE execution. Node identity matches
+    ``kg_components``; oracle = the triple-self-join closure over the
+    sequential oracle's expected triplets with the identical hash."""
+    from ..functions.textnorm import graph_key
+    from .graph import triangle_counts
+
+    tri = _deduped_triplets_df(sf_dir)
+    if len(tri) == 0:
+        return pd.DataFrame(columns=["node_type", "node_key", "n_triangles"])
+    ha = _kg_node_hash(tri["subj_type"], tri["subj_name"])
+    hb = _kg_node_hash(tri["obj_type"], tri["obj_name"])
+    lo, hi = np.minimum(ha, hb), np.maximum(ha, hb)
+    edges = (
+        pd.DataFrame({"a": lo, "b": hi})
+        .query("a != b")
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    counts = triangle_counts(rd.from_pandas(edges)).set_index("node")["n_triangles"]
+    nodes = pd.DataFrame(
+        {
+            "node_type": pd.concat([tri["subj_type"], tri["obj_type"]]),
+            "node_key": pd.concat(
+                [tri["subj_name"].map(graph_key), tri["obj_name"].map(graph_key)]
+            ),
+            "h": np.concatenate([ha, hb]),
+        }
+    ).drop_duplicates(["node_type", "node_key"])
+    nodes["n_triangles"] = (
+        nodes["h"].map(counts).fillna(0).astype(np.int64)
+    )
+    return (
+        nodes[["node_type", "node_key", "n_triangles"]]
         .sort_values(["node_type", "node_key"])
         .reset_index(drop=True)
     )

@@ -396,3 +396,23 @@ def test_curation_pipeline_matches_composed_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_doc_bm25_topk_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.curation import (
+        BM25_TOPK,
+        SQL_DOC_BM25_TOPK,
+        q_doc_bm25_topk,
+    )
+
+    out = q_doc_bm25_topk(SF)
+    assert len(out) == BM25_TOPK
+    # ranked: scores non-increasing, ties broken by doc_id ascending
+    assert (out["bm25"].diff().dropna() <= 1e-12).all()
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        SQL_DOC_BM25_TOPK,
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )

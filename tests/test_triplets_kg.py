@@ -178,3 +178,52 @@ def test_kg_pagerank_equals_sequential_oracle(ray_session):
     assert len(out) > 0
     assert abs(out["pagerank"].sum() - 1.0) < 1e-4
     pd.testing.assert_frame_equal(out, expected)
+
+
+def test_kg_triangles_matches_bruteforce(ray_session):
+    """Distributed wedge-check triangle counts == a driver-side brute-force
+    neighbor-set intersection over the same deduped triplets (independent of
+    buckets, wedges, and the closing join)."""
+    from collections import defaultdict
+
+    from llm_scraper_ray.functions.textnorm import graph_key
+    from llm_scraper_ray.pipelines.curation import _MASK63, _md5_lower64
+    from llm_scraper_ray.pipelines.queries import (
+        _deduped_triplets_df,
+        q_kg_triangles,
+    )
+
+    out = q_kg_triangles("/root/testdata/sf0.001")
+    assert not out.duplicated(["node_type", "node_key"]).any()
+    assert out["n_triangles"].sum() > 0  # the KG is dense enough to close
+
+    tri = _deduped_triplets_df("/root/testdata/sf0.001")
+
+    def h(t, n):
+        return _md5_lower64(f"{t}|{graph_key(n)}") & _MASK63
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for r in tri.itertuples():
+        a, b = h(r.subj_type, r.subj_name), h(r.obj_type, r.obj_name)
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    expected: dict[int, int] = defaultdict(int)
+    seen = set()
+    for a, nbs in adj.items():
+        for b in nbs:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                key = tuple(sorted((a, b, c)))
+                if key in seen:
+                    continue
+                seen.add(key)
+                for v in key:
+                    expected[v] += 1
+    got = {
+        h(r.node_type, r.node_key): r.n_triangles for r in out.itertuples()
+    }
+    for node, n in expected.items():
+        assert got[node] == n
+    assert sum(got.values()) == sum(expected.values())
