@@ -1415,3 +1415,104 @@ SELECT CAST(epoch_us(ts) // {_HOUR_US} AS BIGINT) * {_HOUR_US} AS hour_us,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY hour_us ORDER BY hour_us
 """
+
+
+# ---------------------------------------------------------------------------
+# global ranking / NTILE (distributed row_number over a total order)
+
+
+NTILE_K = 10
+
+
+def q_orders_ntile(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Global rank + decile per order over the (o_totalprice, o_orderkey)
+    total order — ``row_number()`` / ``ntile()`` with an empty OVER
+    partition, the one window shape that inherently needs a GLOBAL prefix
+    sum. Same distributed-scan machinery as ``doc_token_bins``: one sort,
+    per-batch local positions tagged with the batch's FULL first-row sort
+    key (price bit-view + orderkey — a partial key misorders batches when
+    the leading column repeats, the events_window_count lesson), an
+    O(#batches) summary the driver prefix-sums, and a vectorized offset-add
+    pass. NTILE sizes follow SQL semantics (first n%k tiles get one extra
+    row) as pure integer arithmetic on the global rank."""
+
+    def scan_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        bk1 = price.view(np.int64)  # order-preserving bit view (prices > 0)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "local_pos": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "bk1": pa.array(np.full(n, bk1[0] if n else 0, np.int64)),
+                "bk2": pa.array(np.full(n, okey[0] if n else 0, np.int64)),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"],
+        )
+        .sort(["o_totalprice", "o_orderkey"])
+        .map_batches(scan_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        # downstream batches may coalesce scan batches → group by the key
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("bk1", "bk2", "total")}
+            )
+        s = df.groupby(["bk1", "bk2"], as_index=False)["local_pos"].max()
+        return s.rename(columns={"local_pos": "total"}).astype("int64")
+
+    summary = (
+        rows.map_batches(summarize, batch_format="pandas", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["bk1", "bk2"])
+        .reset_index(drop=True)
+    )
+    offs = summary["total"].cumsum().shift(fill_value=0)
+    offsets = {
+        (int(a), int(b)): int(o)
+        for a, b, o in zip(summary["bk1"], summary["bk2"], offs)
+    }
+    n_total = int(summary["total"].sum())
+    q, rem = divmod(n_total, NTILE_K)
+
+    def assign(t: pa.Table) -> pa.Table:
+        bk1 = t["bk1"].to_numpy(zero_copy_only=False)
+        bk2 = t["bk2"].to_numpy(zero_copy_only=False)
+        off = np.fromiter(
+            (offsets[(int(a), int(b))] for a, b in zip(bk1, bk2)),
+            dtype=np.int64,
+            count=len(bk1),
+        )
+        rnk = off + t["local_pos"].to_numpy(zero_copy_only=False)
+        fat = rem * (q + 1)  # rows in the first n%k (larger) tiles
+        tile = np.where(
+            rnk <= fat,
+            (rnk - 1) // (q + 1) + 1 if q + 1 > 0 else 1,
+            rem + (np.maximum(rnk - fat - 1, 0) // max(q, 1)) + 1,
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "rnk": pa.array(rnk, pa.int64()),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    out = rows.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDERS_NTILE = f"""
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+       ntile({NTILE_K}) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+FROM orders ORDER BY o_orderkey
+"""

@@ -266,6 +266,98 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+_BLOOM_M = 1 << 17  # filter bits (16 KiB packed — broadcast-cheap)
+_BLOOM_K = 4
+_BLOOM_SEGMENT = "AUTOMOBILE"
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, _BLOOM_K) bit positions via double hashing of a splitmix64 mix."""
+    x = keys.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h1 = x ^ (x >> np.uint64(31))
+    h2 = (x * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    j = np.arange(_BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(_BLOOM_M)).astype(
+        np.int64
+    )
+
+
+def q_orders_bloom_semijoin(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter-accelerated semi-join: revenue of orders whose customer
+    is in the {seg} segment. The scale technique a 100-TB shuffle join
+    needs when the build side is selective: (1) the filter is built
+    DISTRIBUTED — per-batch customer partials are OR-able packed bitmaps,
+    so the driver folds O(#batches × 16 KiB), never a key set; (2) the
+    16 KiB filter broadcasts once (``ray.put``) and prunes the fact table
+    in-batch BEFORE its shuffle — only candidates (true matches + bounded
+    false positives) pay the exchange; (3) the hash-partitioned
+    ``Dataset.join(left_semi)`` makes the result EXACT, so the oracle is a
+    plain semi-join — the bloom can only prune, never change the answer.
+    """.format(seg=_BLOOM_SEGMENT)
+
+    def build(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_mktsegment"], _BLOOM_SEGMENT)
+        keys = t["c_custkey"].filter(keep).to_numpy(zero_copy_only=False)
+        bits = np.zeros(_BLOOM_M, dtype=bool)
+        if keys.size:
+            bits[_bloom_positions(keys).ravel()] = True
+        return pa.Table.from_pydict({"bits": pa.array([np.packbits(bits).tobytes()])})
+
+    parts = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(build, batch_format="pyarrow")
+        .to_pandas()
+    )
+    bloom = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+    for b in parts["bits"]:
+        bloom |= np.frombuffer(b, dtype=np.uint8)
+    bloom_ref = ray.put(np.unpackbits(bloom).astype(bool))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        hit = bits[_bloom_positions(keys)].all(axis=1)
+        return t.filter(pa.array(hit))
+
+    seg_cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], _BLOOM_SEGMENT)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+        .map_batches(probe, batch_format="pyarrow")
+        .join(
+            seg_cust, "left_semi", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+        )
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return (
+        _round(out, {"revenue": 2})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+_SQL_ORDERS_BLOOM = f"""
+SELECT o_orderpriority, round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 _FUZZY_MAX_DIST = 3
 
 
@@ -1924,6 +2016,8 @@ def all_queries():
         "mktsegments": q_mktsegments,
         "customers_without_orders": q_customers_without_orders,
         "parts_shipped_by_brand": q_parts_shipped_by_brand,
+        # broadcast-bloom pre-filter + exact hash-partitioned semi-join
+        "orders_bloom_semijoin": q_orders_bloom_semijoin,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "part_name_fuzzy_join": q_part_name_fuzzy_join,
@@ -2020,6 +2114,8 @@ def all_queries():
         # hierarchical subtotals from one finest-level shuffle
         "orders_rollup": _analytics.q_orders_rollup,
         "orders_cube": _analytics.q_orders_cube,
+        # global row_number/ntile via the distributed prefix-sum scan
+        "orders_ntile": _analytics.q_orders_ntile,
         # weekly cohort retention (bucketed-distinct machinery, two-level)
         "events_retention": _analytics.q_events_retention,
         # per-type z-score outliers (mergeable moments + flagged re-scan)
@@ -2310,6 +2406,7 @@ def all_oracle_sql():
         "mktsegments": _SQL_MKTSEGMENTS,
         "customers_without_orders": _SQL_CUST_NO_ORDERS,
         "parts_shipped_by_brand": _SQL_PARTS_SHIPPED,
+        "orders_bloom_semijoin": _SQL_ORDERS_BLOOM,
         "q3_shipping_priority": _SQL_Q3_SHIPPING,
         "q5_local_supplier_volume": _SQL_Q5_LOCAL,
         "part_name_fuzzy_join": _SQL_PART_NAME_FUZZY,
@@ -2356,6 +2453,7 @@ def all_oracle_sql():
         "events_distinct_users": _analytics.SQL_EVENTS_DISTINCT_USERS,
         "orders_rollup": _analytics.SQL_ORDERS_ROLLUP,
         "orders_cube": _analytics.SQL_ORDERS_CUBE,
+        "orders_ntile": _analytics.SQL_ORDERS_NTILE,
         "events_retention": _analytics.SQL_EVENTS_RETENTION,
         "events_outliers": _analytics.SQL_EVENTS_OUTLIERS,
         "events_hourly_users": _analytics.SQL_EVENTS_HOURLY_USERS,

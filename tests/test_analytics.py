@@ -367,3 +367,59 @@ def test_q5_local_supplier_volume_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+@pytest.mark.parametrize("bs", [65536, 16, 7])
+def test_orders_ntile_matches_oracle(ray_session, bs):
+    from llm_scraper_ray.pipelines.analytics import (
+        NTILE_K,
+        SQL_ORDERS_NTILE,
+        q_orders_ntile,
+    )
+
+    out = q_orders_ntile(SF, batch_size=bs)
+    exp = _oracle("orders", SQL_ORDERS_NTILE)
+    # ranks are a permutation of 1..n; tiles obey SQL size semantics
+    n = len(out)
+    assert sorted(out["rnk"]) == list(range(1, n + 1))
+    sizes = out["tile"].value_counts()
+    q, rem = divmod(n, NTILE_K)
+    assert all(sizes[t] == q + (1 if t <= rem else 0) for t in sizes.index)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_orders_bloom_semijoin_matches_oracle_and_prunes(ray_session):
+    import numpy as np
+
+    from llm_scraper_ray.pipelines.queries import (
+        _BLOOM_SEGMENT,
+        _SQL_ORDERS_BLOOM,
+        _bloom_positions,
+        q_orders_bloom_semijoin,
+    )
+
+    out = q_orders_bloom_semijoin(SF)
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    exp = con.execute(_SQL_ORDERS_BLOOM).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # the filter must actually prune: non-segment customers mostly miss
+    cust = con.execute(
+        "SELECT c_custkey, c_mktsegment FROM customer"
+    ).df()
+    in_seg = cust[cust["c_mktsegment"] == _BLOOM_SEGMENT]["c_custkey"].to_numpy()
+    from llm_scraper_ray.pipelines.queries import _BLOOM_M
+
+    bits = np.zeros(_BLOOM_M, dtype=bool)
+    bits[_bloom_positions(in_seg).ravel()] = True
+    other = cust[cust["c_mktsegment"] != _BLOOM_SEGMENT]["c_custkey"].to_numpy()
+    assert bits[_bloom_positions(in_seg)].all()  # zero false negatives
+    fp = bits[_bloom_positions(other)].all(axis=1).mean()
+    assert fp < 0.05  # 16 KiB filter keeps false positives marginal
