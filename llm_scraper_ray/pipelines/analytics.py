@@ -1516,3 +1516,185 @@ SELECT o_orderkey,
        ntile({NTILE_K}) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
 FROM orders ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# bounded ROWS-frame moving average (ROWS BETWEEN K PRECEDING AND CURRENT ROW)
+
+MAVG_K = 3  # preceding rows in the frame (frame size = K + 1)
+
+
+def q_events_moving_avg(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Per-user moving average over a bounded ROWS frame
+    (``avg(value) OVER (PARTITION BY user ORDER BY ts, id ROWS BETWEEN 3
+    PRECEDING AND CURRENT ROW)``) — the row-count-frame window shape
+    (``events_lag`` is a 1-row frame, ``events_window_count`` a time-RANGE
+    frame). One (user, ts, event_id) sort; per batch the frame sum is two
+    prefix-sum gathers (``c0[i+1] - c0[max(run_start, i - K)]``), exact in
+    integer cents. A row's frame can cross the batch split only when it is
+    one of the FIRST run's first K rows, so pending heads and the last
+    run's K-row tail context are the only edge rows — O(#batches · K) to
+    the driver, independent of corpus size. Multi-batch runs resolve
+    because every same-user context row of ANY earlier batch precedes the
+    head in stream order; the head takes the last ``K - lidx`` of them."""
+    K = MAVG_K
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("cents", pa.int64()),  # row value (context rows)
+            ("w_n", pa.int64()),  # frame row count (local for heads)
+            ("w_sum", pa.int64()),  # frame cents sum (local for heads)
+            ("lidx", pa.int64()),  # in-run index (heads: K - lidx missing)
+            ("kind", pa.int8()),  # 0 final, 1 head (partial), 2 context
+            # first row's FULL stream-order key = the batch's order
+            ("bk_u", pa.int64()),
+            ("bk_ts", pa.int64()),
+            ("bk_e", pa.int64()),
+        ]
+    )
+
+    def mavg_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        idx = np.arange(n, dtype=np.int64)
+        lidx = idx - starts[run_id]
+        c0 = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.maximum(starts[run_id], idx - K)
+        w_sum = c0[idx + 1] - c0[lo]
+        w_n = idx - lo + 1
+        kind = np.zeros(n, dtype=np.int8)
+        kind[(run_id == 0) & (lidx < K)] = 1  # frame may reach the split
+        base = pa.Table.from_pydict(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "w_n": pa.array(w_n, pa.int64()),
+                "w_sum": pa.array(w_sum, pa.int64()),
+                "lidx": pa.array(lidx, pa.int64()),
+                "kind": pa.array(kind, pa.int8()),
+                "bk_u": pa.array(np.full(n, u[0]), pa.int64()),
+                "bk_ts": pa.array(np.full(n, ts[0]), pa.int64()),
+                "bk_e": pa.array(np.full(n, e[0]), pa.int64()),
+            },
+            schema=schema,
+        )
+        ci = np.arange(max(int(starts[-1]), n - K), n, dtype=np.int64)
+        ctx_t = pa.Table.from_pydict(
+            {
+                "event_id": pa.array(e[ci], pa.int64()),
+                "user_id": pa.array(u[ci], pa.int64()),
+                "ts_us": pa.array(ts[ci], pa.int64()),
+                "cents": pa.array(cents[ci], pa.int64()),
+                "w_n": pa.array(np.zeros(len(ci), np.int64), pa.int64()),
+                "w_sum": pa.array(np.zeros(len(ci), np.int64), pa.int64()),
+                "lidx": pa.array(np.zeros(len(ci), np.int64), pa.int64()),
+                "kind": pa.array(np.full(len(ci), 2, np.int8), pa.int8()),
+                "bk_u": pa.array(np.full(len(ci), u[0]), pa.int64()),
+                "bk_ts": pa.array(np.full(len(ci), ts[0]), pa.int64()),
+                "bk_e": pa.array(np.full(len(ci), e[0]), pa.int64()),
+            },
+            schema=schema,
+        )
+        return pa.concat_tables([base, ctx_t])
+
+    rows = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(mavg_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 0))
+        avg = pc.round(
+            pc.divide(
+                pc.cast(t["w_sum"], pa.float64()),
+                pc.multiply(pc.cast(t["w_n"], pa.float64()), pa.scalar(100.0)),
+            ),
+            ndigits=6,
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "w_n": t["w_n"],
+                "w_avg": avg,
+            }
+        )
+
+    interior = rows.map_batches(finalize, batch_format="pyarrow")
+    edges = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    parts = [interior.to_pandas()]
+    heads = edges[edges["kind"] == 1]
+    ctx = edges[edges["kind"] == 2]
+    if len(heads):
+        # same-user context in global stream order (batch key, then intra-
+        # batch (ts, event_id)); a head's missing predecessors are the last
+        # K - lidx context rows of strictly-earlier batches
+        ctx = ctx.sort_values(
+            ["user_id", "bk_u", "bk_ts", "bk_e", "ts_us", "event_id"], kind="stable"
+        )
+        by_user: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for uid, g in ctx.groupby("user_id", sort=False):
+            bk = (
+                g["bk_u"].to_numpy(),
+                g["bk_ts"].to_numpy(),
+                g["bk_e"].to_numpy(),
+            )
+            by_user[int(uid)] = (bk, g["cents"].to_numpy())
+        out_rows = []
+        for h in heads.itertuples(index=False):
+            w_sum, w_n = int(h.w_sum), int(h.w_n)
+            got = by_user.get(int(h.user_id))
+            if got is not None:
+                (bu, bt, be), cent = got
+                earlier = (bu < h.bk_u) | (
+                    (bu == h.bk_u)
+                    & ((bt < h.bk_ts) | ((bt == h.bk_ts) & (be < h.bk_e)))
+                )
+                pred = cent[earlier]
+                need = K - int(h.lidx)
+                take = pred[len(pred) - min(need, len(pred)) :]
+                w_sum += int(take.sum())
+                w_n += len(take)
+            out_rows.append(
+                {
+                    "event_id": int(h.event_id),
+                    "user_id": int(h.user_id),
+                    "w_n": w_n,
+                    "w_avg": round(w_sum / (w_n * 100.0), 6),
+                }
+            )
+        parts.append(pd.DataFrame(out_rows, columns=["event_id", "user_id", "w_n", "w_avg"]))
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_MOVING_AVG = f"""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS w_n,
+       round(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+             / (count(*) OVER w * 100.0), 6) AS w_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {MAVG_K} PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""

@@ -2122,6 +2122,8 @@ def all_queries():
         "events_outliers": _analytics.q_events_outliers,
         # tumbling windows × bucketed distinct (windowed COUNT DISTINCT)
         "events_hourly_users": _analytics.q_events_hourly_users,
+        # bounded ROWS-frame moving average (K-preceding window)
+        "events_moving_avg": _analytics.q_events_moving_avg,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2457,6 +2459,7 @@ def all_oracle_sql():
         "events_retention": _analytics.SQL_EVENTS_RETENTION,
         "events_outliers": _analytics.SQL_EVENTS_OUTLIERS,
         "events_hourly_users": _analytics.SQL_EVENTS_HOURLY_USERS,
+        "events_moving_avg": _analytics.SQL_EVENTS_MOVING_AVG,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

@@ -423,3 +423,20 @@ def test_orders_bloom_semijoin_matches_oracle_and_prunes(ray_session):
     assert bits[_bloom_positions(in_seg)].all()  # zero false negatives
     fp = bits[_bloom_positions(other)].all(axis=1).mean()
     assert fp < 0.05  # 16 KiB filter keeps false positives marginal
+
+
+@pytest.mark.parametrize("bs", [65536, 16, 7])
+def test_events_moving_avg_matches_oracle(ray_session, bs):
+    from llm_scraper_ray.pipelines.analytics import (
+        MAVG_K,
+        SQL_EVENTS_MOVING_AVG,
+        q_events_moving_avg,
+    )
+
+    out = q_events_moving_avg(SF, batch_size=bs)
+    exp = _oracle("events", SQL_EVENTS_MOVING_AVG)
+    assert out["w_n"].max() == MAVG_K + 1, "some frame must be full"
+    assert out["w_n"].min() == 1, "partition-first rows have a 1-row frame"
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
