@@ -1698,3 +1698,87 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN {MAVG_K} PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q13-shaped customer distribution (count-of-counts / degree histogram)
+
+Q13_NB = 64
+Q13_EXCLUDED = ("1-URGENT", "2-HIGH")  # Q13's "special requests" analog
+
+
+def q_orders_cust_distribution(sf_dir: str) -> pd.DataFrame:
+    """How many customers placed N qualifying orders, for every N — the
+    count-of-counts (degree-distribution) shape: a LEFT join whose zero bin
+    must survive, then a second aggregation over the first's VALUES. No
+    per-custkey groupby (1 ms/key at web-scale cardinality): per-batch
+    pandas partial counts shuffle by a stable custkey-hash bucket
+    (Q13_NB keys, flat at any cardinality); a custkey is whole within its
+    bucket, so in-bucket sums are exact per-customer totals and fold
+    straight into per-bucket histogram partials. The driver sums an
+    O(NB x #bins) table. The zero bin is total customers minus customers
+    seen in qualifying orders (orders->customer FK holds by generator
+    contract, verified 0 orphans)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.is_in(t["o_orderpriority"], value_set=pa.array(Q13_EXCLUDED)))
+        t = t.filter(m)
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "c_key": pa.array([], pa.int64()),
+                    "part_c": pa.array([], pa.int64()),
+                }
+            )
+        df = (
+            pd.DataFrame({"c_key": t["o_custkey"].to_numpy(zero_copy_only=False)})
+            .groupby("c_key", as_index=False)
+            .agg(part_c=("c_key", "size"))
+        )
+        df["bucket"] = (
+            _splitmix64(df["c_key"].to_numpy()) % np.uint64(Q13_NB)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["bucket", "c_key", "part_c"]], preserve_index=False
+        )
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("c_key")["part_c"].sum()
+        h = per_cust.value_counts()
+        return pd.DataFrame(
+            {"c_count": h.index.to_numpy(np.int64), "part_n": h.to_numpy(np.int64)}
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    )
+    hist = (
+        orders.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = hist.groupby("c_count", as_index=False).agg(n_custs=("part_n", "sum"))
+    n_customers = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).count()
+    zero = int(n_customers) - int(out["n_custs"].sum())
+    if zero > 0:
+        out = pd.concat(
+            [pd.DataFrame([{"c_count": 0, "n_custs": zero}]), out], ignore_index=True
+        )
+    return out.sort_values("c_count").reset_index(drop=True)
+
+
+SQL_ORDERS_CUST_DISTRIBUTION = f"""
+WITH co AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON o_custkey = c_custkey
+   AND o_orderpriority NOT IN ('{Q13_EXCLUDED[0]}', '{Q13_EXCLUDED[1]}')
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS n_custs FROM co GROUP BY c_count ORDER BY c_count
+"""

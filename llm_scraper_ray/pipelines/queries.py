@@ -2124,6 +2124,8 @@ def all_queries():
         "events_hourly_users": _analytics.q_events_hourly_users,
         # bounded ROWS-frame moving average (K-preceding window)
         "events_moving_avg": _analytics.q_events_moving_avg,
+        # TPC-H-Q13-shaped count-of-counts (zero-bin LEFT join + histogram)
+        "orders_cust_distribution": _analytics.q_orders_cust_distribution,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2460,6 +2462,7 @@ def all_oracle_sql():
         "events_outliers": _analytics.SQL_EVENTS_OUTLIERS,
         "events_hourly_users": _analytics.SQL_EVENTS_HOURLY_USERS,
         "events_moving_avg": _analytics.SQL_EVENTS_MOVING_AVG,
+        "orders_cust_distribution": _analytics.SQL_ORDERS_CUST_DISTRIBUTION,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

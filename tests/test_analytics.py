@@ -440,3 +440,22 @@ def test_events_moving_avg_matches_oracle(ray_session, bs):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_orders_cust_distribution_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_ORDERS_CUST_DISTRIBUTION,
+        q_orders_cust_distribution,
+    )
+
+    out = q_orders_cust_distribution(SF)
+    con = duckdb.connect()
+    for tbl in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF}/{tbl}.parquet')"
+        )
+    exp = con.execute(SQL_ORDERS_CUST_DISTRIBUTION).df()
+    assert (out["c_count"] == 0).any(), "zero-order bin must be exercised"
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
