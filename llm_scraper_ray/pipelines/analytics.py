@@ -1782,3 +1782,57 @@ WITH co AS (
 )
 SELECT c_count, count(*) AS n_custs FROM co GROUP BY c_count ORDER BY c_count
 """
+
+
+# ---------------------------------------------------------------------------
+# equi-width value histogram (mergeable bin-count partials)
+
+HIST_WIDTH_CENTS = 2500  # $25 bins
+
+
+def q_events_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Equi-width histogram of event value per type — the mergeable
+    fixed-bin summary every profiling pass needs. Bin assignment is exact
+    integer arithmetic (lossless cents // width), appended in-batch; the
+    only shuffle is a groupby whose key cardinality is #types x #bins —
+    bounded by the VALUE DOMAIN, not the corpus — and Ray map-combines the
+    per-block partials internally. Bin sums stay in integer cents until
+    the final metadata-sized table."""
+
+    def binify(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": t["event_type"],
+                "bin": pa.array(cents // HIST_WIDTH_CENTS, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count as _Count
+
+    out = (
+        _read_events(sf_dir, ["event_type", "value"])
+        .map_batches(binify, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(_Count(alias_name="n_events"), Sum("cents", alias_name="sc"))
+        .to_pandas()
+    )
+    out["bin_lo"] = (out["bin"] * HIST_WIDTH_CENTS / 100.0).round(2)
+    out["sum_value"] = (out["sc"] / 100.0).round(2)
+    out = out[["event_type", "bin", "bin_lo", "n_events", "sum_value"]]
+    return out.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
+SQL_EVENTS_VALUE_HISTOGRAM = f"""
+SELECT event_type,
+       CAST(round(value * 100) AS BIGINT) // {HIST_WIDTH_CENTS} AS bin,
+       round(bin * {HIST_WIDTH_CENTS} / 100.0, 2) AS bin_lo,
+       count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM events
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""

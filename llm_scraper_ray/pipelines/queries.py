@@ -2126,6 +2126,8 @@ def all_queries():
         "events_moving_avg": _analytics.q_events_moving_avg,
         # TPC-H-Q13-shaped count-of-counts (zero-bin LEFT join + histogram)
         "orders_cust_distribution": _analytics.q_orders_cust_distribution,
+        # equi-width value histogram (domain-bounded mergeable bins)
+        "events_value_histogram": _analytics.q_events_value_histogram,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2463,6 +2465,7 @@ def all_oracle_sql():
         "events_hourly_users": _analytics.SQL_EVENTS_HOURLY_USERS,
         "events_moving_avg": _analytics.SQL_EVENTS_MOVING_AVG,
         "orders_cust_distribution": _analytics.SQL_ORDERS_CUST_DISTRIBUTION,
+        "events_value_histogram": _analytics.SQL_EVENTS_VALUE_HISTOGRAM,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

@@ -459,3 +459,17 @@ def test_orders_cust_distribution_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_events_value_histogram_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_VALUE_HISTOGRAM,
+        q_events_value_histogram,
+    )
+
+    out = q_events_value_histogram(SF)
+    exp = _oracle("events", SQL_EVENTS_VALUE_HISTOGRAM)
+    assert out["bin"].nunique() > 3, "histogram must have several bins"
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
