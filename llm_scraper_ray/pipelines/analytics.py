@@ -1836,3 +1836,73 @@ FROM events
 GROUP BY event_type, bin
 ORDER BY event_type, bin
 """
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: per-user event-type counts as columns (wide conditional aggregation)
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT the event stream to one row per user with a count column per
+    event type plus total count and purchase revenue — the wide
+    conditional-aggregation shape (``count(*) FILTER (WHERE ...)``).
+    The type vocabulary is fixed and small, so each batch folds to an
+    n_users-per-batch x (#types + 2) partial frame; partials shuffle by
+    stable user-hash bucket (a user is whole within its bucket — exact
+    in-bucket sums, no per-user groupby key). Output is one row per user:
+    corpus-sized but streamed, never a driver pivot."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "cents": np.rint(
+                    t["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        agg = df.groupby("user_id").agg(n_total=("cents", "size"))
+        for ty in PIVOT_TYPES:
+            m = df["event_type"] == ty
+            agg[f"n_{ty}"] = df[m].groupby("user_id").size()
+        agg["purchase_cents"] = (
+            df[df["event_type"] == "purchase"].groupby("user_id")["cents"].sum()
+        )
+        agg = agg.fillna(0).astype(np.int64).reset_index()
+        agg["bucket"] = (
+            _splitmix64(agg["user_id"].to_numpy()) % np.uint64(NDIST_NB)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns=["bucket"]).groupby("user_id", as_index=False).sum()
+        return out
+
+    out = (
+        _read_events(sf_dir, ["user_id", "event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out["purchase_value"] = (out["purchase_cents"] / 100.0).round(2)
+    cols = ["user_id", "n_total"] + [f"n_{ty}" for ty in PIVOT_TYPES] + ["purchase_value"]
+    return out[cols].sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       count(*) AS n_total,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       round(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                      FILTER (event_type = 'purchase'), 0) / 100.0, 2)
+         AS purchase_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -2128,6 +2128,8 @@ def all_queries():
         "orders_cust_distribution": _analytics.q_orders_cust_distribution,
         # equi-width value histogram (domain-bounded mergeable bins)
         "events_value_histogram": _analytics.q_events_value_histogram,
+        # PIVOT: wide per-user conditional aggregation (FILTER columns)
+        "events_pivot": _analytics.q_events_pivot,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2466,6 +2468,7 @@ def all_oracle_sql():
         "events_moving_avg": _analytics.SQL_EVENTS_MOVING_AVG,
         "orders_cust_distribution": _analytics.SQL_ORDERS_CUST_DISTRIBUTION,
         "events_value_histogram": _analytics.SQL_EVENTS_VALUE_HISTOGRAM,
+        "events_pivot": _analytics.SQL_EVENTS_PIVOT,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

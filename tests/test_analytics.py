@@ -473,3 +473,17 @@ def test_events_value_histogram_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_events_pivot_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import SQL_EVENTS_PIVOT, q_events_pivot
+
+    out = q_events_pivot(SF)
+    exp = _oracle("events", SQL_EVENTS_PIVOT)
+    assert (
+        out[[c for c in out.columns if c.startswith("n_") and c != "n_total"]].sum(axis=1)
+        == out["n_total"]
+    ).all(), "type counts must partition the total"
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
