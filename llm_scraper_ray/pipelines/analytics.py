@@ -1906,3 +1906,127 @@ SELECT user_id,
          AS purchase_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix (lag pair-counts, type-domain-sized result)
+
+
+def q_events_transitions(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Per-user event-type TRANSITION counts (the Markov / clickstream
+    matrix): ``lag(event_type) OVER (PARTITION BY user ORDER BY ts, id)``
+    folded to (from_type, to_type) counts. One sort; every in-run adjacent
+    pair counts inside its batch into a #types² partial table, so the
+    shuffle carries domain-sized partials, never the event stream. The only
+    cross-batch pairs are each batch seam's (tail row → next head row) when
+    the user run straddles it — exactly one head and one tail row per
+    batch, resolved by a driver zip over O(#batches) rows ordered by the
+    full first-row sort key."""
+
+    schema = pa.schema(
+        [
+            ("from_type", pa.string()),
+            ("to_type", pa.string()),
+            ("part_n", pa.int64()),
+            ("kind", pa.int8()),  # 0 partial counts, 1 head, 2 tail
+            ("user_id", pa.int64()),
+            ("bk_u", pa.int64()),
+            ("bk_ts", pa.int64()),
+            ("bk_e", pa.int64()),
+        ]
+    )
+
+    def trans_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        frm = et[:-1][same[1:]]
+        to = et[1:][same[1:]]
+        parts = (
+            pd.DataFrame({"from_type": frm, "to_type": to})
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "part_n"})
+        )
+        parts["kind"] = np.int8(0)
+        parts["user_id"] = np.int64(0)
+        edge = pd.DataFrame(
+            {
+                "from_type": ["", ""],
+                "to_type": [str(et[0]), str(et[-1])],
+                "part_n": [0, 0],
+                "kind": np.array([1, 2], np.int8),
+                "user_id": [int(u[0]), int(u[-1])],
+            }
+        )
+        out = pd.concat([parts, edge], ignore_index=True)
+        out["bk_u"], out["bk_ts"], out["bk_e"] = int(u[0]), int(ts[0]), int(e[0])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    rows = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(trans_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+    counts = (
+        rows.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], 0)).select(
+                ["from_type", "to_type", "part_n"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    edges = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    if len(edges):
+        edges = edges.sort_values(
+            ["bk_u", "bk_ts", "bk_e", "kind"], kind="stable"
+        ).reset_index(drop=True)
+        tails = edges[edges["kind"] == 2].reset_index(drop=True)
+        heads = edges[edges["kind"] == 1].reset_index(drop=True)
+        # stream order pairs batch i's tail with batch i+1's head
+        seam = pd.DataFrame(
+            {
+                "from_type": tails["to_type"].to_numpy()[:-1],
+                "to_type": heads["to_type"].to_numpy()[1:],
+                "same": tails["user_id"].to_numpy()[:-1]
+                == heads["user_id"].to_numpy()[1:],
+            }
+        )
+        seam = (
+            seam[seam["same"]]
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        if len(seam):
+            counts = (
+                pd.concat([counts, seam], ignore_index=True)
+                .groupby(["from_type", "to_type"], as_index=False)["n"]
+                .sum()
+            )
+    return counts.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY prev, event_type ORDER BY from_type, to_type
+"""

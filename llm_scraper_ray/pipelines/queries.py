@@ -2130,6 +2130,8 @@ def all_queries():
         "events_value_histogram": _analytics.q_events_value_histogram,
         # PIVOT: wide per-user conditional aggregation (FILTER columns)
         "events_pivot": _analytics.q_events_pivot,
+        # Markov transition matrix (lag pair-counts, domain-sized partials)
+        "events_transitions": _analytics.q_events_transitions,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2469,6 +2471,7 @@ def all_oracle_sql():
         "orders_cust_distribution": _analytics.SQL_ORDERS_CUST_DISTRIBUTION,
         "events_value_histogram": _analytics.SQL_EVENTS_VALUE_HISTOGRAM,
         "events_pivot": _analytics.SQL_EVENTS_PIVOT,
+        "events_transitions": _analytics.SQL_EVENTS_TRANSITIONS,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

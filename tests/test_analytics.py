@@ -487,3 +487,22 @@ def test_events_pivot_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+@pytest.mark.parametrize("bs", [65536, 16, 7])
+def test_events_transitions_matches_oracle(ray_session, bs):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_TRANSITIONS,
+        q_events_transitions,
+    )
+
+    out = q_events_transitions(SF, batch_size=bs)
+    exp = _oracle("events", SQL_EVENTS_TRANSITIONS)
+    # every event except each user's first contributes one transition
+    n_events = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()
+    assert out["n"].sum() == n_events[0] - n_events[1]
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
