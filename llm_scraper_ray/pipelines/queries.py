@@ -2020,6 +2020,8 @@ def all_queries():
         "orders_bloom_semijoin": q_orders_bloom_semijoin,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        # bucketed HAVING aggregate feeding hash-partitioned joins
+        "q18_large_orders": q_q18_large_orders,
         "part_name_fuzzy_join": q_part_name_fuzzy_join,
         "active_nations": q_active_nations,
         "events_hourly": q_events_hourly,
@@ -2419,6 +2421,7 @@ def all_oracle_sql():
         "orders_bloom_semijoin": _SQL_ORDERS_BLOOM,
         "q3_shipping_priority": _SQL_Q3_SHIPPING,
         "q5_local_supplier_volume": _SQL_Q5_LOCAL,
+        "q18_large_orders": _SQL_Q18_LARGE,
         "part_name_fuzzy_join": _SQL_PART_NAME_FUZZY,
         "active_nations": _SQL_ACTIVE_NATIONS,
         "events_hourly": _SQL_EVENTS_HOURLY,
@@ -3637,3 +3640,100 @@ def q_search_discovery(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["host", "query", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q18-shaped large-volume orders (high-cardinality HAVING → join)
+
+_Q18_MIN_QTY = 180.0
+_Q18_TOPK = 20
+
+
+def q_q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, joined back to orders + customer, top-K by order value.
+    The HAVING aggregate is over l_orderkey — web-scale cardinality — so
+    it runs as per-batch pandas partials shuffled by a stable
+    orderkey-hash bucket (NB keys; an orderkey is whole within its
+    bucket, so in-bucket sums are exact) with the ``> T`` filter applied
+    IN-BUCKET: only the selectivity-bounded hitter set ever leaves the
+    shuffle. Hitters join orders and customer via hash-partitioned
+    ``Dataset.join`` (no broadcast key sets), and the ``_topk_cut``
+    epilogue keeps the driver at O(#blocks · K) rows."""
+    from .analytics import _splitmix64
+    from .neardup import NUM_BUCKETS
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "q": t["l_quantity"].to_numpy(zero_copy_only=False),
+            }
+        )
+        p = df.groupby("l_orderkey", as_index=False).agg(part_q=("q", "sum"))
+        p["bucket"] = (
+            _splitmix64(p["l_orderkey"].to_numpy()) % np.uint64(NUM_BUCKETS)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_orderkey", as_index=False).agg(sum_qty=("part_q", "sum"))
+        return s[s["sum_qty"] > _Q18_MIN_QTY]
+
+    hitters = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(li_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+    bo = hitters.join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        "inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    joined = bo.join(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        od = pc.strftime(
+            pc.cast(t["o_orderdate"], pa.timestamp("us")), format="%Y-%m-%d"
+        )
+        return pa.Table.from_pydict(
+            {
+                "c_name": t["c_name"],
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["l_orderkey"],
+                "o_orderdate": od,
+                "o_totalprice": t["o_totalprice"],
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    top = _topk_cut(
+        joined.map_batches(shape, batch_format="pyarrow"),
+        ["o_totalprice", "o_orderkey"],
+        [False, True],
+        _Q18_TOPK,
+        round_cols={"o_totalprice": 2, "sum_qty": 2},
+    )
+    return top.reset_index(drop=True)
+
+
+_SQL_Q18_LARGE = f"""
+SELECT c_name, o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > {_Q18_MIN_QTY}
+ORDER BY o_totalprice DESC, o_orderkey LIMIT {_Q18_TOPK}
+"""
