@@ -334,3 +334,120 @@ def triangle_counts(edges: rd.Dataset) -> pd.DataFrame:
     if len(out) == 0:
         return _tri_empty(("node", "n_triangles"))
     return out[["node", "n_triangles"]]
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling — the deletion-cascade class, vs
+# propagation (CC/PageRank) and enumeration (triangles))
+
+KCORE_ROUNDS = 8
+
+_C_ADJ = 0  # adjacency copy: (node, peer), lives in node's bucket
+_C_KILL = 1  # kill notice: drop edge (node, peer) — peer was peeled
+
+_KC_COLS = ("bucket", "node", "peer", "kind")
+
+
+def _kc_frame(node: np.ndarray, peer: np.ndarray, kind: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "bucket": (node % NUM_BUCKETS).astype(np.int64),
+            "node": node.astype(np.int64),
+            "peer": peer.astype(np.int64),
+            "kind": np.full(len(node), kind, dtype=np.int64),
+        }
+    )
+
+
+def _kc_empty() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype="int64") for c in _KC_COLS})
+
+
+def _kc_seed(edges: pd.DataFrame) -> pd.DataFrame:
+    """Canonical (a, b) edge batch → both directed adjacency copies, each
+    in its own node's bucket (a node's full degree is visible in-bucket)."""
+    a = edges["a"].to_numpy(np.int64)
+    b = edges["b"].to_numpy(np.int64)
+    return pd.concat(
+        [_kc_frame(a, b, _C_ADJ), _kc_frame(b, a, _C_ADJ)], ignore_index=True
+    )
+
+
+def _make_kc_step(k: int):
+    def _kc_step(g: pd.DataFrame) -> pd.DataFrame:
+        """One peeling round inside one bucket: apply inbound kill notices,
+        then peel LOCALLY to a fixpoint (a bucket sees every incident edge
+        of its nodes, so local degrees are exact); emit kill notices only
+        for surviving out-of-bucket peers of removed edges. Global rounds
+        are only needed for cross-bucket cascades."""
+        if len(g) == 0:
+            return _kc_empty()
+        adj = g[g["kind"] == _C_ADJ]
+        kills = g[g["kind"] == _C_KILL]
+        if len(kills):
+            adj = adj.merge(
+                kills[["node", "peer"]].drop_duplicates(),
+                on=["node", "peer"],
+                how="left",
+                indicator=True,
+            )
+            adj = adj[adj["_merge"] == "left_only"].drop(columns=["_merge"])
+        out_kills = []
+        while True:
+            if len(adj) == 0:
+                break
+            deg = adj.groupby("node")["peer"].size()
+            dead = set(deg.index[deg < k])
+            if not dead:
+                break
+            dead_rows = adj[adj["node"].isin(dead)]
+            # peers outside this bucket learn of the removal via notices
+            ext = dead_rows[
+                (dead_rows["peer"] % NUM_BUCKETS) != dead_rows["bucket"]
+            ]
+            if len(ext):
+                out_kills.append(
+                    _kc_frame(
+                        ext["peer"].to_numpy(np.int64),
+                        ext["node"].to_numpy(np.int64),
+                        _C_KILL,
+                    )
+                )
+            adj = adj[~adj["node"].isin(dead) & ~adj["peer"].isin(dead)]
+        return pd.concat([adj] + out_kills, ignore_index=True) if out_kills else (
+            adj.reset_index(drop=True) if len(adj) else _kc_empty()
+        )
+
+    return _kc_step
+
+
+def _kc_final(g: pd.DataFrame) -> pd.DataFrame:
+    """Surviving adjacency rows → distinct alive nodes. A leftover kill
+    notice here would mean the round budget was too small; the caller's
+    oracle hash equality is the convergence proof (the CC contract)."""
+    adj = g[g["kind"] == _C_ADJ] if len(g) else g
+    if len(adj) == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"node": adj["node"].unique().astype(np.int64)})
+
+
+def kcore(edges: rd.Dataset, k: int, rounds: int = KCORE_ROUNDS) -> pd.DataFrame:
+    """Canonical undirected edge Dataset (a < b, distinct, no self-loops) →
+    the distinct nodes of the k-core (the maximal subgraph where every
+    vertex keeps degree ≥ k after iterative peeling). Each round is one
+    NB-key bucket groupby that peels to a LOCAL fixpoint and exchanges
+    only cross-bucket kill notices (O(cut edges removed) rows — never
+    adjacency, degrees, or node sets on the driver); all rounds chain
+    lazily into ONE streaming execution. ``rounds`` bounds cross-bucket
+    cascade depth; callers verify convergence by oracle equality."""
+    state = edges.map_batches(_kc_seed, batch_format="pandas")
+    for _ in range(rounds):
+        state = state.groupby("bucket").map_groups(
+            _make_kc_step(k), batch_format="pandas"
+        )
+    out = (
+        state.groupby("bucket").map_groups(_kc_final, batch_format="pandas").to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+    return out

@@ -151,3 +151,71 @@ def persist_expected_triplets(sf_dir: str, gate_keywords: tuple[str, ...]) -> st
     pq.write_table(pa.Table.from_pandas(expected, preserve_index=False), tmp)
     os.replace(tmp, path)
     return path
+
+
+KCORE_ORACLE_VERSION = 1
+
+
+def sequential_kcore(tri: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Expected triplet rows → (node_type, node_key, in_kcore): plain
+    set-based iterative peeling over the undirected distinct entity graph,
+    run to a true fixpoint (no round budget) — independent of the
+    bucket-grouped kill-notice cascade in ``pipelines/graph.kcore`` (no
+    hashing, no buckets), so the engine's hash equality also proves its
+    round budget converged. Node identity = (type, graph_key(name))."""
+    from ..functions.textnorm import graph_key
+
+    dedup = tri.drop_duplicates(
+        ["subj_type", "subj_name", "pred", "obj_type", "obj_name"]
+    )
+    adj: dict[tuple, set] = {}
+    for st, sn, ot, on in zip(
+        dedup["subj_type"], dedup["subj_name"], dedup["obj_type"], dedup["obj_name"]
+    ):
+        a = (st, graph_key(sn))
+        b = (ot, graph_key(on))
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v in alive if len(adj[v]) < k]:
+            changed = True
+            for u in adj[v]:
+                adj[u].discard(v)
+            adj[v] = set()
+            alive.discard(v)
+    nodes = sorted(
+        set(
+            [(t, graph_key(n)) for t, n in zip(tri["subj_type"], tri["subj_name"])]
+            + [(t, graph_key(n)) for t, n in zip(tri["obj_type"], tri["obj_name"])]
+        )
+    )
+    return pd.DataFrame(
+        {
+            "node_type": [t for t, _ in nodes],
+            "node_key": [key for _, key in nodes],
+            "in_kcore": [int(v in alive) for v in nodes],
+        }
+    )
+
+
+def persist_expected_kcore(
+    sf_dir: str, gate_keywords: tuple[str, ...], k: int
+) -> str:
+    """Sequential k-core over the persisted expected triplets; cached per
+    (sf, corpus size, triplet + kcore oracle versions, k)."""
+    tri_path = persist_expected_triplets(sf_dir, gate_keywords)
+    path = tri_path.replace("expected-triplets-", "expected-kcore-").replace(
+        ".parquet", f".k{k}v{KCORE_ORACLE_VERSION}.parquet"
+    )
+    if os.path.exists(path):
+        return path
+    expected = sequential_kcore(pq.read_table(tri_path).to_pandas(), k)
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(expected, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path

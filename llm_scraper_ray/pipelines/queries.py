@@ -2063,6 +2063,7 @@ def all_queries():
         "kg_components": q_kg_components,
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
+        "kg_kcore": q_kg_kcore,
         "kg_export": q_kg_export,
         "judge_panel": q_judge_panel,
         "triplet_validation_text": q_triplet_validation_text,
@@ -2218,11 +2219,16 @@ def _triplet_oracle_sqls() -> dict[str, str]:
     so the distributed groupbys are checked against an independent
     re-statement of their semantics (graph_key re-expressed with
     regexp_replace)."""
-    from .oracle_triplets import persist_expected_pagerank, persist_expected_triplets
+    from .oracle_triplets import (
+        persist_expected_kcore,
+        persist_expected_pagerank,
+        persist_expected_triplets,
+    )
 
     sf = os.environ.get("LLMSR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     path = persist_expected_triplets(sf, _GATE)
     pr_path = persist_expected_pagerank(sf, _GATE)
+    kc_path = persist_expected_kcore(sf, _GATE, _KCORE_K)
     key = "subj_type, subj_name, pred, obj_type, obj_name"
     gk = (
         lambda col: "regexp_replace(regexp_replace("
@@ -2268,6 +2274,10 @@ FROM read_parquet('{path}') GROUP BY method ORDER BY method
         "kg_pagerank": (
             "SELECT node_type, node_key, pagerank "
             f"FROM read_parquet('{pr_path}') ORDER BY node_type, node_key"
+        ),
+        "kg_kcore": (
+            "SELECT node_type, node_key, in_kcore "
+            f"FROM read_parquet('{kc_path}') ORDER BY node_type, node_key"
         ),
         "kg_triangles": f"""
 WITH dedup AS (
@@ -3737,3 +3747,50 @@ GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice
 HAVING sum(l_quantity) > {_Q18_MIN_QTY}
 ORDER BY o_totalprice DESC, o_orderkey LIMIT {_Q18_TOPK}
 """
+
+
+_KCORE_K = 3
+
+
+def q_kg_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core membership over the knowledge graph — the deletion-cascade
+    graph class (vs kg_components/kg_pagerank's propagation and
+    kg_triangles' enumeration): iterative peeling until every surviving
+    entity keeps ≥ k neighbors. Runs as ``pipelines/graph.kcore`` — each
+    round one NB-key bucket groupby that peels to a LOCAL fixpoint and
+    exchanges only cross-bucket kill notices, all rounds lazily chained in
+    ONE execution. Node identity matches ``kg_components``; oracle = an
+    independent set-based sequential peel run to a true fixpoint
+    (``oracle_triplets.sequential_kcore``), so the driver hash equality
+    also proves the engine's round budget converged."""
+    from ..functions.textnorm import graph_key
+    from .graph import kcore
+
+    tri = _deduped_triplets_df(sf_dir)
+    if len(tri) == 0:
+        return pd.DataFrame(columns=["node_type", "node_key", "in_kcore"])
+    ha = _kg_node_hash(tri["subj_type"], tri["subj_name"])
+    hb = _kg_node_hash(tri["obj_type"], tri["obj_name"])
+    lo, hi = np.minimum(ha, hb), np.maximum(ha, hb)
+    edges = (
+        pd.DataFrame({"a": lo, "b": hi})
+        .query("a != b")
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    alive = set(kcore(rd.from_pandas(edges), k=_KCORE_K)["node"].tolist())
+    nodes = pd.DataFrame(
+        {
+            "node_type": pd.concat([tri["subj_type"], tri["obj_type"]]),
+            "node_key": pd.concat(
+                [tri["subj_name"].map(graph_key), tri["obj_name"].map(graph_key)]
+            ),
+            "h": np.concatenate([ha, hb]),
+        }
+    ).drop_duplicates(["node_type", "node_key"])
+    nodes["in_kcore"] = nodes["h"].isin(alive).astype(np.int64)
+    return (
+        nodes[["node_type", "node_key", "in_kcore"]]
+        .sort_values(["node_type", "node_key"])
+        .reset_index(drop=True)
+    )

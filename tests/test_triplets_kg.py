@@ -227,3 +227,48 @@ def test_kg_triangles_matches_bruteforce(ray_session):
     for node, n in expected.items():
         assert got[node] == n
     assert sum(got.values()) == sum(expected.values())
+
+
+def test_kcore_synthetic_cross_bucket_cascade(ray_session):
+    """Distributed peeling on a crafted graph whose deletions cascade
+    across buckets: a 5-clique (all deg 4) with a pendant chain hanging
+    off it. k=3 must peel the chain one node per cross-bucket round
+    (each chain node sits in a different NB bucket) and keep the clique."""
+    import pandas as pd
+    import ray.data as rd
+
+    from llm_scraper_ray.pipelines.graph import kcore
+
+    clique = [101, 102, 103, 104, 105]
+    edges = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1 :]]
+    edges += [(1, 105), (1, 2), (2, 3)]  # chain 3-2-1-105, distinct buckets
+    df = pd.DataFrame(
+        {"a": [min(e) for e in edges], "b": [max(e) for e in edges]}
+    )
+    alive = set(kcore(rd.from_pandas(df), k=3, rounds=6)["node"].tolist())
+    assert alive == set(clique)
+    # k=2: the chain still peels (3 has deg 1, then 2, then 1 keeps deg 1
+    # -> dies), clique survives
+    alive2 = set(kcore(rd.from_pandas(df), k=2, rounds=6)["node"].tolist())
+    assert alive2 == set(clique)
+    # k=5: nothing survives (clique degree is 4)
+    alive5 = set(kcore(rd.from_pandas(df), k=5, rounds=6)["node"].tolist())
+    assert alive5 == set()
+
+
+def test_kg_kcore_equals_sequential_oracle(ray_session):
+    """Engine kg_kcore == the persisted set-based sequential peel (true
+    fixpoint, no buckets) — convergence of the round budget included."""
+    import pyarrow.parquet as pq
+
+    from llm_scraper_ray.pipelines.oracle_triplets import persist_expected_kcore
+    from llm_scraper_ray.pipelines.queries import _GATE, _KCORE_K, q_kg_kcore
+
+    out = q_kg_kcore("/root/testdata/sf0.001")
+    exp = pq.read_table(
+        persist_expected_kcore("/root/testdata/sf0.001", _GATE, _KCORE_K)
+    ).to_pandas()
+    assert (out["in_kcore"] == 0).any() and (out["in_kcore"] == 1).any()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
