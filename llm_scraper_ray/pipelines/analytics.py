@@ -2030,3 +2030,164 @@ SELECT prev AS from_type, event_type AS to_type, count(*) AS n
 FROM lagged WHERE prev IS NOT NULL
 GROUP BY prev, event_type ORDER BY from_type, to_type
 """
+
+
+# ---------------------------------------------------------------------------
+# set algebra on derived key sets (INTERSECT / EXCEPT without key shuffles)
+
+
+def q_events_user_sets(sf_dir: str) -> pd.DataFrame:
+    """§2.8 set operations on DERIVED key sets, distributed: the click-user
+    set vs the purchase-user set (intersect / both excepts / neither),
+    computed without ever materializing a key set. Per batch: distinct
+    users with OR-able (clicked, purchased) flags; one stable user-hash
+    bucket shuffle (a user is whole within its bucket) folds flags exactly;
+    per-bucket combination counts sum to a 4-row driver table."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "c": (et == "click").astype(np.int64),
+                "p": (et == "purchase").astype(np.int64),
+            }
+        )
+        agg = df.groupby("user_id", as_index=False).agg(c=("c", "max"), p=("p", "max"))
+        agg["bucket"] = (
+            _splitmix64(agg["user_id"].to_numpy()) % np.uint64(NDIST_NB)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("user_id").agg(c=("c", "max"), p=("p", "max"))
+        return pd.DataFrame(
+            {
+                "setop": [
+                    "click_and_purchase",
+                    "click_only",
+                    "purchase_only",
+                    "neither",
+                ],
+                "part_n": [
+                    int(((f["c"] == 1) & (f["p"] == 1)).sum()),
+                    int(((f["c"] == 1) & (f["p"] == 0)).sum()),
+                    int(((f["c"] == 0) & (f["p"] == 1)).sum()),
+                    int(((f["c"] == 0) & (f["p"] == 0)).sum()),
+                ],
+            }
+        )
+
+    parts = (
+        _read_events(sf_dir, ["user_id", "event_type"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("setop", as_index=False).agg(n_users=("part_n", "sum"))
+    return out.sort_values("setop").reset_index(drop=True)
+
+
+SQL_EVENTS_USER_SETS = """
+WITH f AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY user_id
+)
+SELECT setop, n_users FROM (
+  SELECT 'click_and_purchase' AS setop,
+         count(*) FILTER (c = 1 AND p = 1) AS n_users FROM f
+  UNION ALL SELECT 'click_only', count(*) FILTER (c = 1 AND p = 0) FROM f
+  UNION ALL SELECT 'purchase_only', count(*) FILTER (c = 0 AND p = 1) FROM f
+  UNION ALL SELECT 'neither', count(*) FILTER (c = 0 AND p = 0) FROM f
+) ORDER BY setop
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped Pearson correlation from exact integer moment partials
+
+
+def q_lineitem_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag correlation between quantity and (dollar-rounded)
+    extended price — the grouped COVARIANCE/CORRELATION shape: six
+    mergeable integer moments (n, Σx, Σy, Σx², Σy², Σxy) fold exactly
+    through a #groups-keyed aggregate; the closed-form correlation is one
+    identical float expression on both sides of the oracle. Dollar (not
+    cent) quantization keeps Σy² inside int64 at 10^8-row scale."""
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+                "n": np.ones(len(x), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("l_returnflag", as_index=False).sum(), preserve_index=False
+        )
+
+    agg = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].astype(np.float64)
+    sx = agg["sx"].astype(np.float64)
+    sy = agg["sy"].astype(np.float64)
+    num = n * agg["sxy"].astype(np.float64) - sx * sy
+    den = np.sqrt(n * agg["sxx"].astype(np.float64) - sx * sx) * np.sqrt(
+        n * agg["syy"].astype(np.float64) - sy * sy
+    )
+    agg["corr_qty_price"] = (num / den).round(6)
+    out = agg[["l_returnflag", "n", "corr_qty_price"]]
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_LINEITEM_CORR = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         sum(CAST(round(l_extendedprice) AS BIGINT)
+             * CAST(round(l_extendedprice) AS BIGINT)) AS syy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr_qty_price
+FROM m ORDER BY l_returnflag
+"""

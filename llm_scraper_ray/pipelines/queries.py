@@ -2135,6 +2135,10 @@ def all_queries():
         "events_pivot": _analytics.q_events_pivot,
         # Markov transition matrix (lag pair-counts, domain-sized partials)
         "events_transitions": _analytics.q_events_transitions,
+        # set algebra on derived key sets (intersect/except, no key shuffle)
+        "events_user_sets": _analytics.q_events_user_sets,
+        # grouped Pearson correlation from exact integer moment partials
+        "lineitem_corr": _analytics.q_lineitem_corr,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2485,6 +2489,8 @@ def all_oracle_sql():
         "events_value_histogram": _analytics.SQL_EVENTS_VALUE_HISTOGRAM,
         "events_pivot": _analytics.SQL_EVENTS_PIVOT,
         "events_transitions": _analytics.SQL_EVENTS_TRANSITIONS,
+        "events_user_sets": _analytics.SQL_EVENTS_USER_SETS,
+        "lineitem_corr": _analytics.SQL_LINEITEM_CORR,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

@@ -506,3 +506,35 @@ def test_events_transitions_matches_oracle(ray_session, bs):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_events_user_sets_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_USER_SETS,
+        q_events_user_sets,
+    )
+
+    out = q_events_user_sets(SF)
+    exp = _oracle("events", SQL_EVENTS_USER_SETS)
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert out["n_users"].sum() == n_users, "set ops must partition the universe"
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_lineitem_corr_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import SQL_LINEITEM_CORR, q_lineitem_corr
+
+    out = q_lineitem_corr(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    exp = con.execute(SQL_LINEITEM_CORR).df()
+    assert (out["corr_qty_price"].abs() <= 1.0).all()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
