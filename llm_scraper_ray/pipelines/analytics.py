@@ -2191,3 +2191,123 @@ SELECT l_returnflag, n,
          AS corr_qty_price
 FROM m ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# sweep-line interval counting (orders open per month)
+
+
+def _month_idx(ts_col: pa.ChunkedArray) -> np.ndarray:
+    """Timestamp column → integer month index (year*12 + month - 1)."""
+    y = pc.year(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    m = pc.month(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return y * 12 + m - 1
+
+
+def q_orders_open_by_month(sf_dir: str) -> pd.DataFrame:
+    """How many orders are OPEN (placed, not yet fully shipped) in every
+    month — the sweep-line / interval-stabbing shape: each order spans
+    [orderdate month, last-shipment month]; the answer is the running sum
+    of +1/-1 boundary deltas. An order's span needs max(l_shipdate) — a
+    web-scale-cardinality aggregate — so orders rows and per-batch
+    lineitem max-partials UNION into ONE orderkey-hash bucket shuffle
+    (tagged rows, the crawl's ledger trick); spans assemble in-bucket and
+    collapse immediately to month-domain delta partials. The driver folds
+    O(NB × #months) deltas and takes one cumulative sum over the month
+    domain — never order-sized data."""
+    from .neardup import NUM_BUCKETS
+
+    def li_part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "m": _month_idx(t["l_shipdate"]),
+            }
+        )
+        p = df.groupby("k", as_index=False)["m"].max()
+        p["kind"] = np.int64(1)
+        p["bucket"] = (
+            _splitmix64(p["k"].to_numpy()) % np.uint64(NUM_BUCKETS)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(
+            p[["bucket", "k", "m", "kind"]], preserve_index=False
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(
+                    (_splitmix64(k) % np.uint64(NUM_BUCKETS)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "k": pa.array(k, pa.int64()),
+                "m": pa.array(_month_idx(t["o_orderdate"]), pa.int64()),
+                "kind": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            }
+        )
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0]
+        li = g[g["kind"] == 1].groupby("k", as_index=False)["m"].max()
+        j = o.merge(li, on="k", suffixes=("_s", "_e"))
+        if len(j) == 0:
+            return pd.DataFrame(
+                {"m": pd.Series([], dtype="int64"), "d": pd.Series([], dtype="int64")}
+            )
+        # the synthetic tables ship some lineitems before the order month —
+        # an order is open at least its order month (clamped both sides)
+        end = np.maximum(j["m_e"].to_numpy(), j["m_s"].to_numpy())
+        deltas = pd.DataFrame(
+            {
+                "m": np.concatenate([j["m_s"].to_numpy(), end + 1]),
+                "d": np.concatenate(
+                    [np.ones(len(j), np.int64), -np.ones(len(j), np.int64)]
+                ),
+            }
+        )
+        return deltas.groupby("m", as_index=False)["d"].sum()
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(li_part, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    parts = (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    d = parts.groupby("m")["d"].sum().sort_index()
+    lo, hi = int(d.index.min()), int(d.index.max()) - 1  # last delta is end+1
+    dom = np.arange(lo, hi + 1, dtype=np.int64)
+    full = d.reindex(dom, fill_value=0)
+    n_open = full.cumsum().astype(np.int64)
+    return pd.DataFrame(
+        {
+            "month": [f"{m // 12:04d}-{m % 12 + 1:02d}" for m in dom],
+            "n_open": n_open.to_numpy(),
+        }
+    )
+
+
+SQL_ORDERS_OPEN_BY_MONTH = """
+WITH span AS (
+  SELECT o_orderkey,
+         CAST(date_part('year', o_orderdate) * 12
+              + date_part('month', o_orderdate) - 1 AS BIGINT) AS sm,
+         greatest(CAST(max(date_part('year', l_shipdate) * 12
+              + date_part('month', l_shipdate) - 1) AS BIGINT),
+           CAST(date_part('year', o_orderdate) * 12
+                + date_part('month', o_orderdate) - 1 AS BIGINT)) AS em
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, sm
+), bounds AS (SELECT min(sm) AS lo, max(em) AS hi FROM span),
+months AS (SELECT unnest(range(lo, hi + 1)) AS m FROM bounds)
+SELECT printf('%04d-%02d', m // 12, m % 12 + 1) AS month,
+       count(s.o_orderkey) AS n_open
+FROM months LEFT JOIN span s ON s.sm <= m AND m <= s.em
+GROUP BY m ORDER BY m
+"""

@@ -2139,6 +2139,8 @@ def all_queries():
         "events_user_sets": _analytics.q_events_user_sets,
         # grouped Pearson correlation from exact integer moment partials
         "lineitem_corr": _analytics.q_lineitem_corr,
+        # sweep-line interval-stabbing count (orders open per month)
+        "orders_open_by_month": _analytics.q_orders_open_by_month,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2491,6 +2493,7 @@ def all_oracle_sql():
         "events_transitions": _analytics.SQL_EVENTS_TRANSITIONS,
         "events_user_sets": _analytics.SQL_EVENTS_USER_SETS,
         "lineitem_corr": _analytics.SQL_LINEITEM_CORR,
+        "orders_open_by_month": _analytics.SQL_ORDERS_OPEN_BY_MONTH,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

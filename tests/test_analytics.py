@@ -538,3 +538,23 @@ def test_lineitem_corr_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_orders_open_by_month_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_ORDERS_OPEN_BY_MONTH,
+        q_orders_open_by_month,
+    )
+
+    out = q_orders_open_by_month(SF)
+    con = duckdb.connect()
+    for tbl in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF}/{tbl}.parquet')"
+        )
+    exp = con.execute(SQL_ORDERS_OPEN_BY_MONTH).df()
+    assert out["n_open"].max() > 1, "months must overlap"
+    assert (out["n_open"] >= 0).all()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
