@@ -1377,3 +1377,105 @@ ORDER BY s.bm25 DESC, doc_id LIMIT {BM25_TOPK}
 
 
 SQL_DOC_BM25_TOPK = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# weighted systematic sampling (exact-integer weighted reservoir analog)
+
+SAMPLE_STEP_CHARS = 25_000
+
+
+def q_doc_weighted_sample(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Weight-proportional SYSTEMATIC sample: walking the doc_id-ordered
+    corpus, a doc is picked every time the cumulative char weight crosses a
+    STEP boundary — each doc's pick probability is proportional to its
+    weight (chars), with exact integer arithmetic (no float keys, no RNG:
+    the deterministic analog of weighted reservoir sampling). The
+    cumulative weight is the engine's distributed prefix-sum SCAN
+    (per-batch local cumsums + O(#batches) driver offset merge — the
+    ``doc_token_bins`` machinery over a weight column read WITHOUT text);
+    pick detection is a vectorized floor-crossing test per batch."""
+
+    def scan_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "local_cum": pa.array([], pa.int64()),
+                    "bkey": pa.array([], pa.int64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "local_cum": pa.array(np.cumsum(w), pa.int64()),
+                "bkey": pa.array(np.full(len(ids), ids[0]), pa.int64()),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+        )
+        .sort("doc_id")
+        .map_batches(scan_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("bkey", "total")}
+            )
+        s = df.groupby("bkey", as_index=False)["local_cum"].max()
+        return s.rename(columns={"local_cum": "total"}).astype("int64")
+
+    summary = (
+        rows.map_batches(summarize, batch_format="pandas", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("bkey")
+        .reset_index(drop=True)
+    )
+    offs = summary["total"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(summary["bkey"].astype("int64"), offs.astype("int64")))
+
+    def pick(t: pa.Table) -> pa.Table:
+        bk = t["bkey"].to_numpy(zero_copy_only=False)
+        off = np.fromiter(
+            (offsets[int(b)] for b in bk), dtype=np.int64, count=len(bk)
+        )
+        cum = off + t["local_cum"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        hit = cum // SAMPLE_STEP_CHARS > (cum - w) // SAMPLE_STEP_CHARS
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False)[hit], pa.int64()
+                ),
+                "n_chars": pa.array(w[hit], pa.int64()),
+                "pick_idx": pa.array(
+                    ((cum - w)[hit] // SAMPLE_STEP_CHARS) + 1, pa.int64()
+                ),
+            }
+        )
+
+    out = rows.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_WEIGHTED_SAMPLE = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((cum - n_chars) // {SAMPLE_STEP_CHARS} + 1 AS BIGINT) AS pick_idx
+FROM c
+WHERE cum // {SAMPLE_STEP_CHARS} > (cum - n_chars) // {SAMPLE_STEP_CHARS}
+ORDER BY doc_id
+"""

@@ -2096,6 +2096,8 @@ def all_queries():
         # corpus statistics / packing (distributed scan, value-count
         # quantiles, exact top-k vocabulary — pipelines/curation.py)
         "doc_token_bins": _curation.q_doc_token_bins,
+        # weighted systematic sampling over the prefix-sum scan
+        "doc_weighted_sample": _curation.q_doc_weighted_sample,
         "doc_length_quantiles": _curation.q_doc_length_quantiles,
         "vocab_top_terms": _curation.q_vocab_top_terms,
         "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
@@ -2468,6 +2470,7 @@ def all_oracle_sql():
         "doc_repetition": _curation.SQL_DOC_REPETITION,
         "doc_source_quota": _curation.SQL_DOC_SOURCE_QUOTA,
         "doc_token_bins": _curation.SQL_DOC_TOKEN_BINS,
+        "doc_weighted_sample": _curation.SQL_DOC_WEIGHTED_SAMPLE,
         "doc_length_quantiles": _curation.SQL_DOC_LENGTH_QUANTILES,
         "vocab_top_terms": _curation.SQL_VOCAB_TOP_TERMS,
         "doc_dedup_corpus": _curation.SQL_DOC_DEDUP_CORPUS,

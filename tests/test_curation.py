@@ -4,6 +4,7 @@ compare the driver runs at sf0.01)."""
 
 import duckdb
 import pandas as pd
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -413,6 +414,29 @@ def test_doc_bm25_topk_matches_oracle(ray_session):
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
         SQL_DOC_BM25_TOPK,
     )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+@pytest.mark.parametrize("bs", [65536, 16, 7])
+def test_doc_weighted_sample_matches_oracle(ray_session, bs):
+    import duckdb
+
+    from llm_scraper_ray.pipelines.curation import (
+        SQL_DOC_WEIGHTED_SAMPLE,
+        q_doc_weighted_sample,
+    )
+
+    out = q_doc_weighted_sample(SF, batch_size=bs)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.execute(SQL_DOC_WEIGHTED_SAMPLE).df()
+    assert len(out) > 1, "sample must pick several docs"
+    # pick indices are strictly increasing along the stream
+    assert (out["pick_idx"].diff().dropna() >= 1).all()
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
