@@ -2311,3 +2311,60 @@ SELECT printf('%04d-%02d', m // 12, m % 12 + 1) AS month,
 FROM months LEFT JOIN span s ON s.sm <= m AND m <= s.em
 GROUP BY m ORDER BY m
 """
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation (string_agg DISTINCT ... ORDER BY)
+
+
+def q_nation_segments(sf_dir: str) -> pd.DataFrame:
+    """Per nation: customer count + the comma-joined SORTED DISTINCT market
+    segments — the order-sensitive string-aggregation shape. Per batch the
+    fact table folds to (nationkey, segment) count partials (domain-sized:
+    #nations × #segments); one tiny groupby later the driver assembles the
+    deterministic ordered strings and maps nation names from the
+    broadcast-sized dimension. The fact table never shuffles raw rows."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "nk": t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "seg": t["c_mktsegment"].to_numpy(zero_copy_only=False),
+            }
+        )
+        p = df.groupby(["nk", "seg"], as_index=False).agg(part_n=("seg", "size"))
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    pairs = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_nationkey", "c_mktsegment"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["nk", "seg"])
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    pairs = pairs.merge(nation, left_on="nk", right_on="n_nationkey")
+    rows = []
+    for name, g in pairs.groupby("n_name", sort=True):
+        segs = sorted(g["seg"].unique())
+        rows.append(
+            {
+                "n_name": name,
+                "n_custs": int(g["n"].sum()),
+                "segments": ",".join(segs),
+            }
+        )
+    return pd.DataFrame(rows, columns=["n_name", "n_custs", "segments"])
+
+
+SQL_NATION_SEGMENTS = """
+SELECT n_name, count(*) AS n_custs,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name ORDER BY n_name
+"""

@@ -2143,6 +2143,8 @@ def all_queries():
         "lineitem_corr": _analytics.q_lineitem_corr,
         # sweep-line interval-stabbing count (orders open per month)
         "orders_open_by_month": _analytics.q_orders_open_by_month,
+        # ordered string aggregation (string_agg DISTINCT ... ORDER BY)
+        "nation_segments": _analytics.q_nation_segments,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2497,6 +2499,7 @@ def all_oracle_sql():
         "events_user_sets": _analytics.SQL_EVENTS_USER_SETS,
         "lineitem_corr": _analytics.SQL_LINEITEM_CORR,
         "orders_open_by_month": _analytics.SQL_ORDERS_OPEN_BY_MONTH,
+        "nation_segments": _analytics.SQL_NATION_SEGMENTS,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

@@ -558,3 +558,22 @@ def test_orders_open_by_month_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_nation_segments_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_NATION_SEGMENTS,
+        q_nation_segments,
+    )
+
+    out = q_nation_segments(SF)
+    con = duckdb.connect()
+    for tbl in ("customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF}/{tbl}.parquet')"
+        )
+    exp = con.execute(SQL_NATION_SEGMENTS).df()
+    assert out["segments"].str.contains(",").any(), "multi-segment nations exist"
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
