@@ -2368,3 +2368,110 @@ SELECT n_name, count(*) AS n_custs,
 FROM customer JOIN nation ON n_nationkey = c_nationkey
 GROUP BY n_name ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER JOIN of two derived aggregates (period-over-period delta)
+
+_W1_END_US = 1704672000000000  # 2024-01-08
+_W4_START_US = 1705881600000000  # 2024-01-22
+
+
+def q_users_week_delta(sf_dir: str) -> pd.DataFrame:
+    """Week-1 click spend vs week-4 purchase spend per user — FULL OUTER
+    JOIN semantics (users active in EITHER period survive; the absent side
+    is null→0). Both sides' per-user cent partials ride ONE tagged union
+    through ONE user-hash bucket shuffle (the crawl's ledger trick); the
+    outer merge happens in-bucket where each user is whole, so no key set
+    or null-side scan ever reaches the driver. (Ray's ``Dataset.join``
+    full_outer breaks on empty hash partitions — 0-column blocks — at
+    tiny scale, so the combine deliberately uses the bucket machinery the
+    engine already trusts; the inner/semi/anti join paths elsewhere keep
+    using ``Dataset.join``.)"""
+    part_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("c", pa.int64()),
+            ("side", pa.int64()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        frames = []
+        for side, keep in (
+            (0, pc.and_(pc.equal(t["event_type"], "click"), pc.less(ts, _W1_END_US))),
+            (
+                1,
+                pc.and_(
+                    pc.equal(t["event_type"], "purchase"),
+                    pc.greater_equal(ts, _W4_START_US),
+                ),
+            ),
+        ):
+            s = t.filter(keep)
+            if s.num_rows == 0:
+                continue
+            df = pd.DataFrame(
+                {
+                    "user_id": s["user_id"].to_numpy(zero_copy_only=False),
+                    "c": np.rint(
+                        s["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                }
+            )
+            p = df.groupby("user_id", as_index=False)["c"].sum()
+            p["side"] = np.int64(side)
+            frames.append(p)
+        if not frames:
+            return part_schema.empty_table()
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (
+            _splitmix64(out["user_id"].to_numpy()) % np.uint64(NDIST_NB)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(part_schema)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s1 = g[g["side"] == 0].groupby("user_id", as_index=False)["c"].sum()
+        s2 = g[g["side"] == 1].groupby("user_id", as_index=False)["c"].sum()
+        m = s1.merge(s2, on="user_id", how="outer", suffixes=("1", "2"))
+        m["c1"] = m.get("c1", pd.Series(dtype="float64")).fillna(0).astype("int64")
+        m["c2"] = m.get("c2", pd.Series(dtype="float64")).fillna(0).astype("int64")
+        return m[["user_id", "c1", "c2"]].astype("int64")
+
+    joined = (
+        _read_events(sf_dir, ["user_id", "event_type", "ts", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "user_id": joined["user_id"].astype(np.int64),
+            "w1_click_value": (joined["c1"] / 100.0).round(2),
+            "w4_purchase_value": (joined["c2"] / 100.0).round(2),
+            "delta": ((joined["c2"] - joined["c1"]) / 100.0).round(2),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USERS_WEEK_DELTA = """
+WITH h1 AS (
+  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08'
+  GROUP BY user_id
+), h2 AS (
+  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-22'
+  GROUP BY user_id
+)
+SELECT coalesce(h1.user_id, h2.user_id) AS user_id,
+       round(coalesce(h1.c, 0) / 100.0, 2) AS w1_click_value,
+       round(coalesce(h2.c, 0) / 100.0, 2) AS w4_purchase_value,
+       round((coalesce(h2.c, 0) - coalesce(h1.c, 0)) / 100.0, 2) AS delta
+FROM h1 FULL OUTER JOIN h2 ON h1.user_id = h2.user_id
+ORDER BY user_id
+"""

@@ -2145,6 +2145,8 @@ def all_queries():
         "orders_open_by_month": _analytics.q_orders_open_by_month,
         # ordered string aggregation (string_agg DISTINCT ... ORDER BY)
         "nation_segments": _analytics.q_nation_segments,
+        # FULL OUTER join of two derived aggregates (period delta)
+        "users_week_delta": _analytics.q_users_week_delta,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2500,6 +2502,7 @@ def all_oracle_sql():
         "lineitem_corr": _analytics.SQL_LINEITEM_CORR,
         "orders_open_by_month": _analytics.SQL_ORDERS_OPEN_BY_MONTH,
         "nation_segments": _analytics.SQL_NATION_SEGMENTS,
+        "users_week_delta": _analytics.SQL_USERS_WEEK_DELTA,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

@@ -577,3 +577,19 @@ def test_nation_segments_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_users_week_delta_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_USERS_WEEK_DELTA,
+        q_users_week_delta,
+    )
+
+    out = q_users_week_delta(SF)
+    exp = _oracle("events", SQL_USERS_WEEK_DELTA)
+    # the full-outer null path must be exercised: at least one user absent
+    # on one side (zero there) at this sf
+    assert ((out["w1_click_value"] == 0) | (out["w4_purchase_value"] == 0)).any()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
