@@ -2046,6 +2046,7 @@ def all_queries():
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_buckets": q_simhash_buckets,
         "embedding_topk": q_embedding_topk,
+        "embedding_knn_eval": q_embedding_knn_eval,
         "embedding_centroids": q_embedding_centroids,
         # crawl core (oracle-crawler + pytest gated; rows-only for the driver)
         "crawl_extracted": q_crawl_extracted,
@@ -2463,6 +2464,7 @@ def all_oracle_sql():
         "doc_pii_scrub": _SQL_DOC_PII_SCRUB,
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
+        "embedding_knn_eval": _SQL_EMBEDDING_KNN_EVAL,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
         "embedding_dups": _SQL_EMBEDDING_DUPS,
         "embedding_dedup_clusters": _SQL_EMBEDDING_DEDUP_CLUSTERS,
@@ -3812,3 +3814,119 @@ def q_kg_kcore(sf_dir: str) -> pd.DataFrame:
         .sort_values(["node_type", "node_key"])
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-prediction eval (similarity-search quality as integer counts)
+
+_KNN_Q = 100  # fixed query subset (lowest vec_ids)
+_KNN_K = 5
+
+
+def q_embedding_knn_eval(sf_dir: str) -> pd.DataFrame:
+    """Leave-self-out kNN classification accuracy over the embedding
+    column: for a fixed query subset, predict each query's label by
+    majority vote of its K nearest neighbors (exact cosine) and fold to
+    per-label integer (n_queries, n_correct) — the similarity-search
+    QUALITY-eval shape. Scale form matches ``embedding_topk``: only the
+    (Q × d) query matrix broadcasts; the corpus streams in batches (one
+    matmul each) emitting rounded-sim-thresholded top-K partials with
+    neighbor labels riding along; the driver merges O(#batches · Q · K)
+    rows, votes (count DESC, label ASC — the SQL tie order), and outputs
+    a #labels-sized table."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding", "label"])
+    order = np.argsort(qt["vec_id"].to_numpy())[:_KNN_Q]
+    q_ids = qt["vec_id"].to_numpy()[order]
+    q_labels = qt["label"].to_numpy()[order]
+    q_mat = np.stack(
+        [np.asarray(qt["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_norm))
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        q_ids_, q_norm_ = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy()
+        labels = batch["label"].to_numpy()
+        mat = _emb_matrix(batch["embedding"])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = q_norm_ @ mat.T  # (Q, n)
+        sims_r = np.round(sims, 4)
+        out_q, out_n, out_l, out_s = [], [], [], []
+        k = min(_KNN_K + 1, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            thr = np.partition(sims_r[qi], -k)[-k]
+            idx = np.nonzero(sims_r[qi] >= thr)[0]
+            for j in idx:
+                if ids[j] == q_ids_[qi]:
+                    continue
+                out_q.append(int(q_ids_[qi]))
+                out_n.append(int(ids[j]))
+                out_l.append(int(labels[j]))
+                out_s.append(float(sims_r[qi, j]))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "nlabel": pa.array(out_l, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding", "label"])
+        .map_batches(topk_batch, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+    )
+    top = (
+        partials.sort_values(
+            ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", as_index=False)
+        .head(_KNN_K)
+    )
+    votes = (
+        top.groupby(["query_id", "nlabel"], as_index=False)
+        .size()
+        .rename(columns={"size": "c"})
+    )
+    votes = votes.sort_values(
+        ["query_id", "c", "nlabel"], ascending=[True, False, True], kind="stable"
+    )
+    pred = votes.groupby("query_id", as_index=False).head(1)[["query_id", "nlabel"]]
+    truth = pd.DataFrame({"query_id": q_ids.astype(np.int64), "label": q_labels.astype(np.int64)})
+    m = truth.merge(pred, on="query_id")
+    m["ok"] = (m["nlabel"] == m["label"]).astype(np.int64)
+    out = m.groupby("label", as_index=False).agg(
+        n_queries=("ok", "size"), n_correct=("ok", "sum")
+    )
+    return out.sort_values("label").reset_index(drop=True)
+
+
+_SQL_EMBEDDING_KNN_EVAL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings
+  ORDER BY vec_id LIMIT {_KNN_Q}
+), sims AS (
+  SELECT q.qid, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
+         round(list_cosine_similarity(q.qe, e.embedding), 4) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+  FROM sims
+), votes AS (
+  SELECT qid, qlabel, nlabel, count(*) AS c FROM ranked
+  WHERE rn <= {_KNN_K} GROUP BY qid, qlabel, nlabel
+), pred AS (
+  SELECT qid, qlabel, nlabel,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS rn2
+  FROM votes
+)
+SELECT qlabel AS label, count(*) AS n_queries,
+       sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS n_correct
+FROM pred WHERE rn2 = 1
+GROUP BY qlabel ORDER BY qlabel
+"""
