@@ -2047,6 +2047,8 @@ def all_queries():
         "simhash_buckets": q_simhash_buckets,
         "embedding_topk": q_embedding_topk,
         "embedding_knn_eval": q_embedding_knn_eval,
+        # distributed ML training: ridge linear probe via mergeable sketch
+        "embedding_linear_probe": q_embedding_linear_probe,
         "embedding_centroids": q_embedding_centroids,
         # crawl core (oracle-crawler + pytest gated; rows-only for the driver)
         "crawl_extracted": q_crawl_extracted,
@@ -3930,3 +3932,74 @@ SELECT qlabel AS label, count(*) AS n_queries,
 FROM pred WHERE rn2 = 1
 GROUP BY qlabel ORDER BY qlabel
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed linear probe (ridge normal equations as a mergeable sketch)
+
+_PROBE_LAMBDA = 1.0
+
+
+def q_embedding_linear_probe(sf_dir: str) -> pd.DataFrame:
+    """Train a linear classifier on the embedding column IN the engine —
+    the distributed-ML-training shape a training-data pipeline needs for
+    quality probes: ridge regression to one-hot labels via the normal
+    equations, whose sufficient statistics (XᵀX d×d, XᵀY d×L, n) are a
+    MERGEABLE SKETCH — each batch emits one constant-size row, the driver
+    folds O(#batches) of them and solves a d×d system (d=64). Evaluation
+    is a second streaming pass with the (d×L) weight matrix broadcast,
+    folding integer per-label confusion partials. Rows-only by design:
+    the matrix solve is float-order-dependent (no SQL twin); pytest gates
+    parity against a sequential NumPy fit plus an accuracy floor."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    n_labels = 10
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        X = _emb_matrix(batch["embedding"])
+        y = batch["label"].to_numpy()
+        Y = np.zeros((len(y), n_labels), dtype=np.float64)
+        Y[np.arange(len(y)), y] = 1.0
+        xtx = X.T @ X  # (d, d)
+        xty = X.T @ Y  # (d, L)
+        return pa.Table.from_pydict(
+            {
+                "xtx": pa.array([xtx.ravel().tolist()], pa.list_(pa.float64())),
+                "xty": pa.array([xty.ravel().tolist()], pa.list_(pa.float64())),
+                "n": pa.array([len(y)], pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(emb_path, columns=["embedding", "label"])
+        .map_batches(sketch, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+    )
+    d = int(np.sqrt(len(parts["xtx"].iloc[0])))
+    xtx = np.sum([np.asarray(v).reshape(d, d) for v in parts["xtx"]], axis=0)
+    xty = np.sum(
+        [np.asarray(v).reshape(d, n_labels) for v in parts["xty"]], axis=0
+    )
+    W = np.linalg.solve(xtx + _PROBE_LAMBDA * np.eye(d), xty)  # (d, L)
+    w_ref = ray.put(W)
+
+    def confusion(batch: pa.Table) -> pa.Table:
+        W_ = ray.get(w_ref)
+        X = _emb_matrix(batch["embedding"])
+        y = batch["label"].to_numpy().astype(np.int64)
+        pred = np.argmax(X @ W_, axis=1).astype(np.int64)
+        df = pd.DataFrame({"label": y, "ok": (pred == y).astype(np.int64)})
+        p = df.groupby("label", as_index=False).agg(
+            part_n=("ok", "size"), part_ok=("ok", "sum")
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    conf = (
+        rd.read_parquet(emb_path, columns=["embedding", "label"])
+        .map_batches(confusion, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+    )
+    out = conf.groupby("label", as_index=False).agg(
+        n=("part_n", "sum"), n_correct=("part_ok", "sum")
+    )
+    out["accuracy"] = (out["n_correct"] / out["n"]).round(4)
+    return out.sort_values("label").reset_index(drop=True)

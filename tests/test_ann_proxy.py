@@ -162,3 +162,37 @@ def test_search_discovery_pagination(ray_session, corpus_sf0001):
     assert len(set(hits)) == len(hits)  # VISITED guard dedups
     assert all("host000.example" in u.lower() for u in hits)
     assert search_url("h.example", "a b", 2) == "https://h.example/search?q=a+b&page=2"
+
+
+def test_linear_probe_matches_sequential_fit(ray_session):
+    """Engine-trained ridge probe == a sequential NumPy fit on the full
+    matrix (same normal equations; float-order differences must not move
+    any prediction at this scale), and beats the random baseline 3x."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from llm_scraper_ray.pipelines.queries import (
+        _PROBE_LAMBDA,
+        q_embedding_linear_probe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_embedding_linear_probe(sf)
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding", "label"])
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    y = t["label"].to_numpy().astype(np.int64)
+    Y = np.zeros((len(y), 10))
+    Y[np.arange(len(y)), y] = 1.0
+    W = np.linalg.solve(X.T @ X + _PROBE_LAMBDA * np.eye(X.shape[1]), X.T @ Y)
+    pred = np.argmax(X @ W, axis=1)
+    import pandas as pd
+
+    exp = (
+        pd.DataFrame({"label": y, "ok": (pred == y).astype(np.int64)})
+        .groupby("label", as_index=False)
+        .agg(n=("ok", "size"), n_correct=("ok", "sum"))
+    )
+    got = out[["label", "n", "n_correct"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    acc = out["n_correct"].sum() / out["n"].sum()
+    assert acc > 0.3, f"probe accuracy {acc} must beat 3x random"
