@@ -2050,6 +2050,8 @@ def all_queries():
         # distributed ML training: ridge linear probe via mergeable sketch
         "embedding_linear_probe": q_embedding_linear_probe,
         "embedding_centroids": q_embedding_centroids,
+        # cross-modality join: metadata ⋈ vectors + grouped vector mean
+        "embedding_source_centroids": q_embedding_source_centroids,
         # crawl core (oracle-crawler + pytest gated; rows-only for the driver)
         "crawl_extracted": q_crawl_extracted,
         "crawl_order": q_crawl_order,
@@ -2468,6 +2470,7 @@ def all_oracle_sql():
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_knn_eval": _SQL_EMBEDDING_KNN_EVAL,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
+        "embedding_source_centroids": _SQL_EMBEDDING_SOURCE_CENTROIDS,
         "embedding_dups": _SQL_EMBEDDING_DUPS,
         "embedding_dedup_clusters": _SQL_EMBEDDING_DEDUP_CLUSTERS,
         "event_props_numbers": _SQL_EVENT_PROPS_NUMBERS,
@@ -4003,3 +4006,78 @@ def q_embedding_linear_probe(sf_dir: str) -> pd.DataFrame:
     )
     out["accuracy"] = (out["n_correct"] / out["n"]).round(4)
     return out.sort_values("label").reset_index(drop=True)
+
+
+def q_embedding_source_centroids(sf_dir: str) -> pd.DataFrame:
+    """Cross-MODALITY join + grouped vector mean: the metadata table
+    (documents.source) hash-partition-joins the vector table on
+    doc_id = vec_id (``Dataset.join`` — neither side broadcasts), then
+    per-source centroids fold as the mergeable (sum-vector, n) sketch in
+    long form. The join is the shape every multimodal pipeline needs to
+    attach curation metadata to an embedding store; output is
+    #sources × d rows."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def pack(batch: pa.Table) -> pa.Table:
+        # Acero hash joins reject list-typed payload columns — carry the
+        # vector through the join as fixed-width float64 bytes instead
+        mat = _emb_matrix(batch["embedding"])
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch["vec_id"],
+                "emb_bin": pa.array(
+                    [mat[i].tobytes() for i in range(mat.shape[0])], pa.binary()
+                ),
+            }
+        )
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(pack, batch_format="pyarrow")
+    joined = emb.join(docs, "inner", num_partitions=8, on=("vec_id",), right_on=("doc_id",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_numpy(zero_copy_only=False)
+        blobs = batch["emb_bin"].to_pylist()
+        mat = np.frombuffer(b"".join(blobs), dtype=np.float64).reshape(
+            len(blobs), -1
+        )
+        out_src, out_pos, out_sum, out_n = [], [], [], []
+        for s in np.unique(srcs):
+            sel = mat[srcs == s]
+            v = sel.sum(axis=0)
+            for pos in range(len(v)):
+                out_src.append(str(s))
+                out_pos.append(pos + 1)
+                out_sum.append(float(v[pos]))
+                out_n.append(int(sel.shape[0]))
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "s": pa.array(out_sum, pa.float64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "pos"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg["centroid"] = (agg["s"] / agg["n"]).round(4)
+    return (
+        agg[["source", "pos", "centroid"]]
+        .sort_values(["source", "pos"])
+        .reset_index(drop=True)
+    )
+
+
+_SQL_EMBEDDING_SOURCE_CENTROIDS = """
+SELECT source, pos, round(avg(val), 4) AS centroid
+FROM (SELECT d.source, unnest(e.embedding) AS val,
+             generate_subscripts(e.embedding, 1) AS pos
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id)
+GROUP BY source, pos ORDER BY source, pos
+"""
