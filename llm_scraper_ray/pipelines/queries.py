@@ -2037,6 +2037,7 @@ def all_queries():
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_lang_id": q_doc_lang_id,
+        "doc_lang_confusion": q_doc_lang_confusion,
         "doc_quality_full": q_doc_quality_full,
         "doc_quality_full_sql": q_doc_quality_full_sql,
         "doc_gopher_filter": q_doc_gopher_filter,
@@ -2463,6 +2464,7 @@ def all_oracle_sql():
         "doc_quality": _SQL_DOC_QUALITY,
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "doc_lang_id": _SQL_DOC_LANG_ID,
+        "doc_lang_confusion": _SQL_DOC_LANG_CONFUSION,
         "doc_quality_full_sql": _SQL_DOC_QUALITY_FULL,
         "doc_gopher_filter": _SQL_DOC_GOPHER,
         "doc_pii_scrub": _SQL_DOC_PII_SCRUB,
@@ -4080,4 +4082,41 @@ FROM (SELECT d.source, unnest(e.embedding) AS val,
              generate_subscripts(e.embedding, 1) AS pos
       FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id)
 GROUP BY source, pos ORDER BY source, pos
+"""
+
+
+def q_doc_lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID EVAL: confusion counts of the stopword classifier vs the
+    generator's ``lang`` truth column — the model-eval shape over a text
+    kernel. Per batch: the same ``lang_id`` kernel plus domain-sized
+    (truth, pred) count partials; one #langs² groupby. Oracle = the
+    generated stopword-twin SQL joined to the truth column (kernel and SQL
+    derive from the same tables, so they cannot drift)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        preds = pd.DataFrame(
+            {
+                "lang_true": batch["lang"],
+                "lang_pred": [A.lang_id(t) for t in batch["text"]],
+            }
+        )
+        return preds.groupby(["lang_true", "lang_pred"], as_index=False).agg(
+            part_n=("lang_pred", "size")
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(fn, batch_format="pandas")
+        .groupby(["lang_true", "lang_pred"])
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values(["lang_true", "lang_pred"]).reset_index(drop=True)
+
+
+_SQL_DOC_LANG_CONFUSION = f"""
+WITH pred AS ({_lang_id_sql()})
+SELECT d.lang AS lang_true, p.lang_pred, count(*) AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY lang_true, p.lang_pred ORDER BY lang_true, lang_pred
 """
