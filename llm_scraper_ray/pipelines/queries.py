@@ -2048,6 +2048,8 @@ def all_queries():
         "simhash_buckets": q_simhash_buckets,
         "embedding_topk": q_embedding_topk,
         "embedding_knn_eval": q_embedding_knn_eval,
+        # contrastive hard-negative mining (nearest different-label)
+        "embedding_hard_negatives": q_embedding_hard_negatives,
         # distributed ML training: ridge linear probe via mergeable sketch
         "embedding_linear_probe": q_embedding_linear_probe,
         "embedding_centroids": q_embedding_centroids,
@@ -2471,6 +2473,7 @@ def all_oracle_sql():
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_knn_eval": _SQL_EMBEDDING_KNN_EVAL,
+        "embedding_hard_negatives": _SQL_EMBEDDING_HARD_NEGATIVES,
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
         "embedding_source_centroids": _SQL_EMBEDDING_SOURCE_CENTROIDS,
         "embedding_dups": _SQL_EMBEDDING_DUPS,
@@ -4119,4 +4122,94 @@ WITH pred AS ({_lang_id_sql()})
 SELECT d.lang AS lang_true, p.lang_pred, count(*) AS n
 FROM documents d JOIN pred p ON p.doc_id = d.doc_id
 GROUP BY lang_true, p.lang_pred ORDER BY lang_true, lang_pred
+"""
+
+
+def q_embedding_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Contrastive HARD-NEGATIVE mining: for each query vector, the most
+    similar corpus vector with a DIFFERENT label — the pair-mining step of
+    contrastive training-data prep. Same scale form as ``embedding_topk``
+    (queries + labels broadcast, corpus streams, per-batch top-1 partials
+    on rounded sims with the different-label filter applied in-batch);
+    ties break (sim DESC, neighbor_id ASC) identically in SQL."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding", "label"])
+    order = np.argsort(qt["vec_id"].to_numpy())[:_KNN_Q]
+    q_ids = qt["vec_id"].to_numpy()[order]
+    q_labels = qt["label"].to_numpy()[order].astype(np.int64)
+    q_mat = np.stack(
+        [np.asarray(qt["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_labels, q_norm))
+
+    def top1_batch(batch: pa.Table) -> pa.Table:
+        q_ids_, q_labels_, q_norm_ = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy()
+        labels = batch["label"].to_numpy().astype(np.int64)
+        mat = _emb_matrix(batch["embedding"])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims_r = np.round(q_norm_ @ mat.T, 4)  # (Q, n)
+        out_q, out_n, out_l, out_s = [], [], [], []
+        for qi in range(sims_r.shape[0]):
+            mask = labels != q_labels_[qi]
+            if not mask.any():
+                continue
+            s = sims_r[qi][mask]
+            thr = s.max()
+            idx = np.flatnonzero(mask)[np.nonzero(s >= thr)[0]]
+            for j in idx:  # keep rounded-sim ties for the global tiebreak
+                out_q.append(int(q_ids_[qi]))
+                out_n.append(int(ids[j]))
+                out_l.append(int(labels[j]))
+                out_s.append(float(sims_r[qi, j]))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "neg_label": pa.array(out_l, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding", "label"])
+        .map_batches(top1_batch, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+    )
+    out = (
+        partials.sort_values(
+            ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", as_index=False)
+        .head(1)
+    )
+    # the sim column stays internal: DuckDB computes cosines over float32
+    # lists, so a raw value within float noise of a 4dp boundary can round
+    # differently across engines (observed once at sf0.001) — the MINING
+    # result (which neighbor) is stable, the reported float is not
+    return (
+        out[["query_id", "neighbor_id", "neg_label"]]
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
+_SQL_EMBEDDING_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings
+  ORDER BY vec_id LIMIT {_KNN_Q}
+), sims AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+         round(list_cosine_similarity(q.qe, e.embedding), 4) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.label != q.qlabel
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, neg_label FROM ranked WHERE rn = 1
+ORDER BY query_id
 """
