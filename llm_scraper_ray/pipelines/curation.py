@@ -1479,3 +1479,60 @@ FROM c
 WHERE cum // {SAMPLE_STEP_CHARS} > (cum - n_chars) // {SAMPLE_STEP_CHARS}
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate pair counts (tokenizer-training prep)
+
+BPE_PAIRS_TOP_K = 20
+
+
+def q_vocab_bpe_pairs(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide adjacent CHARACTER-pair counts inside words — the
+    statistic a BPE tokenizer trainer computes to pick its first merge.
+    The pair domain is alphabet², so each batch folds its word stream to a
+    Counter partial and the only shuffle is a domain-bounded groupby (Ray
+    map-combines); top-K by (count DESC, pair ASC) both sides."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            for w in _WORD.findall(txt.lower()):
+                for i in range(len(w) - 1):
+                    cnt[w[i : i + 2]] += 1
+        if not cnt:
+            return pa.Table.from_pydict(
+                {"pair": pa.array([], pa.string()), "part_n": pa.array([], pa.int64())}
+            )
+        pairs = list(cnt.keys())
+        return pa.Table.from_pydict(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "part_n": pa.array([cnt[p] for p in pairs], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(_Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    out = agg.sort_values(["n", "pair"], ascending=[False, True], kind="stable").head(
+        BPE_PAIRS_TOP_K
+    )
+    return out[["pair", "n"]].reset_index(drop=True).astype({"n": "int64"})
+
+
+SQL_VOCAB_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w FROM documents
+), pos AS (
+  SELECT w, unnest(range(1, length(w))) AS i FROM words
+)
+SELECT substr(w, CAST(i AS INT), 2) AS pair, count(*) AS n
+FROM pos GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_TOP_K}
+"""

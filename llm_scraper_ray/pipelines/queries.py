@@ -2108,6 +2108,8 @@ def all_queries():
         "doc_weighted_sample": _curation.q_doc_weighted_sample,
         "doc_length_quantiles": _curation.q_doc_length_quantiles,
         "vocab_top_terms": _curation.q_vocab_top_terms,
+        # BPE merge-candidate pair counts (tokenizer-training prep)
+        "vocab_bpe_pairs": _curation.q_vocab_bpe_pairs,
         "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
         "doc_unigram_scores": _curation.q_doc_unigram_scores,
         "doc_rarest_term": _curation.q_doc_rarest_term,
@@ -2489,6 +2491,7 @@ def all_oracle_sql():
         "doc_weighted_sample": _curation.SQL_DOC_WEIGHTED_SAMPLE,
         "doc_length_quantiles": _curation.SQL_DOC_LENGTH_QUANTILES,
         "vocab_top_terms": _curation.SQL_VOCAB_TOP_TERMS,
+        "vocab_bpe_pairs": _curation.SQL_VOCAB_BPE_PAIRS,
         "doc_dedup_corpus": _curation.SQL_DOC_DEDUP_CORPUS,
         "doc_unigram_scores": _curation.SQL_DOC_UNIGRAM_SCORES,
         "doc_rarest_term": _curation.SQL_DOC_RAREST_TERM,
