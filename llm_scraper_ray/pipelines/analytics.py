@@ -2475,3 +2475,176 @@ SELECT coalesce(h1.user_id, h2.user_id) AS user_id,
 FROM h1 FULL OUTER JOIN h2 ON h1.user_id = h2.user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC analysis (cumulative-share threshold over a ranked aggregate)
+
+PARETO_PCT = 80  # integer percent — exact integer cross-multiplication
+
+
+def q_orders_pareto(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """ABC / Pareto analysis: how many top customers cover 80% of total
+    order revenue, and the revenue concentration at that cut. Composes the
+    engine's two high-cardinality primitives: per-customer revenue folds
+    exactly in custkey-hash buckets (no per-key groupby), then the ranked
+    cumulative share is the distributed prefix-sum SCAN over the
+    (revenue DESC, custkey) sort — per-batch local cumsums, O(#batches)
+    driver offset merge, and an in-batch integer cross-multiplication
+    threshold test (cum·100 ≥ PCT·total). The driver never sees the
+    customer-level table, only O(#batches) summaries and the winner
+    cell."""
+    from .neardup import NUM_BUCKETS
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": t["o_custkey"].to_numpy(zero_copy_only=False),
+                "c": np.rint(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        p = df.groupby("k", as_index=False)["c"].sum()
+        p["bucket"] = (
+            _splitmix64(p["k"].to_numpy()) % np.uint64(NUM_BUCKETS)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(p[["bucket", "k", "c"]], preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False)["c"].sum()
+
+    ranked = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .sort(["c", "k"], descending=[True, False])
+    )
+
+    def scan_batch(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        if len(c) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "bk_c": pa.array([], pa.int64()),
+                    "bk_k": pa.array([], pa.int64()),
+                    "local_cum": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "bk_c": pa.array(np.full(len(c), c[0]), pa.int64()),
+                "bk_k": pa.array(np.full(len(c), k[0]), pa.int64()),
+                "local_cum": pa.array(np.cumsum(c), pa.int64()),
+                "pos": pa.array(np.arange(1, len(c) + 1), pa.int64()),
+            }
+        )
+
+    rows = ranked.map_batches(
+        scan_batch, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("bk_c", "bk_k", "tot", "cnt")}
+            )
+        s = df.groupby(["bk_c", "bk_k"], as_index=False).agg(
+            tot=("local_cum", "max"), cnt=("pos", "max")
+        )
+        return s.astype("int64")
+
+    summary = (
+        rows.map_batches(summarize, batch_format="pandas", zero_copy_batch=True)
+        .to_pandas()
+        # stream order = the (c DESC, k ASC) sort key of each batch's first row
+        .sort_values(["bk_c", "bk_k"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    total = int(summary["tot"].sum())
+    coffs = summary["tot"].cumsum().shift(fill_value=0)
+    poffs = summary["cnt"].cumsum().shift(fill_value=0)
+    off = {
+        (int(a), int(b)): (int(x), int(y))
+        for a, b, x, y in zip(summary["bk_c"], summary["bk_k"], coffs, poffs)
+    }
+
+    def find_cut(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {"n_customers": pa.array([], pa.int64()), "cum_cents": pa.array([], pa.int64())}
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        # downstream batches COALESCE scan batches (the token_bins lesson):
+        # resolve offsets per row from each row's own batch key
+        bc = t["bk_c"].to_numpy(zero_copy_only=False)
+        bk = t["bk_k"].to_numpy(zero_copy_only=False)
+        lc = t["local_cum"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        coff = np.fromiter(
+            (off[(int(a), int(b))][0] for a, b in zip(bc, bk)), np.int64, count=n
+        )
+        poff = np.fromiter(
+            (off[(int(a), int(b))][1] for a, b in zip(bc, bk)), np.int64, count=n
+        )
+        cum = coff + lc
+        # per-row predecessor cumulative: previous row of the SAME scan
+        # batch, else that batch's exclusive offset
+        same = np.zeros(n, dtype=bool)
+        same[1:] = (bc[1:] == bc[:-1]) & (bk[1:] == bk[:-1])
+        prev = np.where(same, np.r_[np.int64(0), cum[:-1]], coff)
+        thr_hit = (cum * 100 >= PARETO_PCT * total) & (prev * 100 < PARETO_PCT * total)
+        if not thr_hit.any():
+            return empty
+        i = int(np.argmax(thr_hit))
+        return pa.Table.from_pydict(
+            {
+                "n_customers": pa.array([int(poff[i] + pos[i])], pa.int64()),
+                "cum_cents": pa.array([int(cum[i])], pa.int64()),
+            }
+        )
+
+    cut = rows.map_batches(find_cut, batch_format="pyarrow").to_pandas()
+    cut = cut.sort_values("n_customers").head(1)
+    n_at_cut = int(cut["n_customers"].iloc[0])
+    cum_cents = int(cut["cum_cents"].iloc[0])
+    return pd.DataFrame(
+        {
+            "n_customers": [n_at_cut],
+            "total_customers": [int(summary["cnt"].sum())],
+            "covered_value": [round(cum_cents / 100.0, 2)],
+            "total_value": [round(total / 100.0, 2)],
+            "covered_pct": [round(cum_cents * 100.0 / total, 4)],
+        }
+    )
+
+
+SQL_ORDERS_PARETO = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS k, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT k, c,
+         sum(c) OVER (ORDER BY c DESC, k ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (ORDER BY c DESC, k) AS pos
+  FROM per_cust
+), tot AS (SELECT sum(c) AS total, count(*) AS n FROM per_cust),
+cut AS (
+  SELECT r.pos, r.cum FROM ranked r, tot
+  WHERE r.cum * 100 >= {PARETO_PCT} * tot.total
+  ORDER BY r.pos LIMIT 1
+)
+SELECT CAST(cut.pos AS BIGINT) AS n_customers,
+       CAST(tot.n AS BIGINT) AS total_customers,
+       round(cut.cum / 100.0, 2) AS covered_value,
+       round(tot.total / 100.0, 2) AS total_value,
+       round(cut.cum * 100.0 / tot.total, 4) AS covered_pct
+FROM cut, tot
+"""

@@ -2157,6 +2157,8 @@ def all_queries():
         "nation_segments": _analytics.q_nation_segments,
         # FULL OUTER join of two derived aggregates (period delta)
         "users_week_delta": _analytics.q_users_week_delta,
+        # Pareto/ABC: cumulative-share cut over a ranked aggregate
+        "orders_pareto": _analytics.q_orders_pareto,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2518,6 +2520,7 @@ def all_oracle_sql():
         "orders_open_by_month": _analytics.SQL_ORDERS_OPEN_BY_MONTH,
         "nation_segments": _analytics.SQL_NATION_SEGMENTS,
         "users_week_delta": _analytics.SQL_USERS_WEEK_DELTA,
+        "orders_pareto": _analytics.SQL_ORDERS_PARETO,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

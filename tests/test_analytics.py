@@ -593,3 +593,20 @@ def test_users_week_delta_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+@pytest.mark.parametrize("bs", [65536, 16, 7])
+def test_orders_pareto_matches_oracle(ray_session, bs):
+    from llm_scraper_ray.pipelines.analytics import SQL_ORDERS_PARETO, q_orders_pareto
+
+    out = q_orders_pareto(SF, batch_size=bs)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    exp = con.execute(SQL_ORDERS_PARETO).df()
+    assert out["covered_pct"].iloc[0] >= 80.0
+    assert out["n_customers"].iloc[0] < out["total_customers"].iloc[0]
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
