@@ -2648,3 +2648,62 @@ SELECT CAST(cut.pos AS BIGINT) AS n_customers,
        round(cut.cum * 100.0 / tot.total, 4) AS covered_pct
 FROM cut, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# seasonal-baseline anomaly (hour-of-day profile, exact integer test)
+
+
+def q_events_seasonal_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Cells (type, day, hour) whose event count exceeds 2× that type's
+    hour-of-day MEAN across all days — the seasonal-baseline anomaly
+    shape (daily periodicity, not the global z-score of
+    ``events_outliers``). The whole computation lives in the
+    (type × day × hour) cell domain: per-batch count partials, one
+    domain-sized groupby, and an exact integer cross-multiplied
+    threshold (count · n_days > 2 · hour-of-day total) — absent cells
+    count as zero days in the mean by construction."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "day": pc.strftime(ts, format="%Y-%m-%d").to_numpy(
+                    zero_copy_only=False
+                ),
+                "hour": pc.hour(ts).to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        p = df.groupby(["event_type", "day", "hour"], as_index=False).agg(
+            part_n=("hour", "size")
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    cells = (
+        _read_events(sf_dir, ["event_type", "ts"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "day", "hour"])
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    n_days = cells["day"].nunique()
+    hod = cells.groupby(["event_type", "hour"], as_index=False).agg(tot=("n", "sum"))
+    m = cells.merge(hod, on=["event_type", "hour"])
+    flag = m[m["n"] * n_days > 2 * m["tot"]]
+    out = flag[["event_type", "day", "hour", "n"]].astype({"n": "int64"})
+    return out.sort_values(["event_type", "day", "hour"]).reset_index(drop=True)
+
+
+SQL_EVENTS_SEASONAL_ANOMALY = """
+WITH cells AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(date_part('hour', ts) AS BIGINT) AS hour, count(*) AS n
+  FROM events GROUP BY event_type, day, hour
+), nd AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days FROM events),
+hod AS (SELECT event_type, hour, sum(n) AS tot FROM cells GROUP BY event_type, hour)
+SELECT c.event_type, c.day, c.hour, c.n
+FROM cells c JOIN hod ON hod.event_type = c.event_type AND hod.hour = c.hour, nd
+WHERE c.n * nd.n_days > 2 * hod.tot
+ORDER BY c.event_type, c.day, c.hour
+"""

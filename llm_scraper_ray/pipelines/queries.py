@@ -2159,6 +2159,8 @@ def all_queries():
         "users_week_delta": _analytics.q_users_week_delta,
         # Pareto/ABC: cumulative-share cut over a ranked aggregate
         "orders_pareto": _analytics.q_orders_pareto,
+        # seasonal-baseline anomaly (hour-of-day profile, integer test)
+        "events_seasonal_anomaly": _analytics.q_events_seasonal_anomaly,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2521,6 +2523,7 @@ def all_oracle_sql():
         "nation_segments": _analytics.SQL_NATION_SEGMENTS,
         "users_week_delta": _analytics.SQL_USERS_WEEK_DELTA,
         "orders_pareto": _analytics.SQL_ORDERS_PARETO,
+        "events_seasonal_anomaly": _analytics.SQL_EVENTS_SEASONAL_ANOMALY,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,
