@@ -1536,3 +1536,81 @@ WITH words AS (
 SELECT substr(w, CAST(i AS INT), 2) AS pair, count(*) AS n
 FROM pos GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# overlapping chunk expansion (RAG / training-window prep)
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def q_doc_chunk(sf_dir: str) -> pd.DataFrame:
+    """Split every document into OVERLAPPING token windows (size 32,
+    stride 24 — sized to the synthetic corpus's ~55-token docs) — the one-to-many row-EXPANSION shape RAG and training
+    prep need. Chunk boundaries are pure integer arithmetic over the
+    whitespace token count, so the expansion is a vectorized in-batch
+    repeat/arange (no shuffle at all; output rows stay in their input
+    block). Output = (doc_id, chunk_idx, start_token, n_tokens_chunk)."""
+    from ..functions.analysis import count_tokens_ws
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.fromiter(
+            (count_tokens_ws(x) for x in t["text"].to_pylist()),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        n_chunks = np.where(n > 0, (n + CHUNK_STRIDE - 1) // CHUNK_STRIDE, 0)
+        # a final window starting at or past n adds nothing: start < n
+        n_chunks = np.minimum(n_chunks, np.maximum((n - 1) // CHUNK_STRIDE + 1, 0))
+        doc_rep = np.repeat(ids, n_chunks)
+        n_rep = np.repeat(n, n_chunks)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "start_token": pa.array([], pa.int64()),
+                    "n_tokens_chunk": pa.array([], pa.int64()),
+                }
+            )
+        ends = np.cumsum(n_chunks)
+        idx = np.arange(total, dtype=np.int64) - np.repeat(ends - n_chunks, n_chunks)
+        start = idx * CHUNK_STRIDE
+        clen = np.minimum(CHUNK_TOKENS, n_rep - start)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "start_token": pa.array(start, pa.int64()),
+                "n_tokens_chunk": pa.array(clen, pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(expand, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+SQL_DOC_CHUNK = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n, unnest(range(0, greatest(n, 1), {CHUNK_STRIDE})) AS start
+  FROM t WHERE n > 0
+)
+SELECT doc_id, CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_token,
+       CAST(least({CHUNK_TOKENS}, n - start) AS BIGINT) AS n_tokens_chunk
+FROM c ORDER BY doc_id, chunk_idx
+"""

@@ -2110,6 +2110,8 @@ def all_queries():
         "vocab_top_terms": _curation.q_vocab_top_terms,
         # BPE merge-candidate pair counts (tokenizer-training prep)
         "vocab_bpe_pairs": _curation.q_vocab_bpe_pairs,
+        # overlapping chunk expansion (one-to-many row expansion)
+        "doc_chunk": _curation.q_doc_chunk,
         "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
         "doc_unigram_scores": _curation.q_doc_unigram_scores,
         "doc_rarest_term": _curation.q_doc_rarest_term,
@@ -2496,6 +2498,7 @@ def all_oracle_sql():
         "doc_length_quantiles": _curation.SQL_DOC_LENGTH_QUANTILES,
         "vocab_top_terms": _curation.SQL_VOCAB_TOP_TERMS,
         "vocab_bpe_pairs": _curation.SQL_VOCAB_BPE_PAIRS,
+        "doc_chunk": _curation.SQL_DOC_CHUNK,
         "doc_dedup_corpus": _curation.SQL_DOC_DEDUP_CORPUS,
         "doc_unigram_scores": _curation.SQL_DOC_UNIGRAM_SCORES,
         "doc_rarest_term": _curation.SQL_DOC_RAREST_TERM,
