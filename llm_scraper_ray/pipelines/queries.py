@@ -2025,6 +2025,7 @@ def all_queries():
         "part_name_fuzzy_join": q_part_name_fuzzy_join,
         "active_nations": q_active_nations,
         "events_hourly": q_events_hourly,
+        "events_hourly_json": q_events_hourly_json,
         "session_windows": q_session_windows,
         "events_lag": q_events_lag,
         "events_asof_join": q_events_asof_join,
@@ -2463,6 +2464,7 @@ def all_oracle_sql():
         "part_name_fuzzy_join": _SQL_PART_NAME_FUZZY,
         "active_nations": _SQL_ACTIVE_NATIONS,
         "events_hourly": _SQL_EVENTS_HOURLY,
+        "events_hourly_json": _SQL_EVENTS_HOURLY,
         "session_windows": _SQL_SESSION_WINDOWS,
         "events_lag": _SQL_EVENTS_LAG,
         "events_asof_join": _SQL_EVENTS_ASOF,
@@ -4225,3 +4227,53 @@ WITH q AS (
 SELECT query_id, neighbor_id, neg_label FROM ranked WHERE rn = 1
 ORDER BY query_id
 """
+
+
+def q_events_hourly_json(sf_dir: str) -> pd.DataFrame:
+    """Source-format breadth: the SAME tumbling-window aggregate as
+    ``events_hourly``, but read through ``ray.data.read_json`` from a
+    JSON-lines export of the events table (cached per sf under /tmp —
+    written once by DuckDB, so the bytes are engine-independent). Proves
+    the engine's operators are source-agnostic: only the read node
+    changes; the oracle is identical SQL over the parquet view."""
+    import duckdb as _duck
+    import pyarrow.parquet as _pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache")
+    os.makedirs(base, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    n_rows = _pq.read_metadata(src).num_rows
+    path = os.path.join(base, f"events-{tag}-n{n_rows}.jsonl")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        _duck.sql(
+            "COPY (SELECT event_type, epoch_us(ts) AS ts_us, value "
+            f"FROM read_parquet('{src}') ORDER BY event_id) "
+            f"TO '{tmp}' (FORMAT JSON)"
+        )
+        os.replace(tmp, path)
+
+    def windowed(batch: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(batch["ts_us"], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(epoch_s, 3600), 3600)
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "window_start": win,
+                "value": batch["value"],
+            }
+        )
+
+    out = (
+        rd.read_json(path)
+        .map_batches(windowed, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    return (
+        _round(out, {"sum_value": 2})
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
