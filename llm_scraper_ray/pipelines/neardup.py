@@ -109,8 +109,8 @@ def _empty_ngram() -> pd.DataFrame:
     )
 
 
-def ngram_pair_dataset(sf_dir: str) -> rd.Dataset:
-    """Exact n-gram-Jaccard near-dup pairs as a lazy Dataset
+def ngram_pair_sums(sf_dir: str) -> rd.Dataset:
+    """Exact n-gram intersection sums as a lazy Dataset
     (doc_a, doc_b, inter, union_sz), distributed end-to-end:
 
     1. explode the shared shingle table to (sh, doc_id, n_sh) rows with a
@@ -178,13 +178,16 @@ def ngram_pair_dataset(sf_dir: str) -> rd.Dataset:
         return pp.astype("int64")
 
     def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # exact intersections WITHOUT the similarity threshold: Jaccard and
+        # containment consumers apply their own vectorized final filters
         agg = g.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False)["inter"].sum()
         agg["union_sz"] = agg["n_a"] + agg["n_b"] - agg["inter"]
-        out = agg[agg["inter"] >= JACCARD_THRESHOLD * agg["union_sz"]]
-        return out[["doc_a", "doc_b", "inter", "union_sz"]].astype("int64")
+        return agg[["doc_a", "doc_b", "inter", "union_sz", "n_a", "n_b"]].astype(
+            "int64"
+        )
 
     key = os.path.normpath(sf_dir)
-    hit = _PAIR_CACHE.get(key)
+    hit = _SUMS_CACHE.get(key)
     if hit is not None:
         return hit
     ds = (
@@ -194,13 +197,42 @@ def ngram_pair_dataset(sf_dir: str) -> rd.Dataset:
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby("pbucket")
         .map_groups(sum_pairs, batch_format="pandas")
-        .materialize()  # near-dup-mass-sized; shared with the dedup-cluster op
+        .materialize()  # candidate-mass-sized (df-capped); shared downstream
     )
-    _PAIR_CACHE[key] = ds
+    _SUMS_CACHE[key] = ds
     return ds
 
 
 _PAIR_CACHE: dict[str, rd.Dataset] = {}
+_SUMS_CACHE: dict[str, rd.Dataset] = {}
+
+
+def ngram_pair_dataset(sf_dir: str) -> rd.Dataset:
+    """The JACCARD_THRESHOLD near-dup pair view over the shared exact
+    intersection sums (the dedup-cluster ops compose over this)."""
+    key = os.path.normpath(sf_dir)
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    def thresholded(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(
+            pc.cast(t["inter"], pa.float64()),
+            pc.multiply(
+                pa.scalar(JACCARD_THRESHOLD), pc.cast(t["union_sz"], pa.float64())
+            ),
+        )
+        return t.filter(keep).select(["doc_a", "doc_b", "inter", "union_sz"])
+
+    ds = (
+        ngram_pair_sums(sf_dir)
+        .map_batches(thresholded, batch_format="pyarrow")
+        .materialize()
+    )
+    _PAIR_CACHE[key] = ds
+    return ds
 
 
 def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
@@ -472,3 +504,80 @@ def simhash_buckets(sf_dir: str) -> pd.DataFrame:
     if len(out) == 0:
         return _empty_pairs("hamming", "int64")
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (sub/superset duplicate detection)
+
+CONTAIN_NUM = 8  # containment threshold 8/10, exact integer cross-multiply
+CONTAIN_DEN = 10
+
+
+def ngram_containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """ASYMMETRIC near-dup detection: doc pairs where one side's shingle
+    set is ≥ 80% contained in the other (|A∩B| / |A|) — catches the
+    sub/superset duplicates a symmetric Jaccard threshold misses (a
+    quote-plus-commentary page vs its source). Rides the SAME cached
+    shingle pass and distributed pair-sum shuffle as the Jaccard op; the
+    containment test is an exact integer cross-multiplication applied
+    per batch."""
+
+    def contained(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i10 = pc.multiply(t["inter"], CONTAIN_DEN)
+        a_in = pc.greater_equal(i10, pc.multiply(t["n_a"], CONTAIN_NUM))
+        b_in = pc.greater_equal(i10, pc.multiply(t["n_b"], CONTAIN_NUM))
+        keep = pc.or_(a_in, b_in)
+        t = t.filter(keep)
+        # recompute the side tests on the filtered table
+        i10 = pc.multiply(t["inter"], CONTAIN_DEN)
+        a_in = pc.greater_equal(i10, pc.multiply(t["n_a"], CONTAIN_NUM))
+        b_in = pc.greater_equal(i10, pc.multiply(t["n_b"], CONTAIN_NUM))
+        direction = pc.if_else(
+            pc.and_(a_in, b_in),
+            pa.scalar("both"),
+            pc.if_else(a_in, pa.scalar("a_in_b"), pa.scalar("b_in_a")),
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "inter": t["inter"],
+                "n_a": t["n_a"],
+                "n_b": t["n_b"],
+                "direction": direction,
+            }
+        )
+
+    out = (
+        ngram_pair_sums(sf_dir)
+        .map_batches(contained, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "inter": pd.Series([], dtype="int64"),
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64"),
+                "direction": pd.Series([], dtype="object"),
+            }
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_NGRAM_CONTAINMENT = f"""
+WITH {NGRAM_PAIRS_CTE}
+SELECT doc_a, doc_b, i AS inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CASE WHEN i * {CONTAIN_DEN} >= {CONTAIN_NUM} * sa.n_sh
+                 AND i * {CONTAIN_DEN} >= {CONTAIN_NUM} * sb.n_sh THEN 'both'
+            WHEN i * {CONTAIN_DEN} >= {CONTAIN_NUM} * sa.n_sh THEN 'a_in_b'
+            ELSE 'b_in_a' END AS direction
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i * {CONTAIN_DEN} >= {CONTAIN_NUM} * sa.n_sh
+   OR i * {CONTAIN_DEN} >= {CONTAIN_NUM} * sb.n_sh
+ORDER BY doc_a, doc_b
+"""

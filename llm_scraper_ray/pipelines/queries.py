@@ -1593,8 +1593,10 @@ _SQL_DOC_PII_SCRUB = _pii_scrub_sql()
 # within-document dedup; SURVEY.md §2.8 notes the reference has none)
 
 from .neardup import (  # noqa: E402  (distributed near-dup operators)
+    SQL_NGRAM_CONTAINMENT as _SQL_NGRAM_CONTAINMENT,
     SQL_NGRAM_JACCARD as _SQL_NGRAM_JACCARD,
     minhash_lsh_dups as q_minhash_lsh_dups,
+    ngram_containment_pairs as q_ngram_containment_pairs,
     ngram_jaccard_pairs as q_ngram_jaccard_pairs,
     simhash_buckets as q_simhash_buckets,
 )
@@ -2045,6 +2047,8 @@ def all_queries():
         "doc_pii_scrub": q_doc_pii_scrub,
         # near-dup / similarity
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # asymmetric sub/superset duplicate detection (same shingle pass)
+        "ngram_containment_pairs": q_ngram_containment_pairs,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_buckets": q_simhash_buckets,
         "embedding_topk": q_embedding_topk,
@@ -2481,6 +2485,7 @@ def all_oracle_sql():
         "doc_gopher_filter": _SQL_DOC_GOPHER,
         "doc_pii_scrub": _SQL_DOC_PII_SCRUB,
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
+        "ngram_containment_pairs": _SQL_NGRAM_CONTAINMENT,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_knn_eval": _SQL_EMBEDDING_KNN_EVAL,
         "embedding_hard_negatives": _SQL_EMBEDDING_HARD_NEGATIVES,

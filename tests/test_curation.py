@@ -440,3 +440,49 @@ def test_doc_weighted_sample_matches_oracle(ray_session, bs):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_ngram_containment_catches_subset_jaccard_misses(ray_session, tmp_path):
+    """A doc fully contained in a 3x-longer doc: containment >= 0.8 on the
+    short side while Jaccard stays under the 0.5 threshold — the
+    asymmetric case the symmetric near-dup op cannot flag. Also checked:
+    the distributed pair machinery agrees with the SQL twin on the
+    crafted corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llm_scraper_ray.pipelines import neardup as N
+
+    base = " ".join(f"w{i} common text token" for i in range(20))  # 80 tokens
+    extra = " ".join(f"extra{i} unrelated filler words" for i in range(40))
+    docs = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, base + " " + extra, "something else entirely here"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(base), len(base) + 1 + len(extra), 29], pa.int64()),
+        }
+    )
+    d = tmp_path / "sfx"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    out = N.ngram_containment_pairs(str(d))
+    pair = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)]
+    assert len(pair) == 1 and pair["direction"].iloc[0] == "a_in_b"
+    # the same pair fails the symmetric Jaccard threshold
+    jac = N.ngram_jaccard_pairs(str(d))
+    assert not (((jac["doc_a"] == 1) & (jac["doc_b"] == 2)).any())
+    # SQL twin agrees on the crafted corpus
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.execute(N.SQL_NGRAM_CONTAINMENT).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
