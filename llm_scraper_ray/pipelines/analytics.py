@@ -2707,3 +2707,177 @@ FROM cells c JOIN hod ON hod.event_type = c.event_type AND hod.hour = c.hour, nd
 WHERE c.n * nd.n_days > 2 * hod.tot
 ORDER BY c.event_type, c.day, c.hour
 """
+
+
+# ---------------------------------------------------------------------------
+# journey trigram mining (sequence patterns, 2-row seam context)
+
+JOURNEY_TOP_K = 25
+
+
+def q_events_journeys(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Top user-journey TRIGRAMS (three consecutive same-user events, in
+    (ts, event_id) order) — sequence-pattern mining, the 2-deep
+    generalization of ``events_transitions``: in-batch windows fold to a
+    #types³-bounded partial table; only windows whose last row sits at
+    in-batch position 0 or 1 can span a batch seam, so each batch emits
+    ≤2 pending head records plus its last-2-row tail context, and the
+    driver reconstructs seam windows from the tail STREAM (concatenated
+    tails in batch-key order handle runs sliced across 3+ one-row
+    batches). O(#batches) edge rows."""
+
+    schema = pa.schema(
+        [
+            ("t1", pa.string()),
+            ("t2", pa.string()),
+            ("t3", pa.string()),
+            ("part_n", pa.int64()),
+            ("kind", pa.int8()),  # 0 partials, 1 head-need, 2 tail context
+            ("user_id", pa.int64()),
+            ("lidx", pa.int64()),  # head: in-batch pos; tail: order within tail
+            ("bk_u", pa.int64()),
+            ("bk_ts", pa.int64()),
+            ("bk_e", pa.int64()),
+        ]
+    )
+
+    def tri_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        frames = []
+        if n >= 3:
+            ok = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+            parts = (
+                pd.DataFrame(
+                    {"t1": et[:-2][ok], "t2": et[1:-1][ok], "t3": et[2:][ok]}
+                )
+                .groupby(["t1", "t2", "t3"], as_index=False)
+                .size()
+                .rename(columns={"size": "part_n"})
+            )
+            parts["kind"] = np.int8(0)
+            parts["user_id"] = np.int64(0)
+            parts["lidx"] = np.int64(0)
+            frames.append(parts)
+        # pending heads: windows ending at rows 0 and 1 cross the seam.
+        # row 0 carries only its own type (needs 2 context rows); row 1
+        # carries (row0 type → t2) when same-user, else it cannot form a
+        # cross-seam trigram through row 0 and is dropped.
+        heads = [
+            {
+                "t1": "", "t2": "", "t3": str(et[0]), "part_n": 0,
+                "kind": np.int8(1), "user_id": int(u[0]), "lidx": 0,
+            }
+        ]
+        if n >= 2 and u[1] == u[0]:
+            heads.append(
+                {
+                    "t1": "", "t2": str(et[0]), "t3": str(et[1]), "part_n": 0,
+                    "kind": np.int8(1), "user_id": int(u[1]), "lidx": 1,
+                }
+            )
+        frames.append(pd.DataFrame(heads))
+        tail = []
+        for k, i in enumerate(range(max(0, n - 2), n)):
+            tail.append(
+                {
+                    "t1": "", "t2": "", "t3": str(et[i]), "part_n": 0,
+                    "kind": np.int8(2), "user_id": int(u[i]), "lidx": k,
+                }
+            )
+        frames.append(pd.DataFrame(tail))
+        out = pd.concat(frames, ignore_index=True)
+        out["bk_u"], out["bk_ts"], out["bk_e"] = int(u[0]), int(ts[0]), int(e[0])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    rows = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(tri_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+    counts = (
+        rows.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], 0)).select(
+                ["t1", "t2", "t3", "part_n"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    edges = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    if len(edges):
+        edges = edges.sort_values(
+            ["bk_u", "bk_ts", "bk_e", "kind", "lidx"], kind="stable"
+        ).reset_index(drop=True)
+        # tail STREAM in true order; batch key marks which batch a row is in
+        tails = edges[edges["kind"] == 2].reset_index(drop=True)
+        heads = edges[edges["kind"] == 1]
+        bkeys = list(
+            dict.fromkeys(zip(tails["bk_u"], tails["bk_ts"], tails["bk_e"]))
+        )
+        bpos = {k: i for i, k in enumerate(bkeys)}
+        # one forward pass: the last ≤2 stream rows BEFORE each batch
+        last2: dict[int, list[tuple[int, str]]] = {}
+        run: list[tuple[int, str]] = []
+        t_bk = [bpos[k] for k in zip(tails["bk_u"], tails["bk_ts"], tails["bk_e"])]
+        ti = 0
+        for b in range(len(bkeys)):
+            last2[b] = run.copy()
+            while ti < len(tails) and t_bk[ti] == b:
+                run.append((int(tails["user_id"][ti]), str(tails["t3"][ti])))
+                ti += 1
+            run = run[-2:]
+        seam = []
+        for h in heads.itertuples(index=False):
+            hb = bpos.get((h.bk_u, h.bk_ts, h.bk_e))
+            if hb is None or hb == 0:
+                continue
+            prev = last2[hb]
+            if h.lidx == 0 and len(prev) == 2:
+                (ua, ta), (ub, tb) = prev
+                if ua == h.user_id and ub == h.user_id:
+                    seam.append((ta, tb, h.t3))
+            elif h.lidx == 1 and len(prev) >= 1:
+                ub, tb = prev[-1]
+                if ub == h.user_id:
+                    seam.append((tb, h.t2, h.t3))
+        if seam:
+            sdf = (
+                pd.DataFrame(seam, columns=["t1", "t2", "t3"])
+                .groupby(["t1", "t2", "t3"], as_index=False)
+                .size()
+                .rename(columns={"size": "n"})
+            )
+            counts = (
+                pd.concat([counts, sdf], ignore_index=True)
+                .groupby(["t1", "t2", "t3"], as_index=False)["n"]
+                .sum()
+            )
+    out = counts.sort_values(
+        ["n", "t1", "t2", "t3"], ascending=[False, True, True, True], kind="stable"
+    ).head(JOURNEY_TOP_K)
+    return out.reset_index(drop=True).astype({"n": "int64"})
+
+
+SQL_EVENTS_JOURNEYS = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1, lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p2 AS t1, p1 AS t2, event_type AS t3, count(*) AS n
+FROM s WHERE p2 IS NOT NULL
+GROUP BY t1, t2, event_type
+ORDER BY n DESC, t1, t2, t3 LIMIT {JOURNEY_TOP_K}
+"""

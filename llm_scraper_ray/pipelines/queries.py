@@ -2168,6 +2168,8 @@ def all_queries():
         "orders_pareto": _analytics.q_orders_pareto,
         # seasonal-baseline anomaly (hour-of-day profile, integer test)
         "events_seasonal_anomaly": _analytics.q_events_seasonal_anomaly,
+        # journey trigram mining (sequence patterns, 2-row seam context)
+        "events_journeys": _analytics.q_events_journeys,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2534,6 +2536,7 @@ def all_oracle_sql():
         "users_week_delta": _analytics.SQL_USERS_WEEK_DELTA,
         "orders_pareto": _analytics.SQL_ORDERS_PARETO,
         "events_seasonal_anomaly": _analytics.SQL_EVENTS_SEASONAL_ANOMALY,
+        "events_journeys": _analytics.SQL_EVENTS_JOURNEYS,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

@@ -610,3 +610,20 @@ def test_orders_pareto_matches_oracle(ray_session, bs):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+@pytest.mark.parametrize("bs", [65536, 16, 7, 1])
+def test_events_journeys_matches_oracle(ray_session, bs):
+    """At bs=1 every trigram window spans THREE one-row batches — the seam
+    reconstruction must walk the tail stream, not just adjacent pairs."""
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_JOURNEYS,
+        q_events_journeys,
+    )
+
+    out = q_events_journeys(SF, batch_size=bs)
+    exp = _oracle("events", SQL_EVENTS_JOURNEYS)
+    assert len(out) > 0 and out["n"].iloc[0] >= out["n"].iloc[-1]
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
