@@ -2881,3 +2881,85 @@ FROM s WHERE p2 IS NOT NULL
 GROUP BY t1, t2, event_type
 ORDER BY n DESC, t1, t2, t3 LIMIT {JOURNEY_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill + LOCF (regularize a sparse monthly series)
+
+
+def q_orders_monthly_locf(sf_dir: str) -> pd.DataFrame:
+    """Regularize the monthly revenue series per order priority: fill
+    calendar gaps and carry the last observed month's revenue forward
+    (LOCF) — the time-series-regularization shape every downstream
+    chart/model expects. The corpus folds to a (priority × month)
+    domain-sized grid (per-batch integer cent partials, one small
+    groupby); gap enumeration and the forward fill are vectorized over
+    the tiny grid. Exact integer cents end-to-end."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "priority": t["o_orderpriority"].to_numpy(zero_copy_only=False),
+                "m": _month_idx(t["o_orderdate"]),
+                "cents": np.rint(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        p = df.groupby(["priority", "m"], as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    m = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["priority", "m"])
+        .aggregate(Sum("cents", alias_name="rev"))
+        .to_pandas()
+    )
+    lo, hi = int(m["m"].min()), int(m["m"].max())
+    dom = np.arange(lo, hi + 1, dtype=np.int64)
+    rows = []
+    for prio, g in m.groupby("priority", sort=True):
+        s = g.set_index("m")["rev"].reindex(dom)
+        filled = s.isna().astype(np.int64)
+        locf = s.ffill().fillna(0).astype(np.int64)
+        rows.append(
+            pd.DataFrame(
+                {
+                    "priority": prio,
+                    "month": [f"{x // 12:04d}-{x % 12 + 1:02d}" for x in dom],
+                    "rev_locf": (locf / 100.0).round(2),
+                    "filled": filled.to_numpy(),
+                }
+            )
+        )
+    out = pd.concat(rows, ignore_index=True)
+    return out.sort_values(["priority", "month"]).reset_index(drop=True)
+
+
+SQL_ORDERS_MONTHLY_LOCF = """
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_part('year', o_orderdate) * 12
+              + date_part('month', o_orderdate) - 1 AS BIGINT) AS idx,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY priority, idx
+), b AS (SELECT min(idx) AS lo, max(idx) AS hi FROM m),
+grid AS (
+  SELECT p.priority, g.mi
+  FROM (SELECT DISTINCT priority FROM m) p,
+       (SELECT unnest(range((SELECT lo FROM b), (SELECT hi FROM b) + 1)) AS mi) g
+), j AS (
+  SELECT grid.priority, grid.mi, m.rev
+  FROM grid LEFT JOIN m ON m.priority = grid.priority AND m.idx = grid.mi
+)
+SELECT priority, printf('%04d-%02d', mi // 12, mi % 12 + 1) AS month,
+       round(coalesce(last_value(rev IGNORE NULLS)
+               OVER (PARTITION BY priority ORDER BY mi
+                     ROWS UNBOUNDED PRECEDING), 0) / 100.0, 2) AS rev_locf,
+       CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS filled
+FROM j ORDER BY priority, month
+"""

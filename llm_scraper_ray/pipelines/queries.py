@@ -2170,6 +2170,8 @@ def all_queries():
         "events_seasonal_anomaly": _analytics.q_events_seasonal_anomaly,
         # journey trigram mining (sequence patterns, 2-row seam context)
         "events_journeys": _analytics.q_events_journeys,
+        # time-series gap fill + LOCF (regularized monthly series)
+        "orders_monthly_locf": _analytics.q_orders_monthly_locf,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2537,6 +2539,7 @@ def all_oracle_sql():
         "orders_pareto": _analytics.SQL_ORDERS_PARETO,
         "events_seasonal_anomaly": _analytics.SQL_EVENTS_SEASONAL_ANOMALY,
         "events_journeys": _analytics.SQL_EVENTS_JOURNEYS,
+        "orders_monthly_locf": _analytics.SQL_ORDERS_MONTHLY_LOCF,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

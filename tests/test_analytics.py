@@ -627,3 +627,27 @@ def test_events_journeys_matches_oracle(ray_session, bs):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_orders_monthly_locf_matches_oracle(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_ORDERS_MONTHLY_LOCF,
+        q_orders_monthly_locf,
+    )
+
+    out = q_orders_monthly_locf(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    exp = con.execute(SQL_ORDERS_MONTHLY_LOCF).df()
+    assert out["filled"].sum() > 0, "gap-fill path must be exercised"
+    # a filled month carries its predecessor's value forward
+    f = out[out["filled"] == 1].index
+    nonzero_fill = [
+        i for i in f if i > 0 and out["priority"][i] == out["priority"][i - 1]
+    ]
+    assert all(out["rev_locf"][i] == out["rev_locf"][i - 1] for i in nonzero_fill)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
