@@ -2963,3 +2963,138 @@ SELECT priority, printf('%04d-%02d', mi // 12, mi % 12 + 1) AS month,
        CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS filled
 FROM j ORDER BY priority, month
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary terciles)
+
+RFM_REF_US = 1706659200000000  # 2024-01-31: fixed recency reference
+
+
+def q_events_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation: per user, Recency (days since last
+    event vs a fixed reference), Frequency (event count) and Monetary
+    (purchase cents) fold exactly in user-hash buckets; each metric's
+    tercile thresholds come from the engine's discrete-quantile rule
+    (value-count fold + ceil(q·n) CDF inversion — domain-sized, no user
+    table on the driver); a second pass over the bucketed user Dataset
+    bins every user and folds 27-cell segment counts. All arithmetic is
+    exact integers; bin = 1 + (v > t1) + (v > t2) identically in SQL."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "ts": pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False),
+                "f": np.ones(t.num_rows, np.int64),
+                "m": np.where(et == "purchase", cents, 0),
+            }
+        )
+        p = df.groupby("user_id", as_index=False).agg(
+            last_ts=("ts", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+        p["bucket"] = (
+            _splitmix64(p["user_id"].to_numpy()) % np.uint64(NDIST_NB)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("user_id", as_index=False).agg(
+            last_ts=("last_ts", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+        s["r"] = (RFM_REF_US - s["last_ts"]) // 86_400_000_000
+        return s[["user_id", "r", "f", "m"]].astype("int64")
+
+    rfm = (
+        _read_events(sf_dir, ["user_id", "event_type", "ts", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+
+    def value_counts(t: pa.Table) -> pa.Table:
+        frames = []
+        for metric in ("r", "f", "m"):
+            v = t[metric].to_numpy(zero_copy_only=False)
+            vals, cnts = np.unique(v, return_counts=True)
+            frames.append(
+                pd.DataFrame({"metric": metric, "v": vals, "c": cnts})
+            )
+        return pa.Table.from_pandas(
+            pd.concat(frames, ignore_index=True), preserve_index=False
+        )
+
+    vc = (
+        rfm.map_batches(value_counts, batch_format="pyarrow")
+        .groupby(["metric", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    n = int(vc.loc[vc["metric"] == "r", "c"].sum())
+    th = {}
+    for metric, g in vc.groupby("metric"):
+        g = g.sort_values("v")
+        cum = g["c"].cumsum().to_numpy()
+        vals = g["v"].to_numpy()
+        t1 = int(vals[np.searchsorted(cum, -(-n // 3))])
+        t2 = int(vals[np.searchsorted(cum, -(-(2 * n) // 3))])
+        th[metric] = (t1, t2)
+
+    def binify(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                m: 1
+                + (t[m].to_numpy(zero_copy_only=False) > th[m][0]).astype(np.int64)
+                + (t[m].to_numpy(zero_copy_only=False) > th[m][1]).astype(np.int64)
+                for m in ("r", "f", "m")
+            }
+        )
+        p = (
+            df.groupby(["r", "f", "m"], as_index=False)
+            .size()
+            .rename(columns={"r": "r_bin", "f": "f_bin", "m": "m_bin", "size": "part_n"})
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    out = (
+        rfm.map_batches(binify, batch_format="pyarrow")
+        .groupby(["r_bin", "f_bin", "m_bin"])
+        .aggregate(Sum("part_n", alias_name="n_users"))
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["r_bin", "f_bin", "m_bin"]).reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+SQL_EVENTS_RFM = f"""
+WITH rfm AS (
+  SELECT user_id,
+         CAST(({RFM_REF_US} - max(epoch_us(ts))) // 86400000000 AS BIGINT) AS r,
+         count(*) AS f,
+         coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                  FILTER (event_type = 'purchase'), 0) AS m
+  FROM events GROUP BY user_id
+), nn AS (SELECT count(*) AS n FROM rfm),
+ccr AS (SELECT r AS v, sum(count(*)) OVER (ORDER BY r) AS cc FROM rfm GROUP BY r),
+ccf AS (SELECT f AS v, sum(count(*)) OVER (ORDER BY f) AS cc FROM rfm GROUP BY f),
+ccm AS (SELECT m AS v, sum(count(*)) OVER (ORDER BY m) AS cc FROM rfm GROUP BY m),
+tr AS (SELECT (SELECT min(v) FROM ccr, nn WHERE cc >= ceil(n / 3.0)) AS t1,
+              (SELECT min(v) FROM ccr, nn WHERE cc >= ceil(2 * n / 3.0)) AS t2),
+tf AS (SELECT (SELECT min(v) FROM ccf, nn WHERE cc >= ceil(n / 3.0)) AS t1,
+              (SELECT min(v) FROM ccf, nn WHERE cc >= ceil(2 * n / 3.0)) AS t2),
+tm AS (SELECT (SELECT min(v) FROM ccm, nn WHERE cc >= ceil(n / 3.0)) AS t1,
+              (SELECT min(v) FROM ccm, nn WHERE cc >= ceil(2 * n / 3.0)) AS t2)
+SELECT 1 + CAST(r > tr.t1 AS BIGINT) + CAST(r > tr.t2 AS BIGINT) AS r_bin,
+       1 + CAST(f > tf.t1 AS BIGINT) + CAST(f > tf.t2 AS BIGINT) AS f_bin,
+       1 + CAST(m > tm.t1 AS BIGINT) + CAST(m > tm.t2 AS BIGINT) AS m_bin,
+       count(*) AS n_users
+FROM rfm, tr, tf, tm
+GROUP BY r_bin, f_bin, m_bin ORDER BY r_bin, f_bin, m_bin
+"""

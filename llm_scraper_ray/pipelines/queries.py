@@ -2172,6 +2172,8 @@ def all_queries():
         "events_journeys": _analytics.q_events_journeys,
         # time-series gap fill + LOCF (regularized monthly series)
         "orders_monthly_locf": _analytics.q_orders_monthly_locf,
+        # RFM segmentation (exact discrete terciles, two bucketed passes)
+        "events_rfm_segments": _analytics.q_events_rfm_segments,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2540,6 +2542,7 @@ def all_oracle_sql():
         "events_seasonal_anomaly": _analytics.SQL_EVENTS_SEASONAL_ANOMALY,
         "events_journeys": _analytics.SQL_EVENTS_JOURNEYS,
         "orders_monthly_locf": _analytics.SQL_ORDERS_MONTHLY_LOCF,
+        "events_rfm_segments": _analytics.SQL_EVENTS_RFM,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,
