@@ -3098,3 +3098,62 @@ SELECT 1 + CAST(r > tr.t1 AS BIGINT) + CAST(r > tr.t2 AS BIGINT) AS r_bin,
 FROM rfm, tr, tf, tm
 GROUP BY r_bin, f_bin, m_bin ORDER BY r_bin, f_bin, m_bin
 """
+
+
+# ---------------------------------------------------------------------------
+# diversified top-k (global ranking under a per-group quota)
+
+DIV_TOPK = 10
+DIV_PER_GROUP = 2
+
+
+def q_orders_diversified_topk(sf_dir: str) -> pd.DataFrame:
+    """Global top-K orders by price with AT MOST 2 per order priority —
+    the diversified-ranking shape (search results, recommendations),
+    where a plain global top-K would be swamped by one group. Any
+    selected row is necessarily within its group's top-2, so the
+    candidate set is per-batch per-group head(2) partials — the
+    ``_topk_cut`` pattern generalized per group: the driver folds
+    O(#batches · #groups · 2) rows, re-applies the quota, and takes the
+    top-K. Ties break (price DESC, orderkey ASC) identically in SQL."""
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+        )
+        return df.groupby("o_orderpriority", as_index=False).head(DIV_PER_GROUP)
+
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+        )
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+    )
+    eligible = cand.groupby("o_orderpriority", as_index=False).head(DIV_PER_GROUP)
+    top = eligible.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+    ).head(DIV_TOPK)
+    top = top.reset_index(drop=True)
+    top["o_totalprice"] = top["o_totalprice"].round(2)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "o_orderkey", "o_orderpriority", "o_totalprice"]]
+
+
+SQL_ORDERS_DIVERSIFIED_TOPK = f"""
+WITH q AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+), eligible AS (SELECT * FROM q WHERE rn <= {DIV_PER_GROUP})
+SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+         AS rank,
+       o_orderkey, o_orderpriority, round(o_totalprice, 2) AS o_totalprice
+FROM eligible
+ORDER BY o_totalprice DESC, o_orderkey LIMIT {DIV_TOPK}
+"""

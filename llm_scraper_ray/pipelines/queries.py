@@ -2174,6 +2174,8 @@ def all_queries():
         "orders_monthly_locf": _analytics.q_orders_monthly_locf,
         # RFM segmentation (exact discrete terciles, two bucketed passes)
         "events_rfm_segments": _analytics.q_events_rfm_segments,
+        # diversified top-k (global ranking under a per-group quota)
+        "orders_diversified_topk": _analytics.q_orders_diversified_topk,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2543,6 +2545,7 @@ def all_oracle_sql():
         "events_journeys": _analytics.SQL_EVENTS_JOURNEYS,
         "orders_monthly_locf": _analytics.SQL_ORDERS_MONTHLY_LOCF,
         "events_rfm_segments": _analytics.SQL_EVENTS_RFM,
+        "orders_diversified_topk": _analytics.SQL_ORDERS_DIVERSIFIED_TOPK,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

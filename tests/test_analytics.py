@@ -651,3 +651,27 @@ def test_orders_monthly_locf_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_orders_diversified_topk_quota_binds(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        DIV_PER_GROUP,
+        SQL_ORDERS_DIVERSIFIED_TOPK,
+        q_orders_diversified_topk,
+    )
+
+    out = q_orders_diversified_topk(SF)
+    exp = _oracle("orders", SQL_ORDERS_DIVERSIFIED_TOPK)
+    assert (out.groupby("o_orderpriority").size() <= DIV_PER_GROUP).all()
+    # the quota must actually bind: the unconstrained top-10 has >2 of
+    # some priority at this sf (else the op degenerates to plain top-k)
+    raw = duckdb.sql(
+        f"""SELECT o_orderpriority, count(*) c FROM (
+              SELECT * FROM read_parquet('{SF}/orders.parquet')
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+            GROUP BY 1 ORDER BY c DESC"""
+    ).df()
+    assert raw["c"].max() > DIV_PER_GROUP
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
