@@ -675,3 +675,17 @@ def test_orders_diversified_topk_quota_binds(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_events_seasonal_anomaly_flags_at_small_sf(ray_session):
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_SEASONAL_ANOMALY,
+        q_events_seasonal_anomaly,
+    )
+
+    out = q_events_seasonal_anomaly(SF)
+    exp = _oracle("events", SQL_EVENTS_SEASONAL_ANOMALY)
+    assert len(out) > 0, "sparse sf0.001 cells must produce anomalies"
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )

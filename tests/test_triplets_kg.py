@@ -272,3 +272,41 @@ def test_kg_kcore_equals_sequential_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_kcore_random_graph_parity_with_sequential_peel(ray_session):
+    """Distributed peeling == sequential fixpoint peel on seeded random
+    graphs (buckets, notice cascades and round budget all exercised on
+    shapes the KG doesn't have)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from llm_scraper_ray.pipelines.graph import kcore
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n, m = 60, 140
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        keep = a != b
+        lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+        edges = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        for k in (2, 3, 4):
+            # sequential truth
+            adj: dict[int, set] = {}
+            for x, y in zip(edges["a"], edges["b"]):
+                adj.setdefault(int(x), set()).add(int(y))
+                adj.setdefault(int(y), set()).add(int(x))
+            alive = set(adj)
+            changed = True
+            while changed:
+                changed = False
+                for v in [v for v in alive if len(adj[v]) < k]:
+                    changed = True
+                    for u in adj[v]:
+                        adj[u].discard(v)
+                    adj[v] = set()
+                    alive.discard(v)
+            got = set(kcore(rd.from_pandas(edges), k=k, rounds=10)["node"].tolist())
+            assert got == alive, f"trial {trial} k={k}"
