@@ -1614,3 +1614,100 @@ SELECT doc_id, CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
        CAST(least({CHUNK_TOKENS}, n - start) AS BIGINT) AS n_tokens_chunk
 FROM c ORDER BY doc_id, chunk_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# resumable partitioned-parquet export sink (write → read-back manifest)
+
+EXPORT_VERSION = 1
+
+
+def q_doc_export_splits(sf_dir: str) -> pd.DataFrame:
+    """The RESUMABLE partitioned-output sink the build brief mandates:
+    assign the deterministic split, ``write_parquet`` the corpus
+    partitioned by split (hive-style ``split=`` dirs — one directory per
+    partition, so a failed run re-writes only what's missing), then
+    READ THE EXPORT BACK and fold an integrity manifest (per split:
+    doc count, Σ doc_id, Σ chars). The manifest — not the write — is the
+    query result, and its oracle derives the same numbers from the SOURCE
+    table with the exact md5 split twin, so a green hash proves the
+    write+read round trip lost nothing. Writes cache per (sf, n_docs,
+    version) behind a ``_DONE`` marker."""
+    import pyarrow.parquet as _pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    n_docs = _pq.read_metadata(src).num_rows
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache")
+    out_dir = os.path.join(base, f"export-{tag}-n{n_docs}-v{EXPORT_VERSION}")
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        def assign(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            b = np.fromiter(
+                (_md5_lower64(str(d)) % 100 for d in ids),
+                dtype=np.int64,
+                count=len(ids),
+            )
+            split = np.where(
+                b < SPLIT_TRAIN_PCT,
+                "train",
+                np.where(b < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid", "test"),
+            )
+            return t.append_column("split", pa.array(split.tolist(), pa.string()))
+
+        (
+            rd.read_parquet(src)
+            .map_batches(assign, batch_format="pyarrow")
+            .write_parquet(out_dir, partition_cols=["split"])
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+
+    def manifest(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "split": t["split"].to_numpy(zero_copy_only=False),
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        p = df.groupby("split", as_index=False).agg(
+            part_n=("doc_id", "size"),
+            part_sum_id=("doc_id", "sum"),
+            part_chars=("n_chars", "sum"),
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        rd.read_parquet(out_dir, columns=["doc_id", "n_chars", "split"])
+        .map_batches(manifest, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Sum("part_n", alias_name="n_docs"),
+            Sum("part_sum_id", alias_name="sum_doc_id"),
+            Sum("part_chars", alias_name="sum_chars"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("split").reset_index(drop=True).astype(
+        {"n_docs": "int64", "sum_doc_id": "int64", "sum_chars": "int64"}
+    )
+
+
+SQL_DOC_EXPORT_SPLITS = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+                   < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+                   < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, sum(doc_id) AS sum_doc_id,
+       sum(n_chars) AS sum_chars
+FROM s GROUP BY split ORDER BY split
+"""

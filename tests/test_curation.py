@@ -486,3 +486,42 @@ def test_ngram_containment_catches_subset_jaccard_misses(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_doc_export_splits_resumable_roundtrip(ray_session):
+    """The export sink writes hive-partitioned parquet once (resume skips
+    behind the _DONE marker) and the read-back manifest equals the
+    source-derived oracle — write+read round trip loses nothing."""
+    import os
+
+    from llm_scraper_ray.pipelines.curation import (
+        EXPORT_VERSION,
+        SQL_DOC_EXPORT_SPLITS,
+        q_doc_export_splits,
+    )
+
+    out1 = q_doc_export_splits(SF)
+    base = os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache")
+    exp_dir = [
+        d for d in os.listdir(base)
+        if d.startswith("export-sf0.001-") and d.endswith(f"-v{EXPORT_VERSION}")
+    ]
+    assert exp_dir, "export directory must exist"
+    d = os.path.join(base, exp_dir[0])
+    assert os.path.exists(os.path.join(d, "_DONE"))
+    assert {"split=train", "split=valid", "split=test"} <= set(os.listdir(d))
+    mtimes = {
+        p: os.path.getmtime(os.path.join(d, p)) for p in os.listdir(d)
+    }
+    out2 = q_doc_export_splits(SF)  # resume path: no re-write
+    assert mtimes == {
+        p: os.path.getmtime(os.path.join(d, p)) for p in os.listdir(d)
+    }
+    pd.testing.assert_frame_equal(out1, out2)
+    exp = _oracle(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')",
+        SQL_DOC_EXPORT_SPLITS,
+    )
+    pd.testing.assert_frame_equal(
+        out1.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
