@@ -3157,3 +3157,173 @@ SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT
 FROM eligible
 ORDER BY o_totalprice DESC, o_orderkey LIMIT {DIV_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# debounce / throttle dedup (greedy chained keep-state)
+
+DEBOUNCE_US = 12 * 3600 * 1_000_000
+
+
+def q_events_debounce(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Throttle-dedup the stream: per user, keep an event only if MORE
+    than 12 h passed since the last KEPT event (first event always kept)
+    — the greedy chained-state semantics (rate limiting, notification
+    dedup) that no window function expresses. The chain's structural
+    anchor: any row whose RAW predecessor gap exceeds W is kept no
+    matter the state (last_kept ≤ prev row's ts), so in-batch rows from
+    the first anchor onward finalize locally via O(#keeps · log n)
+    searchsorted jumps (#keeps ≤ span/W per run — never a per-row
+    loop); only the first run's pre-anchor prefix is pending, and each
+    batch reports its exit keep-state, so the driver chain is
+    O(#batches + pending) rows."""
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("kind", pa.int8()),  # 0 kept-final, 1 pending, 2 exit state
+            ("resolved", pa.int8()),  # exit state: 1 if final locally
+            ("last_kept", pa.int64()),  # exit state payload
+            ("bk_u", pa.int64()),
+            ("bk_ts", pa.int64()),
+            ("bk_e", pa.int64()),
+        ]
+    )
+
+    def deb_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        gap_anchor = np.ones(n, dtype=bool)
+        gap_anchor[1:] = (ts[1:] - ts[:-1]) > DEBOUNCE_US
+        # an in-batch run start is an anchor; the batch's first row is NOT
+        # (its run may continue from an earlier batch) unless its raw gap
+        # can be shown large — it can't (no predecessor visible)
+        anchor = new | gap_anchor
+        anchor[0] = False
+        first_anchor = int(np.argmax(anchor)) if anchor.any() else n
+        rows = {k: [] for k in ("event_id", "user_id", "ts_us", "kind")}
+
+        def emit(i: int, kind: int) -> None:
+            rows["event_id"].append(int(e[i]))
+            rows["user_id"].append(int(u[i]))
+            rows["ts_us"].append(int(ts[i]))
+            rows["kind"].append(kind)
+
+        for i in range(first_anchor):  # pending prefix (≤ first anchor)
+            emit(i, 1)
+        # greedy straight through each run from its first anchor: any later
+        # raw anchor (gap > W) is kept by the greedy automatically (the
+        # state can never exceed the predecessor's ts), so one segment per
+        # run suffices
+        bounds = np.flatnonzero(new).tolist() + [n]
+        exit_resolved, exit_last = 0, 0
+        for bi in range(len(bounds) - 1):
+            rs, re_ = bounds[bi], bounds[bi + 1]
+            if bi == 0 and first_anchor >= re_:
+                continue  # run fully pending (can only be the first run)
+            s = rs if bi > 0 else max(rs, first_anchor)
+            last = int(ts[s])
+            emit(s, 0)
+            i = s
+            while True:
+                j = int(np.searchsorted(ts[i + 1 : re_], last + DEBOUNCE_US + 1))
+                i = i + 1 + j
+                if i >= re_:
+                    break
+                emit(i, 0)
+                last = int(ts[i])
+            exit_resolved, exit_last = 1, last
+        if first_anchor == n:
+            exit_resolved = 0  # whole batch pending: exit state chains
+        base = pd.DataFrame(rows)
+        base["resolved"] = np.int8(0)
+        base["last_kept"] = np.int64(0)
+        state = pd.DataFrame(
+            {
+                "event_id": [int(e[-1])],
+                "user_id": [int(u[-1])],
+                "ts_us": [int(ts[-1])],
+                "kind": [np.int8(2)],
+                "resolved": [np.int8(exit_resolved)],
+                "last_kept": [np.int64(exit_last)],
+            }
+        )
+        out = pd.concat([base, state], ignore_index=True)
+        out["bk_u"], out["bk_ts"], out["bk_e"] = int(u[0]), int(ts[0]), int(e[0])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    rows = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts"])
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(deb_batch, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
+    kept_interior = rows.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["event_id", "user_id"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    edges = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    kept_pending = []
+    if len(edges):
+        edges = edges.sort_values(
+            ["bk_u", "bk_ts", "bk_e", "kind"], kind="stable"
+        ).reset_index(drop=True)
+        carry_user, carry_last = None, None
+        for (bu, bt, be), g in edges.groupby(
+            ["bk_u", "bk_ts", "bk_e"], sort=True
+        ):
+            pend = g[g["kind"] == 1]
+            state = g[g["kind"] == 2].iloc[0]
+            pend_last = None
+            for p in pend.itertuples(index=False):
+                if carry_user == p.user_id and carry_last is not None:
+                    if p.ts_us > carry_last + DEBOUNCE_US:
+                        kept_pending.append((int(p.event_id), int(p.user_id)))
+                        carry_last = int(p.ts_us)
+                else:
+                    kept_pending.append((int(p.event_id), int(p.user_id)))
+                    carry_user, carry_last = int(p.user_id), int(p.ts_us)
+                pend_last = carry_last
+            if state["resolved"] == 1:
+                carry_user, carry_last = int(state["user_id"]), int(
+                    state["last_kept"]
+                )
+            elif len(pend):
+                carry_user = int(pend.iloc[-1]["user_id"])
+                carry_last = pend_last
+            # else: batch had no pending and unresolved exit — impossible
+            # (unresolved means the whole batch was pending)
+    parts = [kept_interior]
+    if kept_pending:
+        parts.append(pd.DataFrame(kept_pending, columns=["event_id", "user_id"]))
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_DEBOUNCE = f"""
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), deb(user_id, rn, t, kept_t, is_kept) AS (
+  SELECT user_id, rn, t, t, 1 FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.t,
+         CASE WHEN o.t > d.kept_t + {DEBOUNCE_US} THEN o.t ELSE d.kept_t END,
+         CASE WHEN o.t > d.kept_t + {DEBOUNCE_US} THEN 1 ELSE 0 END
+  FROM deb d JOIN o ON o.user_id = d.user_id AND o.rn = d.rn + 1
+)
+SELECT o.event_id, o.user_id
+FROM o JOIN deb d ON d.user_id = o.user_id AND d.rn = o.rn
+WHERE d.is_kept = 1 ORDER BY o.event_id
+"""

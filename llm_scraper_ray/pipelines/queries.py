@@ -2178,6 +2178,8 @@ def all_queries():
         "events_rfm_segments": _analytics.q_events_rfm_segments,
         # diversified top-k (global ranking under a per-group quota)
         "orders_diversified_topk": _analytics.q_orders_diversified_topk,
+        # debounce / throttle dedup (greedy chained keep-state)
+        "events_debounce": _analytics.q_events_debounce,
         # split assignment + integer tf-idf keywords (pipelines/curation.py)
         "doc_split_assign": _curation.q_doc_split_assign,
         "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
@@ -2549,6 +2551,7 @@ def all_oracle_sql():
         "orders_monthly_locf": _analytics.SQL_ORDERS_MONTHLY_LOCF,
         "events_rfm_segments": _analytics.SQL_EVENTS_RFM,
         "orders_diversified_topk": _analytics.SQL_ORDERS_DIVERSIFIED_TOPK,
+        "events_debounce": _analytics.SQL_EVENTS_DEBOUNCE,
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,

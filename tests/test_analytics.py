@@ -689,3 +689,24 @@ def test_events_seasonal_anomaly_flags_at_small_sf(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+@pytest.mark.parametrize("bs", [65536, 16, 7, 1])
+def test_events_debounce_matches_oracle(ray_session, bs):
+    """Greedy chained keep-state: at bs=1 every decision chains through
+    the driver carry — the anchor argument and exit-state relay must
+    reproduce the sequential recursion exactly."""
+    from llm_scraper_ray.pipelines.analytics import (
+        SQL_EVENTS_DEBOUNCE,
+        q_events_debounce,
+    )
+
+    out = q_events_debounce(SF, batch_size=bs)
+    exp = _oracle("events", SQL_EVENTS_DEBOUNCE)
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert 0 < len(out) < n_events, "debounce must drop some rows, keep some"
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
