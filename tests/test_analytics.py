@@ -710,3 +710,62 @@ def test_events_debounce_matches_oracle(ray_session, bs):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_debounce_and_moving_avg_on_random_streams(ray_session, tmp_path):
+    """Randomized boundary coverage for the chained-state family: seeded
+    random event streams (clustered timestamps to force dense debounce
+    chains, duplicate-ts ties, single-event users) must match the DuckDB
+    oracle at adversarial batch sizes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llm_scraper_ray.pipelines.analytics import (
+        DEBOUNCE_US,
+        SQL_EVENTS_DEBOUNCE,
+        SQL_EVENTS_MOVING_AVG,
+        q_events_debounce,
+        q_events_moving_avg,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = 400
+        users = rng.integers(0, 12, n)
+        # cluster ts so many raw gaps are << W and some are > W; include ties
+        base = rng.integers(0, 40, n).astype(np.int64) * (DEBOUNCE_US // 8)
+        jitter = rng.integers(0, 4, n).astype(np.int64)  # µs-scale ties
+        ts = base + jitter
+        t = pa.Table.from_pydict(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(users.astype(np.int64), pa.int64()),
+                "event_type": pa.array(["click"] * n),
+                "value": pa.array(
+                    rng.integers(1, 10_000, n).astype(np.float64) / 100.0
+                ),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        d = tmp_path / f"rs{trial}"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        for bs in (13, 4):
+            out = q_events_debounce(str(d), batch_size=bs)
+            exp = con.execute(SQL_EVENTS_DEBOUNCE).df()
+            pd.testing.assert_frame_equal(
+                out.reset_index(drop=True), exp.reset_index(drop=True),
+                check_dtype=False,
+            )
+            out2 = q_events_moving_avg(str(d), batch_size=bs)
+            exp2 = con.execute(SQL_EVENTS_MOVING_AVG).df()
+            pd.testing.assert_frame_equal(
+                out2.reset_index(drop=True), exp2.reset_index(drop=True),
+                check_dtype=False,
+            )
