@@ -1711,3 +1711,95 @@ SELECT split, count(*) AS n_docs, sum(doc_id) AS sum_doc_id,
        sum(n_chars) AS sum_chars
 FROM s GROUP BY split ORDER BY split
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k vocabulary (per-source top terms)
+
+VOCAB_SRC_TOP_K = 5
+
+
+def q_vocab_top_terms_by_source(sf_dir: str) -> pd.DataFrame:
+    """Top-K words PER SOURCE — the grouped variant of the global top-k
+    vocabulary, with the same provable cut: words bucket by stable word
+    hash, so each (source, word) pair is fully aggregated inside ONE
+    bucket and the per-bucket per-source top-K is a superset of every
+    group's global top-K; the driver cut sees O(NB · #sources · K)
+    candidates. Ties break (count DESC, word ASC) both sides."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_pylist()
+        cnt: Counter = Counter()
+        for s, txt in zip(srcs, t["text"].to_pylist()):
+            for w in _WORD.findall(txt.lower()):
+                cnt[(s, w)] += 1
+        if not cnt:
+            return pa.Table.from_pydict(
+                {
+                    "source": pa.array([], pa.string()),
+                    "word": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        keys = list(cnt.keys())
+        bk = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+                )
+                & _MASK63
+                for _, w in keys
+            ),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([s for s, _ in keys], pa.string()),
+                "word": pa.array([w for _, w in keys], pa.string()),
+                "n": pa.array([cnt[k] for k in keys], pa.int64()),
+                "bucket": pa.array(bk % NUM_BUCKETS, pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["source", "word"], as_index=False)["n"].sum()
+        s = s.sort_values(["n", "word"], ascending=[False, True], kind="stable")
+        return s.groupby("source", as_index=False).head(VOCAB_SRC_TOP_K)
+
+    cand = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(["n", "word"], ascending=[False, True], kind="stable")
+    out = cand.groupby("source", as_index=False).head(VOCAB_SRC_TOP_K)
+    out["rank"] = out.groupby("source").cumcount() + 1
+    return (
+        out[["source", "rank", "word", "n"]]
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+        .astype({"n": "int64", "rank": "int64"})
+    )
+
+
+SQL_VOCAB_TOP_TERMS_BY_SOURCE = f"""
+WITH words AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+  FROM documents
+), counts AS (
+  SELECT source, w AS word, count(*) AS n FROM words GROUP BY source, w
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY n DESC, word ASC) AS rank
+  FROM counts
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, word, n
+FROM ranked WHERE rank <= {VOCAB_SRC_TOP_K}
+ORDER BY source, rank
+"""

@@ -2119,6 +2119,8 @@ def all_queries():
         "doc_chunk": _curation.q_doc_chunk,
         # resumable partitioned-parquet export sink + read-back manifest
         "doc_export_splits": _curation.q_doc_export_splits,
+        # grouped top-k vocabulary (per-source top terms)
+        "vocab_top_terms_by_source": _curation.q_vocab_top_terms_by_source,
         "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
         "doc_unigram_scores": _curation.q_doc_unigram_scores,
         "doc_rarest_term": _curation.q_doc_rarest_term,
@@ -2519,6 +2521,7 @@ def all_oracle_sql():
         "vocab_bpe_pairs": _curation.SQL_VOCAB_BPE_PAIRS,
         "doc_chunk": _curation.SQL_DOC_CHUNK,
         "doc_export_splits": _curation.SQL_DOC_EXPORT_SPLITS,
+        "vocab_top_terms_by_source": _curation.SQL_VOCAB_TOP_TERMS_BY_SOURCE,
         "doc_dedup_corpus": _curation.SQL_DOC_DEDUP_CORPUS,
         "doc_unigram_scores": _curation.SQL_DOC_UNIGRAM_SCORES,
         "doc_rarest_term": _curation.SQL_DOC_RAREST_TERM,
