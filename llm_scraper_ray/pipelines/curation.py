@@ -1803,3 +1803,179 @@ SELECT source, CAST(rank AS BIGINT) AS rank, word, n
 FROM ranked WHERE rank <= {VOCAB_SRC_TOP_K}
 ORDER BY source, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped percent_rank (CDF transform within source)
+
+
+def q_doc_percentile_in_source(sf_dir: str) -> pd.DataFrame:
+    """Each document's length percentile WITHIN its source —
+    ``percent_rank() OVER (PARTITION BY source ORDER BY n_chars)`` as a
+    distributed CDF transform: one (source, n_chars) value-count fold
+    (domain-sized — never per-doc keys), the driver builds per-source
+    cumulative tables, and a second streaming pass maps every doc through
+    its source's CDF with exact integer rank arithmetic
+    (rank-1 = count of strictly-smaller values; ties share the first
+    rank, exactly SQL's percent_rank). Output keeps the exact
+    numerator/denominator beside the rounded float."""
+
+    def vc_part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        p = df.groupby(["source", "v"], as_index=False).agg(c=("v", "size"))
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    vc = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
+        )
+        .map_batches(vc_part, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    cdf: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for src, g in vc.groupby("source"):
+        g = g.sort_values("v")
+        vals = g["v"].to_numpy(np.int64)
+        below = np.concatenate([[0], g["c"].cumsum().to_numpy()[:-1]]).astype(np.int64)
+        cdf[str(src)] = (vals, below, int(g["c"].sum()))
+
+    def assign(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = np.empty(len(v), np.int64)
+        den = np.empty(len(v), np.int64)
+        for s in np.unique(srcs):
+            vals, below, n = cdf[str(s)]
+            m = srcs == s
+            num[m] = below[np.searchsorted(vals, v[m])]
+            den[m] = max(n - 1, 1)
+        pr = np.round(num / den, 6)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_chars": pa.array(v, pa.int64()),
+                "rank_below": pa.array(num, pa.int64()),
+                "n_in_source": pa.array(den + 1, pa.int64()),
+                "pct_rank": pa.array(pr, pa.float64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "n_chars"],
+        )
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_PERCENTILE_IN_SOURCE = """
+SELECT doc_id, source, n_chars,
+       CAST(rank() OVER w - 1 AS BIGINT) AS rank_below,
+       CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_in_source,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence test (contingency statistic)
+
+
+def q_events_chi_square(sf_dir: str) -> pd.DataFrame:
+    """Pearson χ² independence test between event type and hour-of-day —
+    the statistical-testing shape: the corpus folds to an exact integer
+    contingency table (#types × 24, domain-sized, map-combined groupby);
+    the χ² statistic is one identical float expression over those
+    integers on both oracle sides. Output = per-type partial χ²
+    contributions plus the grand statistic and degrees of freedom."""
+
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "hour": pc.hour(t["ts"]).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        )
+        p = df.groupby(["event_type", "hour"], as_index=False).agg(
+            c=("hour", "size")
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    obs = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+        )
+        .map_batches(part, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    total = int(obs["c"].sum())
+    rows = obs.groupby("event_type")["c"].sum()
+    cols = obs.groupby("hour")["c"].sum()
+    # χ² over the FULL grid (absent cells contribute E, since (O-E)² = E²)
+    out_rows = []
+    raw = []
+    for ty in sorted(rows.index):
+        chi = 0.0
+        have = obs[obs["event_type"] == ty].set_index("hour")["c"]
+        for h in sorted(cols.index):
+            e = float(rows[ty]) * float(cols[h]) / float(total)
+            o = float(have.get(h, 0))
+            chi += (o - e) * (o - e) / e
+        raw.append(chi)
+        out_rows.append({"event_type": ty, "chi2_part": round(chi, 6)})
+    out = pd.DataFrame(out_rows)
+    out["chi2_total"] = round(float(sum(raw)), 4)
+    out["dof"] = (len(rows) - 1) * (len(cols) - 1)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_CHI_SQUARE = """
+WITH obs AS (
+  SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hour,
+         count(*) AS c
+  FROM events GROUP BY event_type, hour
+), tot AS (SELECT sum(c) AS n FROM obs),
+rows_ AS (SELECT event_type, sum(c) AS rc FROM obs GROUP BY event_type),
+cols_ AS (SELECT hour, sum(c) AS cc FROM obs GROUP BY hour),
+grid AS (
+  SELECT r.event_type, h.hour, r.rc, h.cc,
+         coalesce(o.c, 0) AS o
+  FROM rows_ r CROSS JOIN cols_ h
+  LEFT JOIN obs o ON o.event_type = r.event_type AND o.hour = h.hour
+), parts AS (
+  SELECT event_type,
+         sum(power(CAST(o AS DOUBLE)
+                   - CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE) / CAST(n AS DOUBLE), 2)
+             / (CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)))
+           AS chi
+  FROM grid, tot GROUP BY event_type
+)
+SELECT event_type, round(chi, 6) AS chi2_part,
+       round((SELECT sum(chi) FROM parts), 4) AS chi2_total,
+       CAST((SELECT (count(*) - 1) FROM rows_)
+            * (SELECT (count(*) - 1) FROM cols_) AS BIGINT) AS dof
+FROM parts ORDER BY event_type
+"""

@@ -2121,6 +2121,10 @@ def all_queries():
         "doc_export_splits": _curation.q_doc_export_splits,
         # grouped top-k vocabulary (per-source top terms)
         "vocab_top_terms_by_source": _curation.q_vocab_top_terms_by_source,
+        # grouped percent_rank (CDF transform within source)
+        "doc_percentile_in_source": _curation.q_doc_percentile_in_source,
+        # chi-square independence test (contingency statistic)
+        "events_chi_square": _curation.q_events_chi_square,
         "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
         "doc_unigram_scores": _curation.q_doc_unigram_scores,
         "doc_rarest_term": _curation.q_doc_rarest_term,
@@ -2522,6 +2526,8 @@ def all_oracle_sql():
         "doc_chunk": _curation.SQL_DOC_CHUNK,
         "doc_export_splits": _curation.SQL_DOC_EXPORT_SPLITS,
         "vocab_top_terms_by_source": _curation.SQL_VOCAB_TOP_TERMS_BY_SOURCE,
+        "doc_percentile_in_source": _curation.SQL_DOC_PERCENTILE_IN_SOURCE,
+        "events_chi_square": _curation.SQL_EVENTS_CHI_SQUARE,
         "doc_dedup_corpus": _curation.SQL_DOC_DEDUP_CORPUS,
         "doc_unigram_scores": _curation.SQL_DOC_UNIGRAM_SCORES,
         "doc_rarest_term": _curation.SQL_DOC_RAREST_TERM,
