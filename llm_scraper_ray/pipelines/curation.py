@@ -1979,3 +1979,115 @@ SELECT event_type, round(chi, 6) AS chi2_part,
             * (SELECT (count(*) - 1) FROM cols_) AS BIGINT) AS dof
 FROM parts ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# information-theoretic source profile (entropy + KL from corpus)
+
+
+def q_source_divergence(sf_dir: str) -> pd.DataFrame:
+    """Per source: unigram Shannon entropy and KL divergence from the
+    whole-corpus distribution — the information-theoretic domain-shift
+    profile a data-mixing pipeline monitors. Both reduce to sums over
+    words of f(counts), and a word's (source, word) AND global counts
+    are whole inside its word-hash bucket, so each bucket emits exact
+    per-source partials of Σ n·ln n and Σ n_s·ln(n_s/n_w) — NO vocab
+    broadcast, no driver word table. Closed forms (identical both
+    sides): H = ln N_s − (Σ n_s ln n_s)/N_s;
+    KL = (Σ n_s ln(n_s/n_w))/N_s + ln(N/N_s)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for w in _WORD.findall(txt.lower()):
+                cnt[(s, w)] += 1
+        if not cnt:
+            return pa.Table.from_pydict(
+                {
+                    "source": pa.array([], pa.string()),
+                    "word": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        keys = list(cnt.keys())
+        bk = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+                )
+                & _MASK63
+                for _, w in keys
+            ),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([s for s, _ in keys], pa.string()),
+                "word": pa.array([w for _, w in keys], pa.string()),
+                "n": pa.array([cnt[k] for k in keys], pa.int64()),
+                "bucket": pa.array(bk % NUM_BUCKETS, pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sw = g.groupby(["source", "word"], as_index=False)["n"].sum()
+        gw = sw.groupby("word")["n"].sum()  # global count — word whole here
+        sw["n_w"] = sw["word"].map(gw)
+        ns = sw["n"].to_numpy(np.float64)
+        nw = sw["n_w"].to_numpy(np.float64)
+        sw["p_nlogn"] = ns * np.log(ns)
+        sw["p_kl"] = ns * np.log(ns / nw)
+        out = sw.groupby("source", as_index=False).agg(
+            part_n=("n", "sum"),
+            part_nlogn=("p_nlogn", "sum"),
+            part_kl=("p_kl", "sum"),
+        )
+        return out
+
+    parts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("source", as_index=False).agg(
+        n_words=("part_n", "sum"),
+        s_nlogn=("part_nlogn", "sum"),
+        s_kl=("part_kl", "sum"),
+    )
+    N = float(agg["n_words"].sum())
+    ns = agg["n_words"].astype(np.float64)
+    agg["entropy"] = (np.log(ns) - agg["s_nlogn"] / ns).round(6)
+    agg["kl_from_corpus"] = (agg["s_kl"] / ns + np.log(N / ns)).round(6)
+    out = agg[["source", "n_words", "entropy", "kl_from_corpus"]]
+    return out.sort_values("source").reset_index(drop=True).astype(
+        {"n_words": "int64"}
+    )
+
+
+SQL_SOURCE_DIVERGENCE = """
+WITH words AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+  FROM documents
+), sw AS (
+  SELECT source, w, count(*) AS n FROM words GROUP BY source, w
+), gw AS (SELECT w, sum(n) AS n_w FROM sw GROUP BY w),
+tot AS (SELECT sum(n) AS nn FROM sw),
+per AS (
+  SELECT sw.source, sum(sw.n) AS n_words,
+         sum(CAST(sw.n AS DOUBLE) * ln(CAST(sw.n AS DOUBLE))) AS s_nlogn,
+         sum(CAST(sw.n AS DOUBLE)
+             * ln(CAST(sw.n AS DOUBLE) / CAST(gw.n_w AS DOUBLE))) AS s_kl
+  FROM sw JOIN gw ON gw.w = sw.w GROUP BY sw.source
+)
+SELECT source, CAST(n_words AS BIGINT) AS n_words,
+       round(ln(CAST(n_words AS DOUBLE)) - s_nlogn / n_words, 6) AS entropy,
+       round(s_kl / n_words + ln(CAST(tot.nn AS DOUBLE) / n_words), 6)
+         AS kl_from_corpus
+FROM per, tot ORDER BY source
+"""

@@ -2125,6 +2125,8 @@ def all_queries():
         "doc_percentile_in_source": _curation.q_doc_percentile_in_source,
         # chi-square independence test (contingency statistic)
         "events_chi_square": _curation.q_events_chi_square,
+        # per-source entropy + KL from corpus (no-broadcast info theory)
+        "source_divergence": _curation.q_source_divergence,
         "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
         "doc_unigram_scores": _curation.q_doc_unigram_scores,
         "doc_rarest_term": _curation.q_doc_rarest_term,
@@ -2528,6 +2530,7 @@ def all_oracle_sql():
         "vocab_top_terms_by_source": _curation.SQL_VOCAB_TOP_TERMS_BY_SOURCE,
         "doc_percentile_in_source": _curation.SQL_DOC_PERCENTILE_IN_SOURCE,
         "events_chi_square": _curation.SQL_EVENTS_CHI_SQUARE,
+        "source_divergence": _curation.SQL_SOURCE_DIVERGENCE,
         "doc_dedup_corpus": _curation.SQL_DOC_DEDUP_CORPUS,
         "doc_unigram_scores": _curation.SQL_DOC_UNIGRAM_SCORES,
         "doc_rarest_term": _curation.SQL_DOC_RAREST_TERM,
