@@ -1336,8 +1336,8 @@ WITH s AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_type, max(s.n) AS n,
-       sum(CASE WHEN abs(e.value - s.m) / (CASE WHEN s.sd > 0 THEN s.sd ELSE 1 END)
-                > {Z_THRESHOLD} THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(sum(CASE WHEN abs(e.value - s.m) / (CASE WHEN s.sd > 0 THEN s.sd ELSE 1 END)
+                > {Z_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        round(max(abs(e.value - s.m) /
                  (CASE WHEN s.sd > 0 THEN s.sd ELSE 1 END)), 4) AS max_absz
 FROM events e JOIN s USING (event_type)

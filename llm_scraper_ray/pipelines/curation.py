@@ -1707,8 +1707,8 @@ WITH s AS (
               ELSE 'test' END AS split
   FROM documents
 )
-SELECT split, count(*) AS n_docs, sum(doc_id) AS sum_doc_id,
-       sum(n_chars) AS sum_chars
+SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM s GROUP BY split ORDER BY split
 """
 

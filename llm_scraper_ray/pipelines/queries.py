@@ -1333,13 +1333,13 @@ WITH words AS (
   SELECT doc_id, max(c) AS max_word_count FROM wc GROUP BY doc_id
 )
 SELECT d.doc_id,
-  length(d.text) AS n_chars,
-  len(words.w) AS n_words,
-  length(d.text) - length(regexp_replace(d.text, '[^[:alnum:][:space:]_]', '', 'g')) AS n_punct,
-  length(d.text) - length(regexp_replace(d.text, '[[:alpha:]]', '', 'g')) AS n_alpha,
-  len(list_filter(words.w, x -> list_contains([{_STOPS_EN_SQL}], x))) AS n_stop,
-  coalesce(list_aggregate(list_transform(words.w, x -> length(x)), 'sum'), 0) AS sum_word_len,
-  coalesce(mw.max_word_count, 0) AS max_word_count
+  CAST(length(d.text) AS BIGINT) AS n_chars,
+  CAST(len(words.w) AS BIGINT) AS n_words,
+  CAST(length(d.text) - length(regexp_replace(d.text, '[^[:alnum:][:space:]_]', '', 'g')) AS BIGINT) AS n_punct,
+  CAST(length(d.text) - length(regexp_replace(d.text, '[[:alpha:]]', '', 'g')) AS BIGINT) AS n_alpha,
+  CAST(len(list_filter(words.w, x -> list_contains([{_STOPS_EN_SQL}], x))) AS BIGINT) AS n_stop,
+  CAST(coalesce(list_aggregate(list_transform(words.w, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_word_len,
+  CAST(coalesce(mw.max_word_count, 0) AS BIGINT) AS max_word_count
 FROM documents d
 JOIN words ON d.doc_id = words.doc_id
 LEFT JOIN mw ON d.doc_id = mw.doc_id
@@ -2010,19 +2010,72 @@ FROM documents ORDER BY sk LIMIT 50
 
 
 def all_queries():
+    """Registration order matters: the driver checks the FIRST 50 entries.
+    Round 4 rotates the window (VERDICT r3 #2) — slots 1-50 are the crawl
+    core, the two round-3 red rows (fixed), and 45 queries that had never
+    produced a CORRECTNESS row (curation / statistics / graph / windowing);
+    the 47 queries green in CORRECTNESS_r03 moved below the window."""
     return {
-        # relational / operator surface (SQL-checked)
+        "crawl_extracted": q_crawl_extracted,
+        "crawl_order": q_crawl_order,
+        "crawl_metrics": q_crawl_metrics,
+        "doc_quality_full_sql": q_doc_quality_full_sql,
+        "embedding_knn_eval": q_embedding_knn_eval,
+        "extract_cascade": q_extract_cascade,
+        "judge_panel": q_judge_panel,
+        "triplet_validation_text": q_triplet_validation_text,
+        "precision_recall_eval": q_precision_recall_eval,
+        "image_analysis": q_image_analysis,
+        "media_decode": q_media_decode,
+        "search_discovery": q_search_discovery,
+        "doc_sample_hash": q_doc_sample_hash,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        "kg_components": q_kg_components,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_triangles": q_kg_triangles,
+        "kg_kcore": q_kg_kcore,
+        "doc_dedup_clusters": _curation.q_doc_dedup_clusters,
+        "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
+        "curation_pipeline": q_curation_pipeline,
+        "doc_decontaminate": _curation.q_doc_decontaminate,
+        "doc_repetition": _curation.q_doc_repetition,
+        "doc_source_quota": _curation.q_doc_source_quota,
+        "doc_token_bins": _curation.q_doc_token_bins,
+        "doc_weighted_sample": _curation.q_doc_weighted_sample,
+        "doc_length_quantiles": _curation.q_doc_length_quantiles,
+        "doc_chunk": _curation.q_doc_chunk,
+        "doc_export_splits": _curation.q_doc_export_splits,
+        "vocab_top_terms": _curation.q_vocab_top_terms,
+        "vocab_top_terms_by_source": _curation.q_vocab_top_terms_by_source,
+        "vocab_bpe_pairs": _curation.q_vocab_bpe_pairs,
+        "doc_percentile_in_source": _curation.q_doc_percentile_in_source,
+        "source_divergence": _curation.q_source_divergence,
+        "doc_unigram_scores": _curation.q_doc_unigram_scores,
+        "doc_rarest_term": _curation.q_doc_rarest_term,
+        "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
+        "doc_bigram_scores": _curation.q_doc_bigram_scores,
+        "doc_search_terms": _curation.q_doc_search_terms,
+        "doc_bm25_topk": _curation.q_doc_bm25_topk,
+        "doc_dup_span_scrub": _curation.q_doc_dup_span_scrub,
+        "doc_split_assign": _curation.q_doc_split_assign,
+        "orders_ntile": _analytics.q_orders_ntile,
+        "events_funnel": _analytics.q_events_funnel,
+        "events_range_join": _analytics.q_events_range_join,
+        "events_debounce": _analytics.q_events_debounce,
+        "events_window_count": _analytics.q_events_window_count,
+        "orders_cube": _analytics.q_orders_cube,
+        "events_retention": _analytics.q_events_retention,
+        # --- end of the round-4 driver-checked window ---
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
         "mktsegments": q_mktsegments,
         "customers_without_orders": q_customers_without_orders,
         "parts_shipped_by_brand": q_parts_shipped_by_brand,
-        # broadcast-bloom pre-filter + exact hash-partitioned semi-join
         "orders_bloom_semijoin": q_orders_bloom_semijoin,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
-        # bucketed HAVING aggregate feeding hash-partitioned joins
         "q18_large_orders": q_q18_large_orders,
         "part_name_fuzzy_join": q_part_name_fuzzy_join,
         "active_nations": q_active_nations,
@@ -2034,7 +2087,6 @@ def all_queries():
         "user_max_value": q_user_max_value,
         "event_type_stats": q_event_type_stats,
         "top_orders_by_qty": q_top_orders_by_qty,
-        # documents / text analysis
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_counts": q_doc_token_counts,
         "doc_quality": q_doc_quality,
@@ -2042,164 +2094,58 @@ def all_queries():
         "doc_lang_id": q_doc_lang_id,
         "doc_lang_confusion": q_doc_lang_confusion,
         "doc_quality_full": q_doc_quality_full,
-        "doc_quality_full_sql": q_doc_quality_full_sql,
         "doc_gopher_filter": q_doc_gopher_filter,
         "doc_pii_scrub": q_doc_pii_scrub,
-        # near-dup / similarity
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        # asymmetric sub/superset duplicate detection (same shingle pass)
         "ngram_containment_pairs": q_ngram_containment_pairs,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_buckets": q_simhash_buckets,
         "embedding_topk": q_embedding_topk,
-        "embedding_knn_eval": q_embedding_knn_eval,
-        # contrastive hard-negative mining (nearest different-label)
         "embedding_hard_negatives": q_embedding_hard_negatives,
-        # distributed ML training: ridge linear probe via mergeable sketch
         "embedding_linear_probe": q_embedding_linear_probe,
         "embedding_centroids": q_embedding_centroids,
-        # cross-modality join: metadata ⋈ vectors + grouped vector mean
         "embedding_source_centroids": q_embedding_source_centroids,
-        # crawl core (oracle-crawler + pytest gated; rows-only for the driver)
-        "crawl_extracted": q_crawl_extracted,
-        "crawl_order": q_crawl_order,
-        "crawl_metrics": q_crawl_metrics,
-        # extraction operators over stored HTML
         "extract_fields": q_extract_fields,
         "extract_fields_product": q_extract_fields_product,
         "sessionize_pages": q_sessionize_pages,
-        # triplet / KG pipeline (deterministic model shims)
         "triplet_extraction": q_triplet_extraction,
         "triplets_dedup": q_triplets_dedup,
         "kg_nodes": q_kg_nodes,
         "kg_top_vertices": q_kg_top_vertices,
-        "kg_components": q_kg_components,
-        "kg_pagerank": q_kg_pagerank,
-        "kg_triangles": q_kg_triangles,
-        "kg_kcore": q_kg_kcore,
         "kg_export": q_kg_export,
-        "judge_panel": q_judge_panel,
-        "triplet_validation_text": q_triplet_validation_text,
-        "precision_recall_eval": q_precision_recall_eval,
-        "extract_cascade": q_extract_cascade,
-        "image_analysis": q_image_analysis,
-        # multimodal plumbing + sampling
-        "media_decode": q_media_decode,
         "media_features": q_media_features,
         "doc_sample": q_doc_sample,
-        # embedding near-dup + ANN scale path
         "embedding_dups": q_embedding_dups,
-        "embedding_dedup_clusters": q_embedding_dedup_clusters,
-        "embedding_dups_lsh": q_embedding_dups_lsh,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_topk_pq": q_embedding_topk_pq,
-        # search-driven discovery (F12/F13)
-        "search_discovery": q_search_discovery,
-        # E23 pattern extraction + oracled deterministic sample
         "event_props_numbers": q_event_props_numbers,
         "order_price_strings": q_order_price_strings,
-        "doc_sample_hash": q_doc_sample_hash,
-        # corpus curation (dedup clustering, decontamination, repetition,
-        # source quota — pipelines/curation.py)
-        "doc_dedup_clusters": _curation.q_doc_dedup_clusters,
-        "doc_decontaminate": _curation.q_doc_decontaminate,
-        "doc_repetition": _curation.q_doc_repetition,
-        "doc_source_quota": _curation.q_doc_source_quota,
-        # corpus statistics / packing (distributed scan, value-count
-        # quantiles, exact top-k vocabulary — pipelines/curation.py)
-        "doc_token_bins": _curation.q_doc_token_bins,
-        # weighted systematic sampling over the prefix-sum scan
-        "doc_weighted_sample": _curation.q_doc_weighted_sample,
-        "doc_length_quantiles": _curation.q_doc_length_quantiles,
-        "vocab_top_terms": _curation.q_vocab_top_terms,
-        # BPE merge-candidate pair counts (tokenizer-training prep)
-        "vocab_bpe_pairs": _curation.q_vocab_bpe_pairs,
-        # overlapping chunk expansion (one-to-many row expansion)
-        "doc_chunk": _curation.q_doc_chunk,
-        # resumable partitioned-parquet export sink + read-back manifest
-        "doc_export_splits": _curation.q_doc_export_splits,
-        # grouped top-k vocabulary (per-source top terms)
-        "vocab_top_terms_by_source": _curation.q_vocab_top_terms_by_source,
-        # grouped percent_rank (CDF transform within source)
-        "doc_percentile_in_source": _curation.q_doc_percentile_in_source,
-        # chi-square independence test (contingency statistic)
         "events_chi_square": _curation.q_events_chi_square,
-        # per-source entropy + KL from corpus (no-broadcast info theory)
-        "source_divergence": _curation.q_source_divergence,
-        "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
-        "doc_unigram_scores": _curation.q_doc_unigram_scores,
-        "doc_rarest_term": _curation.q_doc_rarest_term,
-        # flagship composed curation chain (filter → dedup → quota → pack)
-        "curation_pipeline": q_curation_pipeline,
-        # windowed / ranked event analytics (pipelines/analytics.py):
-        # per-group top-k, hopping windows, preceding-window range count
         "events_topk_per_user": _analytics.q_events_topk_per_user,
         "events_sliding": _analytics.q_events_sliding,
-        "events_window_count": _analytics.q_events_window_count,
-        "events_range_join": _analytics.q_events_range_join,
-        # funnel stage via composable segment state machines
-        "events_funnel": _analytics.q_events_funnel,
-        # distinct counting: exact bucketed + HLL mergeable sketch
         "events_distinct_users": _analytics.q_events_distinct_users,
         "events_distinct_hll": _analytics.q_events_distinct_hll,
-        # hierarchical subtotals from one finest-level shuffle
         "orders_rollup": _analytics.q_orders_rollup,
-        "orders_cube": _analytics.q_orders_cube,
-        # global row_number/ntile via the distributed prefix-sum scan
-        "orders_ntile": _analytics.q_orders_ntile,
-        # weekly cohort retention (bucketed-distinct machinery, two-level)
-        "events_retention": _analytics.q_events_retention,
-        # per-type z-score outliers (mergeable moments + flagged re-scan)
         "events_outliers": _analytics.q_events_outliers,
-        # tumbling windows × bucketed distinct (windowed COUNT DISTINCT)
         "events_hourly_users": _analytics.q_events_hourly_users,
-        # bounded ROWS-frame moving average (K-preceding window)
         "events_moving_avg": _analytics.q_events_moving_avg,
-        # TPC-H-Q13-shaped count-of-counts (zero-bin LEFT join + histogram)
         "orders_cust_distribution": _analytics.q_orders_cust_distribution,
-        # equi-width value histogram (domain-bounded mergeable bins)
         "events_value_histogram": _analytics.q_events_value_histogram,
-        # PIVOT: wide per-user conditional aggregation (FILTER columns)
         "events_pivot": _analytics.q_events_pivot,
-        # Markov transition matrix (lag pair-counts, domain-sized partials)
         "events_transitions": _analytics.q_events_transitions,
-        # set algebra on derived key sets (intersect/except, no key shuffle)
         "events_user_sets": _analytics.q_events_user_sets,
-        # grouped Pearson correlation from exact integer moment partials
         "lineitem_corr": _analytics.q_lineitem_corr,
-        # sweep-line interval-stabbing count (orders open per month)
         "orders_open_by_month": _analytics.q_orders_open_by_month,
-        # ordered string aggregation (string_agg DISTINCT ... ORDER BY)
         "nation_segments": _analytics.q_nation_segments,
-        # FULL OUTER join of two derived aggregates (period delta)
         "users_week_delta": _analytics.q_users_week_delta,
-        # Pareto/ABC: cumulative-share cut over a ranked aggregate
         "orders_pareto": _analytics.q_orders_pareto,
-        # seasonal-baseline anomaly (hour-of-day profile, integer test)
         "events_seasonal_anomaly": _analytics.q_events_seasonal_anomaly,
-        # journey trigram mining (sequence patterns, 2-row seam context)
         "events_journeys": _analytics.q_events_journeys,
-        # time-series gap fill + LOCF (regularized monthly series)
         "orders_monthly_locf": _analytics.q_orders_monthly_locf,
-        # RFM segmentation (exact discrete terciles, two bucketed passes)
         "events_rfm_segments": _analytics.q_events_rfm_segments,
-        # diversified top-k (global ranking under a per-group quota)
         "orders_diversified_topk": _analytics.q_orders_diversified_topk,
-        # debounce / throttle dedup (greedy chained keep-state)
-        "events_debounce": _analytics.q_events_debounce,
-        # split assignment + integer tf-idf keywords (pipelines/curation.py)
-        "doc_split_assign": _curation.q_doc_split_assign,
-        "doc_tfidf_top_terms": _curation.q_doc_tfidf_top_terms,
-        # conjunctive term search + per-group exact quantiles
-        "doc_search_terms": _curation.q_doc_search_terms,
-        # BM25 ranked retrieval: two shuffle-free scans (stats fold + top-k)
-        "doc_bm25_topk": _curation.q_doc_bm25_topk,
         "event_value_quantiles": _analytics.q_event_value_quantiles_by_type,
-        # bigram LM scoring (n-gram LM family, with doc_unigram_scores)
-        "doc_bigram_scores": _curation.q_doc_bigram_scores,
-        # corpus-wide duplicated 5-gram span coverage (substring dedup)
-        "doc_dup_span_scrub": _curation.q_doc_dup_span_scrub,
     }
 
 
@@ -2321,7 +2267,7 @@ ORDER BY n_edges DESC, to_key ASC LIMIT 10
 """,
         "triplet_validation_text": f"""
 SELECT method, count(*) AS n, round(avg(weight), 4) AS mean_weight,
-       sum(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS n_nonzero
+       CAST(sum(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero
 FROM read_parquet('{path}') GROUP BY method ORDER BY method
 """,
         "kg_pagerank": (
@@ -3287,29 +3233,38 @@ def q_embedding_dups_lsh(sf_dir: str, broadcast_limit: int = 50_000) -> pd.DataF
     if cands.count() == 0:
         return empty
 
-    # verification inputs: candidate vectors only (near-dup-mass-bounded)
-    need: set[int] = set()
-    for b in cands.iter_batches(batch_format="pandas"):
-        need.update(int(x) for x in b["doc_a"])
-        need.update(int(x) for x in b["doc_b"])
-    need_ref = ray.put(np.fromiter(need, np.int64, len(need)))
+    # verification inputs: candidate vectors only (near-dup-mass-bounded).
+    # The candidate-id side stays a Dataset end-to-end (VERDICT r3 #3: no
+    # driver-side id set — dup mass is O(corpus) at 100 TB): per-batch
+    # distinct ids from the pair stream, then a hash-partitioned left_semi
+    # join prunes the packed corpus vectors. Vectors pack to fixed-width
+    # binary BEFORE the join (Acero rejects list-typed payload columns).
+    def pair_ids(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        )
+        return pa.table({"vid": pc.unique(both)})
 
-    def only_needed(batch: pa.Table) -> pa.Table:
-        keep = ray.get(need_ref)
+    cand_ids = cands.map_batches(pair_ids, batch_format="pyarrow")
+
+    def pack_norm(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy().astype(np.int64)
-        mask = np.isin(ids, keep)
-        mat = _emb_matrix(batch["embedding"])[mask]
+        mat = _emb_matrix(batch["embedding"])
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         return pa.Table.from_pydict(
             {
-                "vid": pa.array(ids[mask], pa.int64()),
+                "vid": pa.array(ids, pa.int64()),
                 "blob": pa.array([r.tobytes() for r in mat], pa.binary()),
             }
         )
 
-    filtered = emb.map_batches(only_needed, batch_format="pyarrow").materialize()
+    filtered = (
+        emb.map_batches(pack_norm, batch_format="pyarrow")
+        .join(cand_ids, "left_semi", num_partitions=8, on=("vid",), right_on=("vid",))
+        .materialize()
+    )
 
-    if len(need) <= broadcast_limit:
+    if filtered.count() <= broadcast_limit:
         # small candidate mass (the common near-dup regime): broadcast the
         # candidate vectors once (one (need, d) matrix + sorted id index)
         # and verify each pair batch with ONE vectorized row-gather +
@@ -3880,19 +3835,31 @@ def q_kg_kcore(sf_dir: str) -> pd.DataFrame:
 
 _KNN_Q = 100  # fixed query subset (lowest vec_ids)
 _KNN_K = 5
+# Power-of-two quantization scale: float32→float64 is exact, ×2^20 is exact
+# (pure exponent shift), floor is exact — so BOTH numpy and DuckDB derive the
+# IDENTICAL int64 vector from the same float32 list. |q| < 2^20 and d = 64 ⇒
+# |dot| ≤ 2^46 fits int64 exactly and casts to float64 exactly. This removes
+# the round-3 red row's float32-vs-float64 cosine boundary sensitivity: the
+# decided quantity is derived from exact integers by two identical IEEE
+# float64 ops on both sides (see _SQL_EMBEDDING_KNN_EVAL).
+_KNN_QSCALE = 1048576.0
 
 
 def q_embedding_knn_eval(sf_dir: str) -> pd.DataFrame:
     """Leave-self-out kNN classification accuracy over the embedding
     column: for a fixed query subset, predict each query's label by
-    majority vote of its K nearest neighbors (exact cosine) and fold to
-    per-label integer (n_queries, n_correct) — the similarity-search
-    QUALITY-eval shape. Scale form matches ``embedding_topk``: only the
-    (Q × d) query matrix broadcasts; the corpus streams in batches (one
-    matmul each) emitting rounded-sim-thresholded top-K partials with
-    neighbor labels riding along; the driver merges O(#batches · Q · K)
-    rows, votes (count DESC, label ASC — the SQL tie order), and outputs
-    a #labels-sized table."""
+    majority vote of its K nearest neighbors and fold to per-label
+    integer (n_queries, n_correct) — the similarity-search QUALITY-eval
+    shape. Neighbors rank by cosine over 2^20-quantized integer vectors:
+    exact int64 dots/norms, then score = d·|d|/‖b‖² — a strictly
+    monotone transform of cosine (the query's own norm is constant per
+    query) computed with the same two IEEE float64 ops in the SQL
+    oracle, so ranking and ties are bit-identical across engines.
+    Scale form matches ``embedding_topk``: only the (Q × d) query matrix
+    broadcasts; the corpus streams in batches (one integer matmul each)
+    emitting top-K partials with neighbor labels riding along; the
+    driver merges O(#batches · Q · K) rows, votes (count DESC, label
+    ASC — the SQL tie order), and outputs a #labels-sized table."""
     import pyarrow.parquet as pq
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -3903,35 +3870,38 @@ def q_embedding_knn_eval(sf_dir: str) -> pd.DataFrame:
     q_mat = np.stack(
         [np.asarray(qt["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
     )
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    q_ref = ray.put((q_ids, q_norm))
+    q_int = np.floor(q_mat * _KNN_QSCALE).astype(np.int64)
+    q_ref = ray.put((q_ids, q_int))
 
     def topk_batch(batch: pa.Table) -> pa.Table:
-        q_ids_, q_norm_ = ray.get(q_ref)
+        q_ids_, q_int_ = ray.get(q_ref)
         ids = batch["vec_id"].to_numpy()
         labels = batch["label"].to_numpy()
         mat = _emb_matrix(batch["embedding"])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = q_norm_ @ mat.T  # (Q, n)
-        sims_r = np.round(sims, 4)
+        m_int = np.floor(mat * _KNN_QSCALE).astype(np.int64)
+        dots = q_int_ @ m_int.T  # exact int64 (|dot| ≤ 64·2^40 = 2^46)
+        nsq = np.einsum("ij,ij->i", m_int, m_int)  # exact int64 squared norms
+        d64 = dots.astype(np.float64)
+        n64 = nsq.astype(np.float64)  # exact casts (< 2^53)
+        score = (d64 * np.abs(d64)) / n64  # two IEEE ops — bit-equal to SQL
         out_q, out_n, out_l, out_s = [], [], [], []
-        k = min(_KNN_K + 1, sims.shape[1])
-        for qi in range(sims.shape[0]):
-            thr = np.partition(sims_r[qi], -k)[-k]
-            idx = np.nonzero(sims_r[qi] >= thr)[0]
+        k = min(_KNN_K + 1, score.shape[1])
+        for qi in range(score.shape[0]):
+            thr = np.partition(score[qi], -k)[-k]
+            idx = np.nonzero(score[qi] >= thr)[0]
             for j in idx:
                 if ids[j] == q_ids_[qi]:
                     continue
                 out_q.append(int(q_ids_[qi]))
                 out_n.append(int(ids[j]))
                 out_l.append(int(labels[j]))
-                out_s.append(float(sims_r[qi, j]))
+                out_s.append(float(score[qi, j]))
         return pa.Table.from_pydict(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "neighbor_id": pa.array(out_n, pa.int64()),
                 "nlabel": pa.array(out_l, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
+                "score": pa.array(out_s, pa.float64()),
             }
         )
 
@@ -3942,7 +3912,7 @@ def q_embedding_knn_eval(sf_dir: str) -> pd.DataFrame:
     )
     top = (
         partials.sort_values(
-            ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+            ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
         )
         .groupby("query_id", as_index=False)
         .head(_KNN_K)
@@ -3967,15 +3937,29 @@ def q_embedding_knn_eval(sf_dir: str) -> pd.DataFrame:
 
 _SQL_EMBEDDING_KNN_EVAL = f"""
 WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings
-  ORDER BY vec_id LIMIT {_KNN_Q}
+  SELECT vec_id AS qid, label AS qlabel,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KNN_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT {_KNN_Q}
+), c AS (
+  SELECT vec_id AS nid, label AS nlabel,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KNN_QSCALE}) AS BIGINT)) AS nv
+  FROM embeddings
 ), sims AS (
-  SELECT q.qid, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
-         round(list_cosine_similarity(q.qe, e.embedding), 4) AS sim
-  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid
+  SELECT q.qid, q.qlabel, c.nid, c.nlabel,
+    CAST(CAST(list_aggregate(
+      list_transform(list_zip(q.qv, c.nv), s -> s[1] * s[2]), 'sum') AS BIGINT)
+      AS DOUBLE) AS d,
+    CAST(CAST(list_aggregate(
+      list_transform(c.nv, x -> x * x), 'sum') AS BIGINT) AS DOUBLE) AS n
+  FROM q CROSS JOIN c WHERE c.nid != q.qid
+), scored AS (
+  -- exact-int-derived score via the same two IEEE float64 ops as the engine
+  SELECT qid, qlabel, nid, nlabel, (d * abs(d)) / n AS score FROM sims
 ), ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-  FROM sims
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+  FROM scored
 ), votes AS (
   SELECT qid, qlabel, nlabel, count(*) AS c FROM ranked
   WHERE rn <= {_KNN_K} GROUP BY qid, qlabel, nlabel
@@ -3984,8 +3968,8 @@ WITH q AS (
          row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS rn2
   FROM votes
 )
-SELECT qlabel AS label, count(*) AS n_queries,
-       sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS n_correct
+SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
 FROM pred WHERE rn2 = 1
 GROUP BY qlabel ORDER BY qlabel
 """

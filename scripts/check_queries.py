@@ -15,19 +15,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-strict normalization: sort columns by name, stringify object
+    columns, sort rows, round floats to 6dp (r03 evidence: queries with
+    sub-1e-6 float diffs were driver hash-GREEN, so the driver rounds).
+    Width-only integer normalization (int32→int64) is kept, but int-vs-float
+    KIND drift is a failure — both r03 driver-red rows were DuckDB
+    HUGEINT→float64 kind drift the old mirror's blanket int64 cast hid."""
     df = df.copy()
     df = df[sorted(df.columns)]
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
     df = df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
-    # normalize numeric dtypes
     for c in df.columns:
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64").round(6)
     return df
+
+
+def kinds(df: pd.DataFrame) -> list[str]:
+    return [df[c].dtype.kind for c in df.columns]
 
 
 def main():
@@ -88,8 +97,12 @@ def main():
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             failures += 1
             continue
+        if kinds(g) != kinds(w):
+            print(f"FAIL {name}: dtype kinds {kinds(g)} != {kinds(w)} for {list(g.columns)}")
+            failures += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, atol=1e-6)
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
             print(f"ok   {name}: {len(g)} rows MATCH [{secs:.1f}s]")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch: {str(e)[:300]}")
