@@ -42,6 +42,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.analysis import _WORD
@@ -135,56 +136,102 @@ def _cc_step(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cc_final(g: pd.DataFrame) -> pd.DataFrame:
+    """Final label fold for one bucket, plus the convergence canary: if any
+    node still has an unapplied incoming message (kind 2) below its folded
+    label, one more round WOULD change labels — emit a sentinel row
+    (doc_id = -1, cluster_id = would-change count) so the driver can raise
+    instead of silently under-converging at 100× graph diameters (node ids
+    are non-negative doc ids / 63-bit hashes, so -1 is unambiguous)."""
     if len(g) == 0:
         return pd.DataFrame(
             {c: pd.Series([], dtype="int64") for c in ("doc_id", "cluster_id")}
         )
     lbl = g[g["kind"] != 1]
     fin = lbl.groupby("node", as_index=False)["val"].min()
-    return pd.DataFrame(
-        {"doc_id": fin["node"], "cluster_id": fin["val"]}
-    ).astype("int64")
+    out = pd.DataFrame({"doc_id": fin["node"], "cluster_id": fin["val"]}).astype(
+        "int64"
+    )
+    cur = g[g["kind"] == 0].groupby("node")["val"].min()
+    inc = g[g["kind"] == 2].groupby("node")["val"].min()
+    if len(cur) and len(inc):
+        common = inc.index.intersection(cur.index)
+        n_change = int((inc.loc[common] < cur.loc[common]).sum())
+        if n_change:
+            out = pd.concat(
+                [out, pd.DataFrame({"doc_id": [-1], "cluster_id": [n_change]})],
+                ignore_index=True,
+            ).astype("int64")
+    return out
+
+
+_CC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
 
 
 def connected_components(
     pairs: rd.Dataset, iterations: int = CC_ITERATIONS
-) -> pd.DataFrame:
-    """(doc_a, doc_b) pair Dataset → (doc_id, cluster_id) for every node in
-    a pair, cluster_id = min doc_id of the component. All rounds chain
-    lazily — ONE streaming execution of K+1 NB-key bucket groupbys."""
-    empty = pd.DataFrame(
-        {c: pd.Series([], dtype="int64") for c in ("doc_id", "cluster_id")}
-    )
+) -> rd.Dataset:
+    """(doc_a, doc_b) pair Dataset → MATERIALIZED (doc_id, cluster_id)
+    Dataset for every node in a pair, cluster_id = min doc_id of the
+    component. All rounds chain lazily — ONE streaming execution of K+1
+    NB-key bucket groupbys; labels never land on the driver (the dup-node
+    table is O(corpus × dup-rate) at 100 TB). Raises RuntimeError if the
+    round budget under-converged (sentinel check, one metadata aggregate)."""
     if pairs.count() == 0:  # metadata-only on the materialized pair table
-        return empty
+        return rd.from_arrow(_CC_SCHEMA.empty_table())
     state = pairs.map_batches(_cc_state_seed, batch_format="pandas")
     for _ in range(iterations):
         state = state.groupby("bucket").map_groups(_cc_step, batch_format="pandas")
     out = (
         state.groupby("bucket")
         .map_groups(_cc_final, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    if len(out) == 0:
-        return empty
-    return out.astype("int64")
+    from ray.data.aggregate import Min
+
+    mn = out.aggregate(Min("doc_id"))["min(doc_id)"]
+    if mn is not None and mn < 0:
+        raise RuntimeError(
+            f"connected_components: label propagation did not converge in "
+            f"{iterations} rounds (unapplied lower labels remain) — raise "
+            f"the iteration budget for this graph's contracted diameter"
+        )
+    return out
 
 
-_CC_CACHE: dict[str, pd.DataFrame] = {}
+def cc_drop_ids(labels: rd.Dataset) -> rd.Dataset:
+    """Non-canonical cluster members as a (drop_id) Dataset — the dedup
+    DROP side, derived as a Dataset filter so it can anti-join partitioned
+    (never a driver-side set)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["doc_id"], t["cluster_id"])
+        return pa.table({"drop_id": t.filter(keep)["doc_id"]})
+
+    return labels.map_batches(f, batch_format="pyarrow")
 
 
-def _doc_clusters(sf_dir: str) -> pd.DataFrame:
-    """Cluster labels over the corpus's near-dup pairs, cached per sf_dir
-    (dup-node-sized; shared by the cluster-listing and corpus-terminal
-    queries)."""
+_CC_CACHE: dict[str, rd.Dataset] = {}
+
+
+def _doc_clusters(sf_dir: str) -> rd.Dataset:
+    """Cluster labels over the corpus's near-dup pairs as a materialized
+    Dataset, cached per sf_dir (object-store-resident, dup-node-sized;
+    shared by the cluster-listing and corpus-terminal queries)."""
     key = os.path.normpath(sf_dir)
     if key not in _CC_CACHE:
-        _CC_CACHE[key] = connected_components(ngram_pair_dataset(sf_dir))
-    return _CC_CACHE[key].copy()
+        from .neardup import _cache_put
+
+        _cache_put(_CC_CACHE, key, connected_components(ngram_pair_dataset(sf_dir)))
+    return _CC_CACHE[key]
 
 
 def q_doc_dedup_clusters(sf_dir: str) -> pd.DataFrame:
-    lab = _doc_clusters(sf_dir)
+    # epilogue: the label table IS this query's contract-bound result
+    lab = _doc_clusters(sf_dir).to_pandas()
+    if len(lab) == 0:
+        lab = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_id", "cluster_id")}
+        )
     lab["keep"] = (lab["doc_id"] == lab["cluster_id"]).astype("int64")
     return lab.sort_values("doc_id").reset_index(drop=True)
 
@@ -219,22 +266,22 @@ def q_doc_decontaminate(sf_dir: str) -> pd.DataFrame:
     benchmark membership bit rides the shingle rows."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        out_sh: list[int] = []
-        out_doc: list[int] = []
-        out_bench: list[int] = []
-        for d, sh in zip(batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()):
-            out_sh.extend(sh)
-            out_doc.extend([d] * len(sh))
-            out_bench.extend([1 if d % BENCH_MOD == 0 else 0] * len(sh))
+        # vectorized list explode: child buffer + parent indices (no Python
+        # row loop on the corpus-sized stream)
+        sh_col = batch["shingles"].combine_chunks()
+        flat = pc.cast(pc.list_flatten(sh_col), pa.int64())
+        parent = pc.list_parent_indices(sh_col)
+        doc = pc.take(batch["doc_id"].combine_chunks(), parent)
+        is_bench = (doc.to_numpy(zero_copy_only=False) % BENCH_MOD == 0).astype(
+            np.int64
+        )
         t = pa.Table.from_pydict(
             {
-                "sh": pa.array(out_sh, pa.int64()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "is_bench": pa.array(out_bench, pa.int64()),
+                "sh": flat,
+                "doc_id": doc,
+                "is_bench": pa.array(is_bench, pa.int64()),
             }
         )
-        import pyarrow.compute as pc
-
         return t.append_column(
             "bucket", pc.cast(pc.bit_wise_and(t["sh"], NUM_BUCKETS - 1), pa.int64())
         )
@@ -639,14 +686,12 @@ def q_doc_dedup_corpus(sf_dir: str) -> pd.DataFrame:
     side never leaves the cluster — a hash-partitioned
     ``Dataset.join(left_anti)`` (the J4/A8 machinery), folded to integer
     invariants (counts + kept doc_id checksum) for the hash gate."""
-    lab = _doc_clusters(sf_dir)
-    drop = lab[lab["doc_id"] != lab["cluster_id"]][["doc_id"]]
+    drop_ds = cc_drop_ids(_doc_clusters(sf_dir)).materialize()
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     n_docs = docs.count()
-    if len(drop) == 0:
+    if drop_ds.count() == 0:
         kept = docs
     else:
-        drop_ds = rd.from_pandas(drop.rename(columns={"doc_id": "drop_id"}))
         kept = docs.join(
             drop_ds, "left_anti", num_partitions=8, on=("doc_id",), right_on=("drop_id",)
         )
@@ -1010,6 +1055,15 @@ def q_doc_search_terms(sf_dir: str) -> pd.DataFrame:
         .map_batches(match, batch_format="pyarrow")
         .to_pandas()
     )
+    if "doc_id" not in out.columns:  # all blocks empty → schema-less frame
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                **{
+                    f"n_{t}": pd.Series([], dtype="int64") for t in SEARCH_TERMS
+                },
+            }
+        )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

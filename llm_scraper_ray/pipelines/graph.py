@@ -34,6 +34,11 @@ import ray.data as rd
 from .neardup import NUM_BUCKETS
 
 DAMPING = 0.85
+# PR_ITERATIONS is a SPEC constant, not a convergence budget: the sequential
+# oracle (oracle_triplets.sequential_pagerank) runs the identical 10 power
+# iterations, so "N rounds of PageRank" is the operator's exact semantics —
+# unlike CC / k-core, where fixed rounds approximate a fixpoint and the
+# engine carries sentinel-based non-convergence detection.
 PR_ITERATIONS = 10
 PR_ROUND = 6
 
@@ -422,13 +427,25 @@ def _make_kc_step(k: int):
 
 
 def _kc_final(g: pd.DataFrame) -> pd.DataFrame:
-    """Surviving adjacency rows → distinct alive nodes. A leftover kill
-    notice here would mean the round budget was too small; the caller's
-    oracle hash equality is the convergence proof (the CC contract)."""
-    adj = g[g["kind"] == _C_ADJ] if len(g) else g
-    if len(adj) == 0:
+    """Surviving adjacency rows → distinct alive nodes, plus the
+    convergence canary: a leftover kill notice that still matches a
+    surviving adjacency row means the cascade budget was too small — emit
+    a sentinel (node = -1) so the caller raises instead of silently
+    returning a superset of the k-core (node ids are non-negative)."""
+    if len(g) == 0:
         return pd.DataFrame({"node": pd.Series([], dtype="int64")})
-    return pd.DataFrame({"node": adj["node"].unique().astype(np.int64)})
+    adj = g[g["kind"] == _C_ADJ]
+    kills = g[g["kind"] == _C_KILL]
+    out = pd.DataFrame({"node": adj["node"].unique().astype(np.int64)})
+    if len(kills) and len(adj):
+        hit = kills[["node", "peer"]].drop_duplicates().merge(
+            adj[["node", "peer"]], on=["node", "peer"], how="inner"
+        )
+        if len(hit):
+            out = pd.concat(
+                [out, pd.DataFrame({"node": [-1]})], ignore_index=True
+            ).astype("int64")
+    return out
 
 
 def kcore(edges: rd.Dataset, k: int, rounds: int = KCORE_ROUNDS) -> pd.DataFrame:
@@ -439,7 +456,8 @@ def kcore(edges: rd.Dataset, k: int, rounds: int = KCORE_ROUNDS) -> pd.DataFrame
     only cross-bucket kill notices (O(cut edges removed) rows — never
     adjacency, degrees, or node sets on the driver); all rounds chain
     lazily into ONE streaming execution. ``rounds`` bounds cross-bucket
-    cascade depth; callers verify convergence by oracle equality."""
+    cascade depth; an unapplied kill notice in the final state RAISES
+    (sentinel check) instead of silently returning a k-core superset."""
     state = edges.map_batches(_kc_seed, batch_format="pandas")
     for _ in range(rounds):
         state = state.groupby("bucket").map_groups(
@@ -450,4 +468,10 @@ def kcore(edges: rd.Dataset, k: int, rounds: int = KCORE_ROUNDS) -> pd.DataFrame
     )
     if len(out) == 0:
         return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+    if (out["node"] < 0).any():
+        raise RuntimeError(
+            f"kcore: peel cascade did not converge in {rounds} rounds "
+            f"(unapplied kill notices remain) — raise the round budget for "
+            f"this graph's cross-bucket cascade depth"
+        )
     return out

@@ -58,6 +58,20 @@ def _read_docs(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 # shared shingle pass (cached per sf_dir)
 
+_CACHE_MAX_CORPORA = 4  # bound object-store pins across many corpora/session
+
+
+def _cache_put(cache: dict, key: str, val):
+    """Insert with a small FIFO bound — evicting the Dataset handle lets the
+    object store reclaim its pinned blocks when a session walks many
+    sf_dirs (the cached Datasets live in the object store, not the driver
+    heap, but pins are still bounded memory)."""
+    while len(cache) >= _CACHE_MAX_CORPORA:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
+    return val
+
+
 _SHINGLE_CACHE: dict[str, rd.Dataset] = {}
 
 
@@ -90,8 +104,7 @@ def doc_shingles(sf_dir: str) -> rd.Dataset:
         )
 
     ds = _read_docs(sf_dir).map_batches(shingle_batch, batch_format="pyarrow").materialize()
-    _SHINGLE_CACHE[key] = ds
-    return ds
+    return _cache_put(_SHINGLE_CACHE, key, ds)
 
 
 # ---------------------------------------------------------------------------
@@ -127,26 +140,20 @@ def ngram_pair_sums(sf_dir: str) -> rd.Dataset:
     max df 4 — so the hash compare is exact)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        out_sh: list[int] = []
-        out_doc: list[int] = []
-        out_n: list[int] = []
-        for d, sh, n in zip(
-            batch["doc_id"].to_pylist(),
-            batch["shingles"].to_pylist(),
-            batch["n_sh"].to_pylist(),
-        ):
-            out_sh.extend(sh)
-            out_doc.extend([d] * len(sh))
-            out_n.extend([n] * len(sh))
-        t = pa.Table.from_pydict(
-            {
-                "sh": pa.array(out_sh, pa.int64()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "n_sh": pa.array(out_n, pa.int64()),
-            }
-        )
+        # vectorized list explode: child buffer + parent indices (no Python
+        # row loop on the corpus-sized stream)
         import pyarrow.compute as pc
 
+        sh_col = batch["shingles"].combine_chunks()
+        flat = pc.cast(pc.list_flatten(sh_col), pa.int64())
+        parent = pc.list_parent_indices(sh_col)
+        t = pa.Table.from_pydict(
+            {
+                "sh": flat,
+                "doc_id": pc.take(batch["doc_id"].combine_chunks(), parent),
+                "n_sh": pc.take(batch["n_sh"].combine_chunks(), parent),
+            }
+        )
         return t.append_column(
             "bucket", pc.cast(pc.bit_wise_and(t["sh"], NUM_BUCKETS - 1), pa.int64())
         )
@@ -199,7 +206,7 @@ def ngram_pair_sums(sf_dir: str) -> rd.Dataset:
         .map_groups(sum_pairs, batch_format="pandas")
         .materialize()  # candidate-mass-sized (df-capped); shared downstream
     )
-    _SUMS_CACHE[key] = ds
+    _cache_put(_SUMS_CACHE, key, ds)
     return ds
 
 
@@ -231,7 +238,7 @@ def ngram_pair_dataset(sf_dir: str) -> rd.Dataset:
         .map_batches(thresholded, batch_format="pyarrow")
         .materialize()
     )
-    _PAIR_CACHE[key] = ds
+    _cache_put(_PAIR_CACHE, key, ds)
     return ds
 
 

@@ -1408,10 +1408,9 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     bucket groups. Output = one integer row per surviving source
     (count, doc_id checksum, token mass) — the whole chain hash-gated
     by ONE composed SQL oracle."""
-    from .curation import QUOTA_K, _doc_clusters, _source_bucket
+    from .curation import QUOTA_K, _doc_clusters, _source_bucket, cc_drop_ids
 
-    lab = _doc_clusters(sf_dir)
-    drop = lab[lab["doc_id"] != lab["cluster_id"]][["doc_id"]]
+    drop_ds = cc_drop_ids(_doc_clusters(sf_dir)).materialize()
 
     def verdict(batch: pd.DataFrame) -> pd.DataFrame:
         keep = [
@@ -1430,8 +1429,7 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     kept = _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
         verdict, batch_format="pandas"
     )
-    if len(drop):
-        drop_ds = rd.from_pandas(drop.rename(columns={"doc_id": "drop_id"}))
+    if drop_ds.count():
         kept = kept.join(
             drop_ds, "left_anti", num_partitions=8, on=("doc_id",), right_on=("drop_id",)
         )
@@ -2667,7 +2665,8 @@ def q_kg_components(sf_dir: str) -> pd.DataFrame:
     ha = _kg_node_hash(tri["subj_type"], tri["subj_name"])
     hb = _kg_node_hash(tri["obj_type"], tri["obj_name"])
     pairs = rd.from_pandas(pd.DataFrame({"doc_a": ha, "doc_b": hb}))
-    lab = connected_components(pairs).set_index("doc_id")["cluster_id"]
+    # epilogue: KG node labels are bounded by this query's result size
+    lab = connected_components(pairs).to_pandas().set_index("doc_id")["cluster_id"]
     nodes = pd.DataFrame(
         {
             "node_type": pd.concat([tri["subj_type"], tri["obj_type"]]),
@@ -3130,7 +3129,8 @@ def q_embedding_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     pairs = rd.read_parquet(emb_path, columns=["vec_id", "embedding"]).map_batches(
         pairs_batch, batch_format="pyarrow", batch_size=1024
     )
-    lab = connected_components(pairs.materialize())
+    # epilogue: the label table IS this query's contract-bound result
+    lab = connected_components(pairs.materialize()).to_pandas()
     if len(lab) == 0:
         return pd.DataFrame(
             {

@@ -165,7 +165,7 @@ def test_connected_components_deep_chain(ray_session):
     )
     tri = pd.DataFrame({"doc_a": [7, 7, 8], "doc_b": [8, 9, 9]})
     pairs = rd.from_pandas(pd.concat([chain, tri], ignore_index=True))
-    lab = connected_components(pairs, iterations=8).sort_values("doc_id")
+    lab = connected_components(pairs, iterations=8).to_pandas().sort_values("doc_id")
     assert set(lab.loc[lab["doc_id"] >= 100, "cluster_id"]) == {100}
     assert set(lab.loc[lab["doc_id"] < 100, "cluster_id"]) == {7}
     assert len(lab) == 21
@@ -179,8 +179,22 @@ def test_connected_components_default_rounds_cover_moderate_chains(ray_session):
     from llm_scraper_ray.pipelines.curation import connected_components
 
     chain = pd.DataFrame({"doc_a": list(range(0, 8)), "doc_b": list(range(1, 9))})
-    lab = connected_components(rd.from_pandas(chain))
+    lab = connected_components(rd.from_pandas(chain)).to_pandas()
     assert set(lab["cluster_id"]) == {0} and len(lab) == 9
+
+
+def test_connected_components_underbudget_raises(ray_session):
+    """A deliberately-too-small round budget must RAISE, not silently
+    return under-converged labels (the 100×-graph safety net): a 40-node
+    chain needs ~log2(40) contraction rounds; 1 round cannot finish it."""
+    import pytest
+    import ray.data as rd
+
+    from llm_scraper_ray.pipelines.curation import connected_components
+
+    chain = pd.DataFrame({"doc_a": list(range(0, 40)), "doc_b": list(range(1, 41))})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(rd.from_pandas(chain), iterations=1)
 
 
 def test_doc_dedup_clusters_matches_oracle(ray_session):

@@ -256,6 +256,26 @@ def test_kcore_synthetic_cross_bucket_cascade(ray_session):
     assert alive5 == set()
 
 
+def test_kcore_underbudget_raises(ray_session):
+    """A round budget smaller than the cross-bucket cascade depth must
+    RAISE (unapplied kill notices detected), not return a k-core
+    superset: a long pendant chain peels one cross-bucket hop per round."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from llm_scraper_ray.pipelines.graph import kcore
+
+    clique = [101, 102, 103, 104, 105]
+    edges = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1 :]]
+    # pendant chain of 8 nodes in 8 distinct buckets: needs ~8 rounds at k=2
+    chain = [105, 1, 2, 3, 4, 5, 6, 7, 8]
+    edges += list(zip(chain, chain[1:]))
+    df = pd.DataFrame({"a": [min(e) for e in edges], "b": [max(e) for e in edges]})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(rd.from_pandas(df), k=2, rounds=2)
+
+
 def test_kg_kcore_equals_sequential_oracle(ray_session):
     """Engine kg_kcore == the persisted set-based sequential peel (true
     fixpoint, no buckets) — convergence of the round budget included."""
