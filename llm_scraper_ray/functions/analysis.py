@@ -52,6 +52,23 @@ def count_tokens_bpe(text: str) -> int:
     return len(_TOKEN_BPE.findall(text))
 
 
+def bpe_apply_merge(symbols: list[str], left: str, right: str) -> list[str]:
+    """One BPE merge applied greedily left-to-right, non-overlapping — the
+    per-word kernel shared by the distributed trainer and the sequential
+    oracle (the orchestration differs; the record-level kernel is the
+    behavioral contract, the CascadeExtract pattern)."""
+    out: list[str] = []
+    i, n = 0, len(symbols)
+    while i < n:
+        if i + 1 < n and symbols[i] == left and symbols[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
 def lang_id(text: str) -> str:
     """Stopword-hit language heuristic; 'und' (undetermined) when no signal."""
     words = _WORD.findall(text.lower())

@@ -733,6 +733,153 @@ FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropset)
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup: incoming slice vs the existing corpus (the daily-
+# ingestion shape — only NEW docs that near-duplicate an EXISTING doc are
+# flagged; new-vs-new dups are the next full-dedup pass's job)
+
+INCR_NUM, INCR_DEN = 4, 5  # existing = doc_id < (max_id * 4) // 5
+
+
+def q_doc_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental near-dup check of an incoming corpus slice against the
+    existing corpus (doc_id is ingestion-ordered; the newest fifth is the
+    incoming batch). Reuses the shared cached pair shuffle — the split is
+    a pure per-batch filter over canonical (doc_a < doc_b) pairs, since
+    existing < T <= incoming orients every cross-boundary pair; per-doc
+    partner stats fold inside doc-hash buckets (no new all-to-all)."""
+    import pyarrow.parquet as pq
+
+    from .neardup import ngram_pair_dataset
+
+    meta = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    t_split = (int(pc.max(meta["doc_id"]).as_py()) * INCR_NUM) // INCR_DEN
+
+    def straddling(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(t["doc_a"], pa.scalar(t_split)),
+            pc.greater_equal(t["doc_b"], pa.scalar(t_split)),
+        )
+        f = t.filter(keep)
+        out = pa.table({"doc_id": f["doc_b"], "partner": f["doc_a"]})
+        return out.append_column(
+            "bucket",
+            pc.cast(pc.bit_wise_and(out["doc_id"], NUM_BUCKETS - 1), pa.int64()),
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype="int64")
+                    for c in ("doc_id", "n_dup_existing", "first_partner")
+                }
+            )
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_dup_existing=("partner", "size"), first_partner=("partner", "min")
+        )
+        return out.astype("int64")
+
+    out = (
+        ngram_pair_dataset(sf_dir)
+        .map_batches(straddling, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in ("doc_id", "n_dup_existing", "first_partner")
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_INCREMENTAL_DEDUP = f"""
+WITH {NGRAM_PAIRS_CTE},
+t AS (SELECT (max(doc_id) * {INCR_NUM}) // {INCR_DEN} AS split FROM documents)
+SELECT doc_b AS doc_id,
+       count(*) AS n_dup_existing,
+       min(doc_a) AS first_partner
+FROM pairs, t WHERE doc_a < t.split AND doc_b >= t.split
+GROUP BY doc_b ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dup-cluster size histogram (dedup telemetry: how much mass sits in how
+# large families — the number a curation run reports before dropping)
+
+
+def q_doc_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Cluster-size histogram over the near-dup connected components:
+    (cluster_size, n_clusters). A cluster id is whole within its hash
+    bucket (labels bucket by cluster_id), so per-cluster sizes are exact
+    in-bucket; the per-bucket (size → count) partials are O(distinct
+    sizes) rows and fold in the driver epilogue (bounded by NB × max
+    family size, metadata-scale)."""
+    lab = _doc_clusters(sf_dir)
+
+    def bucket_sizes(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("cluster_size", "n")}
+            )
+        sz = g.groupby("cluster_id").size()
+        out = sz.value_counts().rename_axis("cluster_size").reset_index(name="n")
+        return out.astype("int64")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pc.cast(pc.bit_wise_and(t["cluster_id"], NUM_BUCKETS - 1), pa.int64()),
+        )
+
+    parts = (
+        lab.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_sizes, batch_format="pandas")
+        .to_pandas()
+    )
+    if "cluster_size" not in parts.columns or len(parts) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("cluster_size", "n_clusters")}
+        )
+    out = (
+        parts.groupby("cluster_size", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_clusters"})
+    )
+    return out.sort_values("cluster_size").reset_index(drop=True).astype("int64")
+
+
+SQL_DOC_DUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE {NGRAM_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+csizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT cluster_size, count(*) AS n_clusters
+FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus-frequency word statistics (unigram LM scoring + keyword extraction)
 # Both ride ONE instance-level (doc_id, word) explosion bucketed by a stable
 # word hash: a word's rows all land in one bucket, so its GLOBAL count is
@@ -1590,6 +1737,139 @@ WITH words AS (
 SELECT substr(w, CAST(i AS INT), 2) AS pair, count(*) AS n
 FROM pos GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# iterative BPE merge-table induction (tokenizer TRAINING, not just the
+# first-merge statistic): R rounds of global-argmax pair selection + merge
+# application over the corpus word-frequency table
+
+BPE_MERGES = 8
+
+
+def q_vocab_bpe_train(sf_dir: str) -> pd.DataFrame:
+    """Train a BPE merge table IN the engine — the iterative
+    alternating-global-argmax class (select the corpus-wide best pair,
+    apply it everywhere, repeat): the shape tokenizer training, k-means
+    and boosting share. Distributed form per round: each batch folds its
+    symbol stream to (left, right, Σfreq) pair partials keyed by a stable
+    pair hash; in-bucket sums are GLOBAL (a pair is whole within its
+    bucket) and each bucket's (count DESC, pair ASC) top-1 provably
+    contains the global argmax, so the driver folds only NB candidate
+    rows per round. The winning pair closes over the next round's
+    vectorized merge map. Data volume is VOCAB-sized (the word-frequency
+    fold comes first), not corpus-sized — the 100-TB-safe formulation.
+    Oracle: sequential dict-based trainer, persisted
+    (oracle_analysis.persist_expected_bpe)."""
+    import zlib
+
+    from ..functions.analysis import bpe_apply_merge
+
+    def wfold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"word": pd.Series([], dtype=object), "freq": pd.Series([], dtype="int64")}
+            )
+        out = g.groupby("word", as_index=False).size().rename(columns={"size": "freq"})
+        return out.astype({"freq": "int64"})
+
+    def seed(t: pa.Table) -> pa.Table:
+        words = t["word"].to_pylist()
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "freq": pc.cast(t["freq"].combine_chunks(), pa.int64()),
+                "symbols": pa.array([list(w) for w in words], pa.list_(pa.string())),
+            }
+        )
+
+    vocab = (
+        _word_instance_rows(sf_dir)
+        .groupby("bucket")
+        .map_groups(wfold, batch_format="pandas")
+        .map_batches(seed, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for syms, f in zip(t["symbols"].to_pylist(), t["freq"].to_pylist()):
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += f
+        lefts, rights, cnts, bks = [], [], [], []
+        for (le, ri), n in c.items():
+            lefts.append(le)
+            rights.append(ri)
+            cnts.append(n)
+            bks.append(zlib.crc32(f"{le}\x00{ri}".encode()) % NUM_BUCKETS)
+        return pa.table(
+            {
+                "left": pa.array(lefts, pa.string()),
+                "right": pa.array(rights, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "bucket": pa.array(bks, pa.int64()),
+            }
+        )
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "left": pd.Series([], dtype=object),
+                    "right": pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        s = g.groupby(["left", "right"], as_index=False)["cnt"].sum()
+        s = s.sort_values(
+            ["cnt", "left", "right"], ascending=[False, True, True], kind="stable"
+        )
+        return s.head(1).astype({"cnt": "int64"})
+
+    merges: list[tuple] = []
+    for r in range(1, BPE_MERGES + 1):
+        cand = (
+            vocab.map_batches(partials, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(top1, batch_format="pandas")
+            .to_pandas()
+        )
+        if "left" not in cand.columns or len(cand) == 0:
+            break
+        cand = cand.sort_values(
+            ["cnt", "left", "right"], ascending=[False, True, True], kind="stable"
+        )
+        left, right, cnt = (
+            str(cand.iloc[0]["left"]),
+            str(cand.iloc[0]["right"]),
+            int(cand.iloc[0]["cnt"]),
+        )
+        merges.append((r, left, right, cnt))
+
+        def apply(t: pa.Table, L=left, R=right) -> pa.Table:
+            syms = [bpe_apply_merge(s, L, R) for s in t["symbols"].to_pylist()]
+            return pa.table(
+                {
+                    "word": t["word"].combine_chunks(),
+                    "freq": t["freq"].combine_chunks(),
+                    "symbols": pa.array(syms, pa.list_(pa.string())),
+                }
+            )
+
+        vocab = vocab.map_batches(apply, batch_format="pyarrow").materialize()
+
+    if not merges:
+        return pd.DataFrame(
+            {
+                "round": pd.Series([], dtype="int64"),
+                "left": pd.Series([], dtype=object),
+                "right": pd.Series([], dtype=object),
+                "count": pd.Series([], dtype="int64"),
+            }
+        )
+    return pd.DataFrame(merges, columns=["round", "left", "right", "count"]).astype(
+        {"round": "int64", "count": "int64"}
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -391,3 +391,46 @@ def persist_expected_judgments(sf_dir: str, gate_keywords: tuple[str, ...]) -> s
             )
         )
     return _write(path, pd.DataFrame(rows, columns=["claim", "is_correct", "confidence"]))
+
+
+def persist_expected_bpe(sf_dir: str, merges: int) -> str:
+    """BPE merge-table induction, SEQUENTIALLY: a plain dict-based trainer
+    over the corpus word-frequency table — Counter pair counts, argmax by
+    (count DESC, pair ASC), greedy merge application via the shared
+    per-word kernel (``analysis.bpe_apply_merge``) — independent of the
+    engine's bucket-grouped distributed rounds."""
+    path = _cache_path(sf_dir, f"bpe{merges}")
+    if os.path.exists(path):
+        return path
+    from collections import Counter
+
+    from ..functions.analysis import _WORD, bpe_apply_merge
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    freq: Counter = Counter()
+    for txt in docs["text"].to_pylist():
+        freq.update(_WORD.findall(txt.lower()))
+    symbols = {w: list(w) for w in freq}
+    rows = []
+    for r in range(1, merges + 1):
+        pairs: Counter = Counter()
+        for w, f in freq.items():
+            s = symbols[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        (left, right), count = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rows.append((r, left, right, count))
+        for w in freq:
+            symbols[w] = bpe_apply_merge(symbols[w], left, right)
+    return _write(
+        path,
+        pd.DataFrame(rows, columns=["round", "left", "right", "count"]).astype(
+            {"round": "int64", "count": "int64"}
+        ),
+    )

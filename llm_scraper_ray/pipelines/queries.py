@@ -2035,6 +2035,11 @@ def all_queries():
         "kg_kcore": q_kg_kcore,
         "doc_dedup_clusters": _curation.q_doc_dedup_clusters,
         "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
+        # incremental ingestion dedup + dup-family telemetry (round 4)
+        "doc_incremental_dedup": _curation.q_doc_incremental_dedup,
+        "doc_dup_cluster_sizes": _curation.q_doc_dup_cluster_sizes,
+        # iterative BPE merge-table induction (tokenizer training)
+        "vocab_bpe_train": _curation.q_vocab_bpe_train,
         "curation_pipeline": q_curation_pipeline,
         "doc_decontaminate": _curation.q_doc_decontaminate,
         "doc_repetition": _curation.q_doc_repetition,
@@ -2061,10 +2066,10 @@ def all_queries():
         "events_funnel": _analytics.q_events_funnel,
         "events_range_join": _analytics.q_events_range_join,
         "events_debounce": _analytics.q_events_debounce,
+        # --- end of the round-4 driver-checked window (50 entries) ---
         "events_window_count": _analytics.q_events_window_count,
         "orders_cube": _analytics.q_orders_cube,
         "events_retention": _analytics.q_events_retention,
-        # --- end of the round-4 driver-checked window ---
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2357,6 +2362,7 @@ def _analysis_oracle_sqls() -> dict[str, str]:
         persist_expected_image_entities,
         persist_expected_judgments,
         persist_expected_media,
+        persist_expected_bpe,
         persist_expected_minhash,
         persist_expected_pr_macro,
         persist_expected_simhash,
@@ -2368,6 +2374,11 @@ def _analysis_oracle_sqls() -> dict[str, str]:
             "SELECT url_hash, product_name, manufacturer, n_fields, skipped FROM "
             f"read_parquet('{persist_expected_fields(sf, _PRODUCT_CONFIG)}') "
             "ORDER BY url_hash"
+        ),
+        "vocab_bpe_train": (
+            'SELECT "round", "left", "right", "count" FROM '
+            f"read_parquet('{persist_expected_bpe(sf, _curation.BPE_MERGES)}') "
+            'ORDER BY "round"'
         ),
         "minhash_lsh_dups": (
             "SELECT doc_a, doc_b, jaccard FROM "
@@ -2476,6 +2487,8 @@ def all_oracle_sql():
         "events_chi_square": _curation.SQL_EVENTS_CHI_SQUARE,
         "source_divergence": _curation.SQL_SOURCE_DIVERGENCE,
         "doc_dedup_corpus": _curation.SQL_DOC_DEDUP_CORPUS,
+        "doc_incremental_dedup": _curation.SQL_DOC_INCREMENTAL_DEDUP,
+        "doc_dup_cluster_sizes": _curation.SQL_DOC_DUP_CLUSTER_SIZES,
         "doc_unigram_scores": _curation.SQL_DOC_UNIGRAM_SCORES,
         "doc_rarest_term": _curation.SQL_DOC_RAREST_TERM,
         "curation_pipeline": _sql_curation_pipeline(),

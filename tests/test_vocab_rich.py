@@ -116,3 +116,18 @@ def test_word_stat_query_hash_matches_on_rich_vocab(ray_session, rich_dir, name)
         w[c].dtype.kind for c in w.columns
     ], f"{name}: dtype kind drift"
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+def test_bpe_train_matches_sequential_oracle_on_rich_vocab(ray_session, rich_dir):
+    """The iterative BPE trainer's distributed rounds (bucket-grouped pair
+    partials, per-bucket provable top-1 cut, closure-broadcast merge) must
+    reproduce the sequential dict trainer merge-for-merge on a corpus with
+    real pair-frequency competition."""
+    from llm_scraper_ray.pipelines.curation import BPE_MERGES, q_vocab_bpe_train
+    from llm_scraper_ray.pipelines.oracle_analysis import persist_expected_bpe
+
+    got = q_vocab_bpe_train(rich_dir)
+    want = pd.read_parquet(persist_expected_bpe(rich_dir, BPE_MERGES))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
