@@ -199,15 +199,19 @@ def connected_components(
 
 
 def cc_drop_ids(labels: rd.Dataset) -> rd.Dataset:
-    """Non-canonical cluster members as a (drop_id) Dataset — the dedup
-    DROP side, derived as a Dataset filter so it can anti-join partitioned
-    (never a driver-side set)."""
+    """Non-canonical cluster members as a MATERIALIZED (drop_id) Dataset —
+    the dedup DROP side, derived as a Dataset filter so it can anti-join
+    partitioned (never a driver-side set). Scrubbed of empty blocks: the
+    CC label table carries empty pandas blocks which pass through this
+    schema-changing map UN-CALLED and would poison the anti-join's hash
+    partitions (``scrub_empty_blocks``)."""
+    from .neardup import scrub_empty_blocks
 
     def f(t: pa.Table) -> pa.Table:
         keep = pc.not_equal(t["doc_id"], t["cluster_id"])
         return pa.table({"drop_id": t.filter(keep)["doc_id"]})
 
-    return labels.map_batches(f, batch_format="pyarrow")
+    return scrub_empty_blocks(labels.map_batches(f, batch_format="pyarrow"))
 
 
 _CC_CACHE: dict[str, rd.Dataset] = {}
@@ -686,7 +690,7 @@ def q_doc_dedup_corpus(sf_dir: str) -> pd.DataFrame:
     side never leaves the cluster — a hash-partitioned
     ``Dataset.join(left_anti)`` (the J4/A8 machinery), folded to integer
     invariants (counts + kept doc_id checksum) for the hash gate."""
-    drop_ds = cc_drop_ids(_doc_clusters(sf_dir)).materialize()
+    drop_ds = cc_drop_ids(_doc_clusters(sf_dir))
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     n_docs = docs.count()
     if drop_ds.count() == 0:

@@ -72,6 +72,29 @@ def _cache_put(cache: dict, key: str, val):
     return val
 
 
+def scrub_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Materialize ``ds`` and rebuild it from only the NON-EMPTY blocks.
+
+    ``map_batches`` passes empty input blocks through WITHOUT calling the
+    UDF, so a schema-CHANGING map over a stream containing empty blocks
+    emits stale-schema empties; Ray's hash-shuffle join later concatenates
+    one into a partition and Acero fails with ``ArrowInvalid: No match or
+    multiple matches for key field`` (seen live: ``cc_drop_ids`` over CC
+    labels that carried empty pandas blocks). Dropping empty blocks is
+    exact (they hold no rows) and ref-only (no data moves; the refs keep
+    the blocks pinned). Every SURVIVING block must be Arrow — i.e. call
+    this right after a ``batch_format="pyarrow"`` map."""
+    import ray as _ray  # noqa: F401  (refs stay alive via the list)
+
+    mat = ds.materialize()
+    refs = [
+        r for b in mat.iter_internal_ref_bundles() for r, m in b.blocks if m.num_rows
+    ]
+    if not refs:
+        return mat  # all-empty: callers guard on count()==0 before joining
+    return rd.from_arrow_refs(refs)
+
+
 _SHINGLE_CACHE: dict[str, rd.Dataset] = {}
 
 
@@ -334,21 +357,24 @@ def grouped_pair_expansion(bucket_rows: rd.Dataset, df_cap: int = DF_CAP) -> rd.
     )
 
 
-def minhash_lsh_dups(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup detection, Jaccard-verified, distributed:
+_MINHASH_CAND_CACHE: dict[str, rd.Dataset] = {}
 
+
+def minhash_candidate_pairs(sf_dir: str) -> rd.Dataset:
+    """The UNVERIFIED MinHash-LSH candidate pair Dataset (doc_a < doc_b,
+    cross-band-deduped), cached per sf_dir — shared by the verified dup
+    query and the candidate-set quality eval (``neardup_eval``):
     signatures from the shared shingle table (vectorized per batch) →
     (band, band_hash) bucket rows → the same NB-key grouped pattern as
     ngram_jaccard_pairs (bucket-frequency 2..DF_CAP keep-band, in-group
     candidate pair emission) → cross-band pair dedup (second NB-key
-    groupby) → exact-Jaccard verification by joining the candidate pairs
-    back to the candidate docs' shingle sets (Dataset.join, both sides
-    near-dup-mass-bounded after a broadcast semi-filter of the shingle
-    table). No SQL oracle (hash semantics); pytest cross-checks vs the
-    exact pairs."""
+    groupby)."""
     import hashlib as _h
 
-    import ray
+    key = os.path.normpath(sf_dir)
+    hit = _MINHASH_CAND_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     a_co, b_co = A.minhash_coeffs(MINHASH_PERMS, seed=1)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
@@ -376,38 +402,60 @@ def minhash_lsh_dups(sf_dir: str) -> pd.DataFrame:
             "bucket", pc.cast(pc.bit_wise_and(t["bkey"], NUM_BUCKETS - 1), pa.int64())
         )
 
-    shingles = doc_shingles(sf_dir)
-    cands = grouped_pair_expansion(
-        shingles.map_batches(sig_batch, batch_format="pyarrow")
+    ds = grouped_pair_expansion(
+        doc_shingles(sf_dir).map_batches(sig_batch, batch_format="pyarrow")
     ).materialize()
+    return _cache_put(_MINHASH_CAND_CACHE, key, ds)
+
+
+def minhash_lsh_dups(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup detection, Jaccard-verified, distributed: the
+    shared candidate-pair Dataset (``minhash_candidate_pairs``) →
+    exact-Jaccard verification by joining the candidate pairs back to the
+    candidate docs' shingle sets (Dataset.join, both sides
+    near-dup-mass-bounded after a left_semi prune of the shingle table)."""
+    shingles = doc_shingles(sf_dir)
+    cands = minhash_candidate_pairs(sf_dir)
     if cands.count() == 0:
         return _empty_pairs("jaccard")
 
-    # verification: candidate-doc shingle sets only (near-dup-mass-bounded;
-    # the broadcast set is candidate ids, never the corpus)
-    need = set()
-    for b in cands.iter_batches(batch_format="pandas"):
-        need.update(int(x) for x in b["doc_a"])
-        need.update(int(x) for x in b["doc_b"])
-    need_ref = ray.put(need)
+    # verification: candidate-doc shingle sets only (near-dup-mass-bounded).
+    # The candidate-id side stays a Dataset end-to-end — per-batch distinct
+    # ids from the pair stream, then a hash-partitioned left_semi join
+    # prunes the packed shingle sets (no driver-side id set: dup mass is
+    # O(corpus) at 100 TB — same fix as embedding_dups_lsh, VERDICT r3 #3).
+    def pair_ids(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        both = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        )
+        return pa.table({"vid": pc.unique(both)})
+
+    cand_ids = scrub_empty_blocks(cands.map_batches(pair_ids, batch_format="pyarrow"))
 
     # shingle sets pack to binary blobs: list columns round-trip through
     # pandas as tensor-extension types pyarrow's join kernel rejects, and a
     # blob is one contiguous buffer per row anyway
-    def only_needed(batch: pd.DataFrame) -> pa.Table:
-        keep = ray.get(need_ref)
-        sel = batch[batch["doc_id"].isin(keep)]
+    def pack(batch: pd.DataFrame) -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(sel["doc_id"].astype("int64"), pa.int64()),
+                "doc_id": pa.array(batch["doc_id"].astype("int64"), pa.int64()),
                 "blob": pa.array(
-                    [np.asarray(s, dtype=np.int64).tobytes() for s in sel["shingles"]],
+                    [
+                        np.asarray(s, dtype=np.int64).tobytes()
+                        for s in batch["shingles"]
+                    ],
                     pa.binary(),
                 ),
             }
         )
 
-    filtered = shingles.map_batches(only_needed, batch_format="pandas").materialize()
+    filtered = (
+        shingles.map_batches(pack, batch_format="pandas")
+        .join(cand_ids, "left_semi", num_partitions=8, on=("doc_id",), right_on=("vid",))
+        .materialize()
+    )
 
     def _rename(key_name: str, blob_name: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -588,3 +636,85 @@ WHERE i * {CONTAIN_DEN} >= {CONTAIN_NUM} * sa.n_sh
    OR i * {CONTAIN_DEN} >= {CONTAIN_NUM} * sb.n_sh
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# candidate-set quality eval: LSH candidates vs the exact pair truth
+
+
+def neardup_eval(sf_dir: str) -> pd.DataFrame:
+    """Grade the MinHash-LSH CANDIDATE set against the exact n-gram-Jaccard
+    pair truth — the eval a dedup pipeline runs before trusting its
+    approximate stage: one integer row (n_exact, n_cands, n_hit), from
+    which precision = n_hit/n_cands and recall = n_hit/n_exact. Both pair
+    sets stay Datasets; tagged rows meet in pair-hash buckets (a pair is
+    whole within its bucket so the intersection is exact in-bucket); each
+    bucket emits one constant-size partial and the driver folds NB rows.
+    Oracle: exact side = the pairs CTE, candidate side = the persisted
+    sequential LSH candidate set (oracle_analysis)."""
+
+    def tag(src: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            a = pc.cast(t["doc_a"], pa.int64())
+            b = pc.cast(t["doc_b"], pa.int64())
+            pb = pc.cast(
+                pc.bit_wise_and(
+                    pc.add(pc.multiply(a, _PAIR_MIX), b), _MASK63
+                ),
+                pa.int64(),
+            )
+            n = len(t)
+            return pa.table(
+                {
+                    "doc_a": a,
+                    "doc_b": b,
+                    "src": pa.array(np.full(n, src, np.int64)),
+                    "pbucket": pa.array(
+                        pb.to_numpy(zero_copy_only=False) % NUM_BUCKETS, pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    exact = ngram_pair_dataset(sf_dir).map_batches(tag(0), batch_format="pyarrow")
+    cands = minhash_candidate_pairs(sf_dir).map_batches(tag(1), batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("n_exact", "n_cands", "n_hit")}
+            )
+        w = g.pivot_table(
+            index=["doc_a", "doc_b"], columns="src", aggfunc="size", fill_value=0
+        )
+        n_exact = int((w.get(0, 0) > 0).sum()) if 0 in w.columns else 0
+        n_cands = int((w.get(1, 0) > 0).sum()) if 1 in w.columns else 0
+        n_hit = (
+            int(((w.get(0, 0) > 0) & (w.get(1, 0) > 0)).sum())
+            if 0 in w.columns and 1 in w.columns
+            else 0
+        )
+        return pd.DataFrame(
+            {"n_exact": [n_exact], "n_cands": [n_cands], "n_hit": [n_hit]}
+        ).astype("int64")
+
+    parts = (
+        exact.union(cands)
+        .groupby("pbucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if "n_exact" not in parts.columns or len(parts) == 0:
+        return pd.DataFrame({c: [0] for c in ("n_exact", "n_cands", "n_hit")}).astype(
+            "int64"
+        )
+    return (
+        parts[["n_exact", "n_cands", "n_hit"]]
+        .sum()
+        .to_frame()
+        .T.astype("int64")
+        .reset_index(drop=True)
+    )

@@ -162,14 +162,9 @@ def persist_expected_fields(sf_dir: str, config: dict) -> str:
     )
 
 
-def persist_expected_minhash(sf_dir: str) -> str:
-    """MinHash+LSH near-dup pairs, sequentially: per-doc signature → band
-    digests → per-band-bucket pair emission with the 2..DF_CAP keep-band →
-    pair dedup → exact-Jaccard verification (``neardup.py`` semantics as a
-    plain dict-of-buckets loop)."""
-    path = _cache_path(sf_dir, "minhash")
-    if os.path.exists(path):
-        return path
+def _sequential_minhash_candidates(sf_dir: str):
+    """Shared sequential core: per-doc shingle sets + the deduped LSH
+    candidate pair set (pre-verification)."""
     import hashlib as _h
 
     import numpy as np
@@ -213,8 +208,24 @@ def persist_expected_minhash(sf_dir: str) -> str:
         pairs.update(
             (ms[i], ms[j]) for i in range(len(ms)) for j in range(i + 1, len(ms))
         )
+    return shingle_sets, sorted(pairs)
+
+
+def persist_expected_minhash(sf_dir: str) -> str:
+    """MinHash+LSH near-dup pairs, sequentially: per-doc signature → band
+    digests → per-band-bucket pair emission with the 2..DF_CAP keep-band →
+    pair dedup → exact-Jaccard verification (``neardup.py`` semantics as a
+    plain dict-of-buckets loop)."""
+    path = _cache_path(sf_dir, "minhash")
+    if os.path.exists(path):
+        return path
+    import numpy as np
+
+    from .neardup import JACCARD_THRESHOLD
+
+    shingle_sets, pairs = _sequential_minhash_candidates(sf_dir)
     rows = []
-    for a, b in sorted(pairs):
+    for a, b in pairs:
         aa, bb = shingle_sets[a], shingle_sets[b]
         inter = np.intersect1d(aa, bb, assume_unique=True).size
         denom = aa.size + bb.size - inter
@@ -222,6 +233,23 @@ def persist_expected_minhash(sf_dir: str) -> str:
         if jac >= JACCARD_THRESHOLD:
             rows.append((a, b, jac))
     return _write(path, pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]))
+
+
+def persist_expected_minhash_cands(sf_dir: str) -> str:
+    """The UNVERIFIED LSH candidate pair set (the quantity ``neardup_eval``
+    grades for precision/recall against the exact pairs)."""
+    path = _cache_path(sf_dir, "minhashcands")
+    if os.path.exists(path):
+        return path
+    _, pairs = _sequential_minhash_candidates(sf_dir)
+    return _write(
+        path,
+        pd.DataFrame(pairs, columns=["doc_a", "doc_b"]).astype("int64")
+        if pairs
+        else pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+        ),
+    )
 
 
 def persist_expected_simhash(sf_dir: str) -> str:

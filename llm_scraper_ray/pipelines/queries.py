@@ -1410,7 +1410,7 @@ def q_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     by ONE composed SQL oracle."""
     from .curation import QUOTA_K, _doc_clusters, _source_bucket, cc_drop_ids
 
-    drop_ds = cc_drop_ids(_doc_clusters(sf_dir)).materialize()
+    drop_ds = cc_drop_ids(_doc_clusters(sf_dir))
 
     def verdict(batch: pd.DataFrame) -> pd.DataFrame:
         keep = [
@@ -1594,6 +1594,8 @@ from .neardup import (  # noqa: E402  (distributed near-dup operators)
     SQL_NGRAM_CONTAINMENT as _SQL_NGRAM_CONTAINMENT,
     SQL_NGRAM_JACCARD as _SQL_NGRAM_JACCARD,
     minhash_lsh_dups as q_minhash_lsh_dups,
+    neardup_eval as q_neardup_eval,
+    scrub_empty_blocks as _scrub_empty_blocks,
     ngram_containment_pairs as q_ngram_containment_pairs,
     ngram_jaccard_pairs as q_ngram_jaccard_pairs,
     simhash_buckets as q_simhash_buckets,
@@ -2084,6 +2086,9 @@ def all_queries():
         "active_nations": q_active_nations,
         "events_hourly": q_events_hourly,
         "events_hourly_json": q_events_hourly_json,
+        "events_hourly_csv": q_events_hourly_csv,
+        # LSH candidate-set precision/recall vs the exact pair truth
+        "neardup_eval": q_neardup_eval,
         "session_windows": q_session_windows,
         "events_lag": q_events_lag,
         "events_asof_join": q_events_asof_join,
@@ -2364,9 +2369,11 @@ def _analysis_oracle_sqls() -> dict[str, str]:
         persist_expected_media,
         persist_expected_bpe,
         persist_expected_minhash,
+        persist_expected_minhash_cands,
         persist_expected_pr_macro,
         persist_expected_simhash,
     )
+    from .neardup import NGRAM_PAIRS_CTE as _NGRAM_PAIRS_CTE
 
     sf = os.environ.get("LLMSR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     return {
@@ -2379,6 +2386,13 @@ def _analysis_oracle_sqls() -> dict[str, str]:
             'SELECT "round", "left", "right", "count" FROM '
             f"read_parquet('{persist_expected_bpe(sf, _curation.BPE_MERGES)}') "
             'ORDER BY "round"'
+        ),
+        "neardup_eval": (
+            f"""WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+cands AS (SELECT doc_a, doc_b FROM read_parquet('{persist_expected_minhash_cands(sf)}'))
+SELECT (SELECT count(*) FROM pairs) AS n_exact,
+       (SELECT count(*) FROM cands) AS n_cands,
+       (SELECT count(*) FROM cands c JOIN pairs p USING (doc_a, doc_b)) AS n_hit"""
         ),
         "minhash_lsh_dups": (
             "SELECT doc_a, doc_b, jaccard FROM "
@@ -2444,6 +2458,7 @@ def all_oracle_sql():
         "active_nations": _SQL_ACTIVE_NATIONS,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_hourly_json": _SQL_EVENTS_HOURLY,
+        "events_hourly_csv": _SQL_EVENTS_HOURLY,
         "session_windows": _SQL_SESSION_WINDOWS,
         "events_lag": _SQL_EVENTS_LAG,
         "events_asof_join": _SQL_EVENTS_ASOF,
@@ -3258,7 +3273,7 @@ def q_embedding_dups_lsh(sf_dir: str, broadcast_limit: int = 50_000) -> pd.DataF
         )
         return pa.table({"vid": pc.unique(both)})
 
-    cand_ids = cands.map_batches(pair_ids, batch_format="pyarrow")
+    cand_ids = _scrub_empty_blocks(cands.map_batches(pair_ids, batch_format="pyarrow"))
 
     def pack_norm(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy().astype(np.int64)
@@ -4299,6 +4314,56 @@ def q_events_hourly_json(sf_dir: str) -> pd.DataFrame:
 
     out = (
         rd.read_json(path)
+        .map_batches(windowed, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    return (
+        _round(out, {"sum_value": 2})
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+def q_events_hourly_csv(sf_dir: str) -> pd.DataFrame:
+    """Source-format breadth twin #2: the SAME tumbling-window aggregate as
+    ``events_hourly``, read through ``ray.data.read_csv`` from a CSV export
+    of the events table (cached per sf under /tmp — written once by DuckDB,
+    so the bytes are engine-independent). With ``events_hourly_json`` this
+    covers the reference's text-source formats; only the read node changes,
+    the oracle is identical SQL over the parquet view."""
+    import duckdb as _duck
+    import pyarrow.parquet as _pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache")
+    os.makedirs(base, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    n_rows = _pq.read_metadata(src).num_rows
+    path = os.path.join(base, f"events-{tag}-n{n_rows}.csv")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        _duck.sql(
+            "COPY (SELECT event_type, epoch_us(ts) AS ts_us, value "
+            f"FROM read_parquet('{src}') ORDER BY event_id) "
+            f"TO '{tmp}' (FORMAT CSV, HEADER)"
+        )
+        os.replace(tmp, path)
+
+    def windowed(batch: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(batch["ts_us"], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(epoch_s, 3600), 3600)
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "window_start": win,
+                "value": batch["value"],
+            }
+        )
+
+    out = (
+        rd.read_csv(path)
         .map_batches(windowed, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))

@@ -539,3 +539,52 @@ def test_doc_export_splits_resumable_roundtrip(ray_session):
     pd.testing.assert_frame_equal(
         out1.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_neardup_eval_matches_oracle_and_invariants(ray_session):
+    """Candidate-set eval: the bucketed tagged-union fold must equal the
+    SQL oracle (exact pairs CTE × persisted sequential candidate set) and
+    satisfy the set-algebra invariants."""
+    import duckdb
+
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    import os
+
+    out = all_queries()["neardup_eval"](SF)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_hit"] <= r["n_cands"] and r["n_hit"] <= r["n_exact"]
+    os.environ["LLMSR_ORACLE_SF_DIR"] = SF
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.sql(all_oracle_sql()["neardup_eval"]).df()
+    assert int(r["n_exact"]) == int(want.iloc[0]["n_exact"])
+    assert int(r["n_cands"]) == int(want.iloc[0]["n_cands"])
+    assert int(r["n_hit"]) == int(want.iloc[0]["n_hit"])
+
+
+def test_incremental_dedup_consistent_with_pairs(ray_session):
+    """Every flagged incoming doc must appear as doc_b of a straddling
+    exact pair, with first_partner equal to its minimum existing partner."""
+    import pyarrow.parquet as pq
+
+    from llm_scraper_ray.pipelines.curation import INCR_DEN, INCR_NUM
+    from llm_scraper_ray.pipelines.neardup import ngram_jaccard_pairs
+    from llm_scraper_ray.pipelines.queries import all_queries
+
+    out = all_queries()["doc_incremental_dedup"](SF)
+    mx = int(pq.read_table(SF + "/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy().max())
+    t = (mx * INCR_NUM) // INCR_DEN
+    pairs = ngram_jaccard_pairs(SF)
+    straddle = pairs[(pairs["doc_a"] < t) & (pairs["doc_b"] >= t)]
+    exp = (
+        straddle.groupby("doc_b", as_index=False)
+        .agg(n_dup_existing=("doc_a", "size"), first_partner=("doc_a", "min"))
+        .rename(columns={"doc_b": "doc_id"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp.astype("int64"), check_dtype=False)
