@@ -171,6 +171,21 @@ def _passthrough_table(rest: pd.DataFrame) -> pa.Table:
     round — the fused next-round expansion reads deferred rows back from it
     instead of a materialized frontier table."""
     kind = ["deferred" if s == "ok" else s for s in rest["status"]]
+    return _ledger_table(rest, kind)
+
+
+def _pass2_placeholder_table(fwd: pd.DataFrame) -> pa.Table:
+    """Boundary-forwarded rows as PLACEHOLDER ledger rows
+    (``fetch_status`` = ``pass2-<status>``): the fused single-execution
+    round emits them into the round output so the driver's metadata-sized
+    fixup pass can read them back; their authoritative fate is the fixup's
+    own ``pass2-fix.parquet`` rows. Every consumer ignores them: expansion
+    reads hit/deferred, lineage reads hrank >= 0, metrics subtract them."""
+    kind = [f"pass2-{s}" for s in fwd["status"]]
+    return _ledger_table(fwd, kind)
+
+
+def _ledger_table(rest: pd.DataFrame, kind: list[str]) -> pa.Table:
     n = len(rest)
     return pa.Table.from_pydict(
         {
@@ -343,6 +358,10 @@ class CrawlEngine:
         self.max_rounds = max_rounds
         self.batch_size = batch_size
         self.driver_threshold = driver_threshold
+        # select-stage batch size (the boundary-forwarding unit): the env
+        # override exists so tests can stress many-batch boundary/fixup
+        # paths that a 65536-row batch never exercises at test scale
+        self.select_batch = int(os.environ.get("LLMSR_SELECT_BATCH", "65536"))
 
         pol = pq.read_table(corpus.politeness_path)
         # budget_scale models provisioning a higher per-host crawl rate (the
@@ -651,28 +670,50 @@ class CrawlEngine:
           passthrough ─▶ round out.
 
         The round output carries every unique candidate with
-        ``fetch_status`` ∈ {hit, miss, deferred, robots, seen}; the next
-        round's candidates and metrics derive from it — the round runs TWO
-        Ray Data executions (flags, fetch), down from three."""
+        ``fetch_status`` ∈ {hit, miss, deferred, robots, seen} (plus
+        superseded ``pass2-*`` placeholder rows every consumer ignores);
+        the next round's candidates and metrics derive from it — the round
+        runs ONE Ray Data execution (flags fused into fetch; round 3 had
+        already fused the frontier, 3 → 2 → 1). The boundary fixup became
+        a driver-side metadata pass AFTER the execution: placeholder rows
+        read back (bounded by (k + dup copies of 2 edge hashes) × batches),
+        exact re-selection, direct actor fetch, one extra parquet file.
+        Measured motivation (round 4 probes, 690k-URL corpus): the
+        separate flags execution scaled at 0.33 efficiency (22.5 s at 32
+        CPUs vs 29.8 s at 8 — the width-independent F in t = W/n + F) and
+        wrote+re-read the full candidate table between the two executions.
+        Fusing removes the intermediate parquet roundtrip, one execution's
+        fixed cost, and lets selection stream straight into fetch."""
         t_start = time.time()
         rdir = self._round_dir(rnd)
         shutil.rmtree(rdir, ignore_errors=True)
         os.makedirs(rdir, exist_ok=True)
-        flags_dir = os.path.join(rdir, "flags")
         extracted_dir = os.path.join(rdir, "extracted")
 
         robots_seen = make_robots_seen_filter_arrow(
             seen.actors, self.num_shards, self.robots
         )
         budgets_ref = self._budgets_ref()
+        actors = seen.actors
+        nsh = self.num_shards
+        nb = self.corpus.num_buckets
+        bsz = self.batch_size
 
-        def block_select(df: pd.DataFrame) -> pd.DataFrame:
-            """Vectorized dedup+selection for hosts fully inside this batch;
-            boundary hosts forward their batch-local top-k (pass2). The
-            batch's first/last url_hash ("edge" hashes) may have duplicate
-            rows straddling the batch boundary — ALL their rows are forwarded
-            too, so the fixup pass owns their dedup + fate and no url_hash
-            can be both finalized here and fetched there (ADVICE r01)."""
+        def select_finalize(df: pd.DataFrame) -> pa.Table:
+            """Vectorized dedup+selection for hosts fully inside this batch,
+            FUSED with the fetch dispatch (one stage, no intermediate flags
+            table): boundary hosts forward their batch-local top-k as
+            ``pass2-*`` placeholder rows. The batch's first/last url_hash
+            ("edge" hashes) may have duplicate rows straddling the batch
+            boundary — ALL their rows are forwarded too, so the fixup pass
+            owns their dedup + fate and no url_hash can be both finalized
+            here and fetched there (ADVICE r01; exactness: duplicates are
+            ADJACENT under the (host, url_hash, depth) sort, so they can
+            only straddle one boundary, and both sides of it are edges).
+            Selection correctness: a row outside its batch-local top-k has
+            ≥ k higher-priority ok-rows in this batch alone, so it is
+            outside the global top-k too — finalizing it as deferred is
+            exact; global top-k ⊆ union of forwarded batch-local top-k."""
             budgets = ray.get(budgets_ref)
             first, last = df["host"].iloc[0], df["host"].iloc[-1]
             edge_hashes = (df["url_hash"].iloc[0], df["url_hash"].iloc[-1])
@@ -681,29 +722,46 @@ class CrawlEngine:
             inner = df[~boundary]
             if len(inner):
                 g = inner.drop_duplicates("url_hash", keep="first")  # sorted (hash, depth)
-                g = select_topk_vectorized(g, budgets)
-                g["pass2"] = False
-                parts.append(g)
+                parts.append(select_topk_vectorized(g, budgets))
+            fwd = None
             b = df[boundary]
             if len(b):
                 b = b.drop_duplicates("url_hash", keep="first")
                 marked = select_topk_vectorized(b, budgets)
                 fwd_mask = marked["selected"] | marked["url_hash"].isin(edge_hashes)
-                fwd = marked[fwd_mask].copy()
-                fwd["selected"] = False
-                fwd["hrank"] = -1
-                fwd["pass2"] = True
-                rest = marked[~fwd_mask].copy()
-                rest["pass2"] = False  # final: deferred / seen / robots
-                parts.extend([fwd, rest])
-            out = pd.concat(parts, ignore_index=True)
-            out["fix"] = False
-            return out
+                fwd = marked[fwd_mask]
+                parts.append(marked[~fwd_mask])  # final: deferred / seen / robots
+
+            tables = []
+            if fwd is not None and len(fwd):
+                tables.append(_pass2_placeholder_table(fwd))
+            main = (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else df.iloc[0:0]
+            )
+            sel = main[main["selected"]] if len(main) else main
+            rest = main[~main["selected"]] if len(main) else main
+            if len(sel):
+                routes: dict[int, list[bytes]] = {}
+                for h in sel["url_hash"]:
+                    d = bytes.fromhex(h)
+                    routes.setdefault(d[0] % nsh, []).append(d)
+                ray.get([actors[s].add_many.remote(ds) for s, ds in routes.items()])
+                tables.append(_dispatch_fetch(fetch_actors, sel, nb, bsz))
+            if len(rest):
+                tables.append(_passthrough_table(rest))
+            if not tables:
+                return _EXTRACTED_SCHEMA.empty_table()
+            return pa.concat_tables(tables)
 
         # pre_dedup + robots/seen run on zero-copy Arrow batches (no pandas
         # block conversion on the raw frontier — the round's widest data);
-        # block_select needs pandas (grouped cumsum) and runs post-dedup
-        # Control-plane executions run over METADATA-sized rows (no html):
+        # select_finalize needs pandas (grouped cumsum) and runs post-sort.
+        # The sort is a BARRIER: every robots/seen status is decided before
+        # any select_finalize batch marks a selected hash seen, so the fused
+        # stage cannot leak same-round seen-marks into status decisions.
+        # Control-plane stages run over METADATA-sized rows (no html):
         # capping their block count matters more than parallelism — at 32
         # CPUs the un-capped flags+next phases ran 2x SLOWER than at 8
         # (more sort partitions, more tiny output files, which the next
@@ -730,94 +788,53 @@ class CrawlEngine:
             .map_batches(pre_dedup_arrow, batch_format="pyarrow", batch_size=65536)
             .map_batches(robots_seen, batch_format="pyarrow", batch_size=65536)
             .sort(["host", "url_hash", "depth"])
-            .map_batches(block_select, batch_format="pandas", batch_size=65536)
-            .write_parquet(flags_dir)
-        )
-        if not os.path.isdir(flags_dir):
-            _write_empty(flags_dir, _flags_schema())
-        secs_flags = round(time.time() - t_phase, 3)
-
-        # driver fixup: exact selection for boundary hosts (bounded by
-        # (k + dup copies of 2 edge hashes) × batches — metadata-sized by
-        # construction). Sort before dedup so the min-depth copy wins
-        # deterministically regardless of parquet file-discovery order.
-        t_phase = time.time()
-        fixup = pads.dataset(flags_dir, format="parquet").to_table(
-            filter=pads.field("pass2") == True  # noqa: E712
-        ).to_pandas()
-        fixup_hashes: set[str] = set()
-        if len(fixup):
-            fixup = fixup.sort_values(["host", "url_hash", "depth"], kind="stable")
-            fixup = fixup.drop_duplicates("url_hash", keep="first")
-            fixup = select_topk_vectorized(fixup, ray.get(budgets_ref))
-            fixup["pass2"] = False
-            fixup["fix"] = True
-            fixup_hashes = set(fixup["url_hash"])
-            pq.write_table(
-                pa.Table.from_pandas(fixup, preserve_index=False),
-                os.path.join(flags_dir, "pass2-fix.parquet"),
-            )
-
-        # mark-seen + fetch selected rows; non-selected rows pass through as
-        # deferred/robots/seen ledger rows. Closure captures handles + ints.
-        actors = seen.actors
-        nsh = self.num_shards
-        nb = self.corpus.num_buckets
-        bsz = self.batch_size
-
-        def mark_seen_and_fetch(batch: pd.DataFrame) -> pa.Table:
-            sel = batch[batch["selected"]]
-            rest = batch[~batch["selected"]]
-            tables = []
-            if len(sel):
-                routes: dict[int, list[bytes]] = {}
-                for h in sel["url_hash"]:
-                    d = bytes.fromhex(h)
-                    routes.setdefault(d[0] % nsh, []).append(d)
-                ray.get([actors[s].add_many.remote(ds) for s, ds in routes.items()])
-                tables.append(_dispatch_fetch(fetch_actors, sel, nb, bsz))
-            if len(rest):
-                tables.append(_passthrough_table(rest))
-            if not tables:
-                return _EXTRACTED_SCHEMA.empty_table()
-            return pa.concat_tables(tables)
-
-        # Each url_hash must appear exactly once in the ledger: drop pass2
-        # rows (superseded by the fixup), and — belt-and-braces against any
-        # batch-layout surprise — drop non-fixup rows whose hash the fixup
-        # pass owns. fixup_hashes is metadata-sized (boundary top-k only).
-        fixup_ref = ray.put(fixup_hashes)
-
-        def final_flags(df: pd.DataFrame) -> pd.DataFrame:
-            df = df[~df["pass2"]]
-            owned = ray.get(fixup_ref)
-            if owned:
-                df = df[df["fix"] | ~df["url_hash"].isin(owned)]
-            return df
-
-        secs_fixup = round(time.time() - t_phase, 3)
-
-        # stream straight to the lineage write (a materialize barrier here
-        # measured 55% slower: it stops the write from overlapping fetch);
-        # downstream passes re-read the files column-pruned
-        t_phase = time.time()
-        (
-            rd.read_parquet(flags_dir, override_num_blocks=ctrl_blocks)
-            .map_batches(final_flags, batch_format="pandas", batch_size=65536)
             .map_batches(
-                mark_seen_and_fetch, batch_format="pandas", batch_size=max(65536, self.batch_size)
+                select_finalize, batch_format="pandas", batch_size=self.select_batch
             )
             .write_parquet(extracted_dir)
         )
         if not os.path.isdir(extracted_dir):  # zero-row write emits nothing
             _write_empty(extracted_dir, _EXTRACTED_SCHEMA)
+        secs_exec = round(time.time() - t_phase, 3)
 
-        secs_fetch = round(time.time() - t_phase, 3)
+        # driver fixup: exact selection for boundary hosts, from the
+        # placeholder rows the execution emitted (metadata-sized by
+        # construction). Sort before dedup so the min-depth copy wins
+        # deterministically regardless of parquet file-discovery order;
+        # fetch goes straight to the persistent actors (no second
+        # execution — the set is boundary-top-k-sized).
+        t_phase = time.time()
+        _P2 = ["pass2-ok", "pass2-robots", "pass2-seen"]
+        ph = pads.dataset(extracted_dir, format="parquet").to_table(
+            columns=["url_hash", "canon_url", "host", "depth", "warc_ts", "fetch_status"],
+            filter=pads.field("fetch_status").isin(_P2),
+        ).to_pandas()
+        n_pass2 = len(ph)
+        if n_pass2:
+            ph["status"] = ph["fetch_status"].str.slice(6)
+            ph = ph.sort_values(["host", "url_hash", "depth"], kind="stable")
+            ph = ph.drop_duplicates("url_hash", keep="first")
+            fixup = select_topk_vectorized(ph, ray.get(budgets_ref))
+            tables = []
+            sel = fixup[fixup["selected"]]
+            if len(sel):
+                seen.add_many([bytes.fromhex(h) for h in sel["url_hash"]])
+                tables.append(self._dispatch_fetch(fetch_actors, sel))
+            rest = fixup[~fixup["selected"]]
+            if len(rest):
+                tables.append(_passthrough_table(rest))
+            fixtab = (
+                pa.concat_tables(tables) if tables else _EXTRACTED_SCHEMA.empty_table()
+            )
+            pq.write_table(fixtab, os.path.join(extracted_dir, "pass2-fix.parquet"))
+        secs_fixup = round(time.time() - t_phase, 3)
 
         # metrics + next-round candidate count from ONE thin column scan of
         # the round output (fetch_status + the n_links scalar — vectorized,
         # no list columns touched; spec steps 8-9 are fused into the next
-        # round's flags execution)
+        # round's flags execution). pass2-* placeholders are superseded
+        # duplicates of the fixup file's rows — subtracted from `unique`,
+        # absent from every status count (their n_links is 0).
         out = pads.dataset(extracted_dir, format="parquet").to_table(
             columns=["fetch_status", "n_links"]
         )
@@ -826,12 +843,13 @@ class CrawlEngine:
             k.as_py(): v.as_py()
             for k, v in zip(*pc.value_counts(st).flatten())
         }
+        n_placeholder = sum(counts.get(k, 0) for k in _P2)
         n_sel = counts.get("hit", 0) + counts.get("miss", 0)
         n_new = int(pc.sum(out["n_links"]).as_py() or 0)
         m = {
             "round": rnd,
             "candidates": int(n_candidates),
-            "unique": out.num_rows,
+            "unique": out.num_rows - n_placeholder,
             "seen_dropped": counts.get("seen", 0),
             "robots": counts.get("robots", 0),
             "selected": int(n_sel),
@@ -839,9 +857,8 @@ class CrawlEngine:
             "new_candidates": n_new,
             "next_candidates": n_new + counts.get("deferred", 0),
             "path": "distributed",
-            "secs_flags": secs_flags,
+            "secs_exec": secs_exec,
             "secs_fixup": secs_fixup,
-            "secs_fetch": secs_fetch,
         }
         seen.snapshot_to(os.path.join(rdir, "seen"))
         m["secs"] = round(time.time() - t_start, 3)

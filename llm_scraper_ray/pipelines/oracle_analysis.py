@@ -462,3 +462,133 @@ def persist_expected_bpe(sf_dir: str, merges: int) -> str:
             {"round": "int64", "count": "int64"}
         ),
     )
+
+
+def persist_expected_bpe_encode(sf_dir: str, merges: int) -> str:
+    """Corpus encoded with the SEQUENTIALLY-trained merge table: per doc,
+    every word's symbols run through the merge list in order (shared
+    per-word kernel ``bpe_apply_merge``); output = token count + crc32 of
+    the token stream. Independent of the engine's actor-pool encode and
+    its distributed trainer (whose table parity ``vocab_bpe_train``
+    gates separately)."""
+    path = _cache_path(sf_dir, f"bpeenc{merges}")
+    if os.path.exists(path):
+        return path
+    import zlib
+
+    from ..functions.analysis import _WORD, bpe_apply_merge
+
+    mt = pd.read_parquet(persist_expected_bpe(sf_dir, merges))
+    table = [(str(l), str(r)) for l, r in zip(mt["left"], mt["right"])]
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    memo: dict = {}
+    rows = []
+    for d, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        toks: list = []
+        for w in _WORD.findall(txt.lower()):
+            t = memo.get(w)
+            if t is None:
+                t = list(w)
+                for left, right in table:
+                    t = bpe_apply_merge(t, left, right)
+                memo[w] = t
+            toks.extend(t)
+        rows.append((int(d), len(toks), zlib.crc32(" ".join(toks).encode())))
+    return _write(
+        path,
+        pd.DataFrame(
+            rows, columns=["doc_id", "n_tokens_bpe_trained", "tok_crc"]
+        ).astype("int64"),
+    )
+
+
+def persist_expected_media_resize(sf_dir: str) -> str:
+    """Expected 2×2 box-downsample of every PGM payload, sequentially and
+    with an INDEPENDENT formulation (reshape-based block mean vs the
+    engine's strided slicing): per image the resized dims, exact integer
+    pixel sum and crc32 of the resized raster bytes."""
+    path = _cache_path(sf_dir, "mediaresize")
+    if os.path.exists(path):
+        return path
+    import zlib
+
+    import numpy as np
+
+    from ..sources.media import render_media
+    from ..stages.multimodal import decode_pgm
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for d in sorted(int(x) for x in ids):
+        kind, payload = render_media(d)
+        if kind != "image":
+            continue
+        w, h, arr = decode_pgm(payload)
+        w2, h2 = w // 2, h // 2
+        blocks = arr[: h2 * 2, : w2 * 2].astype(np.int64).reshape(h2, 2, w2, 2)
+        small = blocks.sum(axis=(1, 3)) // 4
+        rows.append(
+            (
+                d,
+                w2,
+                h2,
+                int(small.sum()),
+                zlib.crc32(small.astype(np.uint8).tobytes()),
+            )
+        )
+    return _write(
+        path,
+        pd.DataFrame(
+            rows, columns=["media_id", "out_w", "out_h", "out_sum", "out_crc"]
+        ).astype("int64"),
+    )
+
+
+def persist_expected_media_frames(sf_dir: str) -> str:
+    """Expected strided audio frames (len 1024, stride 512), sequentially
+    and with an INDEPENDENT formulation (per-frame slice sums vs the
+    engine's cumulative-sum pass): per frame the exact integer energy and
+    zero-crossing count."""
+    path = _cache_path(sf_dir, "mediaframes")
+    if os.path.exists(path):
+        return path
+    import numpy as np
+
+    from ..sources.media import render_media
+    from ..stages.multimodal import FRAME_LEN, FRAME_STRIDE, decode_wav
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for d in sorted(int(x) for x in ids):
+        kind, payload = render_media(d)
+        if kind != "audio":
+            continue
+        _, pcm = decode_wav(payload)
+        sb = np.signbit(pcm)
+        for fno, start in enumerate(range(0, pcm.size - FRAME_LEN + 1, FRAME_STRIDE)):
+            seg = pcm[start : start + FRAME_LEN].astype(np.int64)
+            sseg = sb[start : start + FRAME_LEN]
+            rows.append(
+                (
+                    d,
+                    fno,
+                    int(np.abs(seg).sum()),
+                    int(np.count_nonzero(sseg[1:] != sseg[:-1])),
+                )
+            )
+    return _write(
+        path,
+        pd.DataFrame(
+            rows, columns=["media_id", "frame_no", "energy", "zero_crossings"]
+        ).astype("int64"),
+    )

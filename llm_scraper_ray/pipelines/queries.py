@@ -2154,6 +2154,11 @@ def all_queries():
         "events_rfm_segments": _analytics.q_events_rfm_segments,
         "orders_diversified_topk": _analytics.q_orders_diversified_topk,
         "event_value_quantiles": _analytics.q_event_value_quantiles_by_type,
+        # tokenizer application: encode the corpus with the trained merges
+        "doc_bpe_encode": _curation.q_doc_bpe_encode,
+        # real multimodal transforms over the decodable containers
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
@@ -2368,6 +2373,9 @@ def _analysis_oracle_sqls() -> dict[str, str]:
         persist_expected_judgments,
         persist_expected_media,
         persist_expected_bpe,
+        persist_expected_bpe_encode,
+        persist_expected_media_frames,
+        persist_expected_media_resize,
         persist_expected_minhash,
         persist_expected_minhash_cands,
         persist_expected_pr_macro,
@@ -2386,6 +2394,20 @@ def _analysis_oracle_sqls() -> dict[str, str]:
             'SELECT "round", "left", "right", "count" FROM '
             f"read_parquet('{persist_expected_bpe(sf, _curation.BPE_MERGES)}') "
             'ORDER BY "round"'
+        ),
+        "doc_bpe_encode": (
+            "SELECT doc_id, n_tokens_bpe_trained, tok_crc FROM "
+            f"read_parquet('{persist_expected_bpe_encode(sf, _curation.BPE_MERGES)}') "
+            "ORDER BY doc_id"
+        ),
+        "media_resize": (
+            "SELECT media_id, out_w, out_h, out_sum, out_crc FROM "
+            f"read_parquet('{persist_expected_media_resize(sf)}') ORDER BY media_id"
+        ),
+        "media_frames": (
+            "SELECT media_id, frame_no, energy, zero_crossings FROM "
+            f"read_parquet('{persist_expected_media_frames(sf)}') "
+            "ORDER BY media_id, frame_no"
         ),
         "neardup_eval": (
             f"""WITH RECURSIVE {_NGRAM_PAIRS_CTE},
@@ -2997,6 +3019,73 @@ def q_media_decode(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+def q_media_resize(sf_dir: str) -> pd.DataFrame:
+    """REAL image resize (the multimodal transform stage, not a stub):
+    PGM payloads → actor-pool ``MediaResize`` (decode raster, exact 2×2
+    integer box downsample, re-encode) → new dims + pixel sum + raster
+    crc32, all integers. Oracle: sequential resize with an independent
+    reshape-based block-mean formulation
+    (``oracle_analysis.persist_expected_media_resize``). Wide binary rows
+    → small batch_size."""
+    from ..sources.media import render_media
+    from ..stages.multimodal import MediaResize
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in batch["doc_id"].to_pylist():
+            kind, payload = render_media(int(d))
+            if kind == "image":
+                ids.append(int(d))
+                payloads.append(payload)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(to_images, batch_format="pyarrow", batch_size=256)
+        .map_batches(MediaResize(), batch_format="pandas", batch_size=64)
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def q_media_frames(sf_dir: str) -> pd.DataFrame:
+    """REAL audio frame-sampling (one wide binary row in → N frame rows
+    out): WAV payloads → actor-pool ``AudioFrames`` (decode PCM, strided
+    1024/512 windows, exact integer energy + zero-crossing count per
+    frame via one cumulative-sum pass). Oracle: sequential per-frame
+    slice sums (independent formulation,
+    ``oracle_analysis.persist_expected_media_frames``)."""
+    from ..sources.media import render_media
+    from ..stages.multimodal import AudioFrames
+
+    def to_audio(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in batch["doc_id"].to_pylist():
+            kind, payload = render_media(int(d))
+            if kind == "audio":
+                ids.append(int(d))
+                payloads.append(payload)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(to_audio, batch_format="pyarrow", batch_size=256)
+        .map_batches(AudioFrames(), batch_format="pandas", batch_size=64)
+        .to_pandas()
+    )
+    return out.sort_values(["media_id", "frame_no"]).reset_index(drop=True)
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:

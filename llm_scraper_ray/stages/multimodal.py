@@ -195,3 +195,76 @@ class MediaDecode:
                 "sum_vals": pa.array(sums, pa.int64()),
             }
         )
+
+
+class MediaResize:
+    """Actor-pool image RESIZE over wide binary rows — a real transform,
+    not a stub: decode the PGM raster, exact 2×2 box downsample (integer
+    block mean, floor; odd right/bottom edges cropped — the deterministic
+    spec), re-encode as PGM. Output = new dims + integer sum + crc32 of
+    the resized raster bytes, so the oracle pins the exact pixels.
+    PIL-class formats remain the declared stub boundary."""
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        import zlib
+
+        mids, ows, ohs, sums, crcs = [], [], [], [], []
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            w, h, arr = decode_pgm(bytes(payload))
+            w2, h2 = w // 2, h // 2
+            a = arr[: h2 * 2, : w2 * 2].astype(np.int64)
+            small = (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) // 4
+            raster = small.astype(np.uint8).tobytes()
+            mids.append(int(mid))
+            ows.append(w2)
+            ohs.append(h2)
+            sums.append(int(small.sum()))
+            crcs.append(zlib.crc32(raster))
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "out_w": pa.array(ows, pa.int64()),
+                "out_h": pa.array(ohs, pa.int64()),
+                "out_sum": pa.array(sums, pa.int64()),
+                "out_crc": pa.array(crcs, pa.int64()),
+            }
+        )
+
+
+FRAME_LEN = 1024
+FRAME_STRIDE = 512
+
+
+class AudioFrames:
+    """Actor-pool audio FRAME-SAMPLING — one wide binary row in, N frame
+    rows out (the flat-map-inside-map_batches expansion shape): decode the
+    WAV PCM, strided windows (len 1024, stride 512), per frame the exact
+    integer energy Σ|x| and zero-crossing count (signbit changes). All
+    integers — cross-engine exact. Cumulative-sum formulation: one pass
+    over the PCM regardless of overlap."""
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        mids, fnos, energies, zcs = [], [], [], []
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            _, pcm = decode_wav(bytes(payload))
+            n = pcm.size
+            if n < FRAME_LEN:
+                continue
+            starts = np.arange(0, n - FRAME_LEN + 1, FRAME_STRIDE, dtype=np.int64)
+            acum = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.abs(pcm.astype(np.int64)), out=acum[1:])
+            s = np.signbit(pcm)
+            ccum = np.zeros(n, dtype=np.int64)
+            np.cumsum(s[1:] != s[:-1], out=ccum[1:])
+            mids.extend([int(mid)] * len(starts))
+            fnos.extend(range(len(starts)))
+            energies.extend(acum[starts + FRAME_LEN] - acum[starts])
+            zcs.extend(ccum[starts + FRAME_LEN - 1] - ccum[starts])
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_no": pa.array(fnos, pa.int64()),
+                "energy": pa.array([int(x) for x in energies], pa.int64()),
+                "zero_crossings": pa.array([int(x) for x in zcs], pa.int64()),
+            }
+        )

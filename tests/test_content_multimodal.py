@@ -119,3 +119,59 @@ def test_media_decode_matches_truth_oracle(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_media_resize_matches_independent_oracle(ray_session):
+    """Exact 2x2 box downsample (strided-slice engine vs reshape oracle)
+    must agree pixel-for-pixel (crc-pinned), with halved dimensions."""
+    import os
+
+    import duckdb
+
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+
+    sf = "/root/testdata/sf0.001"
+    os.environ["LLMSR_ORACLE_SF_DIR"] = sf
+    try:
+        out = all_queries()["media_resize"](sf)
+        exp = duckdb.connect().execute(all_oracle_sql()["media_resize"]).df()
+    finally:
+        del os.environ["LLMSR_ORACLE_SF_DIR"]
+    assert len(out) > 0 and (out["out_w"] >= 4).all() and (out["out_h"] >= 4).all()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_media_frames_matches_independent_oracle(ray_session):
+    """Strided audio frames: cumulative-sum engine formulation vs per-frame
+    slice oracle — exact integer energy and zero-crossing parity, and the
+    expansion emits the right frame count per clip."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
+    from llm_scraper_ray.sources.media import render_media
+    from llm_scraper_ray.stages.multimodal import FRAME_LEN, FRAME_STRIDE, decode_wav
+
+    sf = "/root/testdata/sf0.001"
+    os.environ["LLMSR_ORACLE_SF_DIR"] = sf
+    try:
+        out = all_queries()["media_frames"](sf)
+        exp = duckdb.connect().execute(all_oracle_sql()["media_frames"]).df()
+    finally:
+        del os.environ["LLMSR_ORACLE_SF_DIR"]
+    assert len(out) > 0
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # spot-check the expansion arity on one clip
+    mid = int(out["media_id"].iloc[0])
+    _, payload = render_media(mid)
+    _, pcm = decode_wav(payload)
+    want_frames = len(range(0, pcm.size - FRAME_LEN + 1, FRAME_STRIDE))
+    assert int((out["media_id"] == mid).sum()) == want_frames
+    assert int(out.loc[out["media_id"] == mid, "frame_no"].max()) == want_frames - 1
+    assert (out["energy"] >= 0).all() and (out["zero_crossings"] >= 0).all()

@@ -183,3 +183,23 @@ def test_mixed_paths_match_oracle(corpus_sf0001, oracle_result, tmp_path_factory
     assert paths == {"driver", "distributed"}  # both actually exercised
     assert r.assemble_order() == [h.hex() for h in oracle_result.order]
     assert r.seen_digests() == oracle_result.seen
+
+
+def test_distributed_tiny_select_batches_match_oracle(
+    corpus_sf0001, tmp_path_factory, monkeypatch
+):
+    """Boundary-stress for the FUSED single-execution round: a 16-row
+    select batch forces hundreds of batch boundaries per round, so nearly
+    every host is a boundary host and the pass2 placeholder → driver fixup
+    → direct actor fetch path carries most of the selection. Order and
+    seen-set must still equal the sequential oracle exactly."""
+    monkeypatch.setenv("LLMSR_SELECT_BATCH", "16")
+    run_dir = str(tmp_path_factory.mktemp("crawl_tinybatch") / "run")
+    eng = CrawlEngine(
+        corpus_sf0001, run_dir, max_rounds=3, fetch_concurrency=2, driver_threshold=0
+    )
+    r = eng.run(resume=False)
+    eng.shutdown()
+    o = oracle_crawl(corpus_sf0001, max_rounds=3)
+    assert r.assemble_order() == [h.hex() for h in o.order]
+    assert r.seen_digests() == o.seen

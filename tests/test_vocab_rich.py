@@ -131,3 +131,28 @@ def test_bpe_train_matches_sequential_oracle_on_rich_vocab(ray_session, rich_dir
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_bpe_encode_matches_sequential_oracle_on_rich_vocab(ray_session, rich_dir):
+    """Tokenizer APPLICATION: the actor-pool encoder with the in-engine
+    merge table must reproduce the sequential encode (sequentially-trained
+    table) token-stream-for-token-stream (crc32-pinned), and token counts
+    must be bounded by character counts and shrink vs no-merge encoding."""
+    from llm_scraper_ray.pipelines.curation import BPE_MERGES
+    from llm_scraper_ray.pipelines.oracle_analysis import persist_expected_bpe_encode
+    from llm_scraper_ray.pipelines.queries import all_queries
+
+    got = all_queries()["doc_bpe_encode"](rich_dir)
+    want = pd.read_parquet(persist_expected_bpe_encode(rich_dir, BPE_MERGES))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    docs = pd.read_parquet(os.path.join(rich_dir, "documents.parquet"))
+    merged = got.merge(docs[["doc_id", "n_chars"]], on="doc_id")
+    assert (merged["n_tokens_bpe_trained"] <= merged["n_chars"]).all()
+    # with BPE_MERGES > 0 the trained table must actually compress: fewer
+    # tokens than the character-level (no-merge) encoding for most docs
+    char_level = docs["text"].str.count(r"[a-zA-Z']").astype("int64")
+    assert (got["n_tokens_bpe_trained"].to_numpy() < char_level.to_numpy()).mean() > 0.9
