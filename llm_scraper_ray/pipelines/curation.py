@@ -1234,6 +1234,272 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# positional phrase search (the POSITIONAL-inverted-index probe shape, vs
+# doc_search_terms' bag-of-words conjunctive probe): which documents contain
+# an exact consecutive-token phrase, and how many times. The engine path is
+# the one a reusable positional index serves at scale: postings (doc, word,
+# pos) are emitted ONLY for the query vocabulary (a closure constant — at
+# 100 TB this is the index's word-bucket row-group prune), shuffled once by
+# doc hash, and each phrase is resolved in-bucket by vectorized position-set
+# intersection (starts of w0 ∩ (positions of w1 − 1) ∩ …).
+
+PHRASES = ("order fast", "data slow", "merge part window")
+
+
+def q_doc_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase search over the token stream (tokenization = the
+    corpus-wide ``[a-zA-Z']+`` lower spec): per (phrase, doc) the count of
+    starting positions where the phrase's words occur consecutively.
+    Oracle: an independent SQL formulation — token explode with
+    ``generate_subscripts`` ordinals, positional self-joins per phrase."""
+    pwords = sorted({w for p in PHRASES for w in p.split()})
+    widx = {w: i for i, w in enumerate(pwords)}
+    phrase_ids = [[widx[w] for w in p.split()] for p in PHRASES]
+
+    def postings(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        wid: list[int] = []
+        pos: list[int] = []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for j, w in enumerate(_WORD.findall(txt.lower())):
+                i = widx.get(w)
+                if i is not None:
+                    ids.append(d)
+                    wid.append(i)
+                    pos.append(j)
+        did = np.asarray(ids, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "wid": pa.array(wid, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "bucket": pa.array(did % NUM_BUCKETS, pa.int64()),
+            }
+        )
+
+    def intersect(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "phrase": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        rows = []
+        for d, sub in g.groupby("doc_id"):
+            posmap = {
+                int(i): grp["pos"].to_numpy(np.int64)
+                for i, grp in sub.groupby("wid")
+            }
+            for p, ids in zip(PHRASES, phrase_ids):
+                starts = posmap.get(ids[0])
+                if starts is None:
+                    continue
+                for off, i in enumerate(ids[1:], start=1):
+                    nxt = posmap.get(i)
+                    if nxt is None:
+                        starts = starts[:0]
+                        break
+                    starts = starts[np.isin(starts + off, nxt)]
+                    if len(starts) == 0:
+                        break
+                if len(starts):
+                    rows.append((p, int(d), len(starts)))
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "phrase": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        out = pd.DataFrame(rows, columns=["phrase", "doc_id", "n"])
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(postings, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(intersect, batch_format="pandas")
+        .to_pandas()
+    )
+    if "phrase" not in out.columns:  # all blocks empty → schema-less frame
+        out = pd.DataFrame(
+            {
+                "phrase": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["phrase", "doc_id"]).reset_index(drop=True)
+
+
+def _phrase_branch(p: str) -> str:
+    ws = p.split()
+    joins = " ".join(
+        f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+        f"AND t{i}.w = '{w}'"
+        for i, w in enumerate(ws[1:], start=1)
+    )
+    return (
+        f"SELECT '{p}' AS phrase, t0.doc_id, count(*) AS n "
+        f"FROM toks t0 {joins} WHERE t0.w = '{ws[0]}' GROUP BY t0.doc_id"
+    )
+
+
+SQL_DOC_PHRASE_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS ws
+        FROM documents)
+)
+SELECT phrase, doc_id, CAST(n AS BIGINT) AS n FROM (
+{" UNION ALL ".join(_phrase_branch(p) for p in PHRASES)}
+) ORDER BY phrase, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (the mergeable-SKETCH-candidates class: a
+# constant-size summary whose guarantee — every word with frequency
+# > N/(K+1) survives any merge tree — turns "global top frequencies" into
+# sketch → candidates → exact recount, with NO corpus-sized shuffle at all;
+# vs vocab_top_terms' exact word-hash-bucket shuffle)
+
+MG_K = 64  # counters per sketch; output threshold = count·(MG_K+1) > N
+
+
+def _mg_trim(counts: pd.Series) -> pd.Series:
+    """Misra-Gries compression to ≤ MG_K counters: subtract the (K+1)-th
+    largest count from all and drop the non-positive — underestimates
+    only, total decrement ≤ N/(K+1) across any merge tree."""
+    if len(counts) <= MG_K:
+        return counts
+    dec = int(counts.nlargest(MG_K + 1).iloc[-1])
+    out = counts - dec
+    return out[out > 0]
+
+
+def q_vocab_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """All words with exact frequency > N/(MG_K+1), by two passes:
+    (1) per-batch exact counts trimmed to MG_K-counter Misra-Gries
+    sketches, hierarchically merged (whole sketches routed to NB merge
+    groups, then one constant-size driver fold of NB sketches — never more
+    than NB·K + K rows anywhere); (2) exact recount of the ≤ MG_K
+    surviving candidates via a broadcast-tiny closure filter and a
+    ≤ K-key groupby. The MG guarantee makes the candidate set provably
+    ⊇ the answer, so the exact recount is the exact answer."""
+
+    def sketch(t: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for txt in t["text"].to_pylist():
+            words.extend(_WORD.findall(txt.lower()))
+        n = len(words)
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "word": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "grp": pa.array([], pa.int64()),
+                }
+            )
+        counts = _mg_trim(pd.Series(words).value_counts())
+        grp = int(t["doc_id"][0].as_py()) % NUM_BUCKETS
+        w = list(counts.index) + [""]  # "" = untrimmable N-partial sentinel
+        c = [int(x) for x in counts] + [n]
+        return pa.Table.from_pydict(
+            {
+                "word": pa.array(w, pa.string()),
+                "cnt": pa.array(c, pa.int64()),
+                "grp": pa.array([grp] * len(w), pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "word": pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        tot = g[g["word"] == ""]["cnt"].sum()
+        counts = _mg_trim(g[g["word"] != ""].groupby("word")["cnt"].sum())
+        out = pd.DataFrame({"word": counts.index, "cnt": counts.to_numpy()})
+        out = pd.concat(
+            [out, pd.DataFrame({"word": [""], "cnt": [tot]})], ignore_index=True
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    merged = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(sketch, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if "word" not in merged.columns:
+        return pd.DataFrame(
+            {"word": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
+    n_total = int(merged[merged["word"] == ""]["cnt"].sum())
+    cands = _mg_trim(merged[merged["word"] != ""].groupby("word")["cnt"].sum())
+    cand_words = set(cands.index)
+    if not cand_words:
+        return pd.DataFrame(
+            {"word": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
+
+    def recount(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            for w in _WORD.findall(txt.lower()):
+                if w in cand_words:
+                    c[w] += 1
+        return pa.Table.from_pydict(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array([int(v) for v in c.values()], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        .map_batches(recount, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = exact[exact["n"] * (MG_K + 1) > n_total].copy()
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["n", "word"], ascending=[False, True])
+        .reset_index(drop=True)[["word", "n"]]
+    )
+
+
+SQL_VOCAB_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w FROM documents
+), tot AS (SELECT count(*) AS n_total FROM toks),
+c AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w)
+SELECT w AS word, CAST(cnt AS BIGINT) AS n
+FROM c, tot WHERE cnt * {MG_K + 1} > tot.n_total
+ORDER BY n DESC, word ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # bigram LM scoring (n-gram extension of doc_unigram_scores)
 
 

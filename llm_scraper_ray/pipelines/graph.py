@@ -475,3 +475,163 @@ def kcore(edges: rd.Dataset, k: int, rounds: int = KCORE_ROUNDS) -> pd.DataFrame
             f"this graph's cross-bucket cascade depth"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS depths (the min-plus propagation class — CC's min-fold
+# with an additive hop cost, and k-core's local-fixpoint acceleration)
+
+BFS_ROUNDS = 8
+BFS_SEED_MOD = 8  # seeds = nodes with hash % BFS_SEED_MOD == 0 (spec constant)
+
+_F_ADJ = 0  # adjacency copy: (node, peer), lives in node's bucket
+_F_DIST = 1  # best-known depth: (node, d)
+_F_MSG = 2  # candidate depth: (node, d) — addressed to node's bucket
+
+_BFS_COLS = ("bucket", "node", "peer", "kind", "d")
+_BFS_INF = np.int64(2**62)
+
+
+def _bfs_frame(node: np.ndarray, peer: np.ndarray, kind: int, d: np.ndarray) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "bucket": (node % NUM_BUCKETS).astype(np.int64),
+            "node": node.astype(np.int64),
+            "peer": peer.astype(np.int64),
+            "kind": np.full(len(node), kind, dtype=np.int64),
+            "d": d.astype(np.int64),
+        }
+    )
+
+
+def _bfs_empty() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype="int64") for c in _BFS_COLS})
+
+
+def _bfs_seed(edges: pd.DataFrame) -> pd.DataFrame:
+    """Canonical (a, b) edge batch → both directed adjacency copies (a
+    node's full neighborhood is visible in its bucket) + depth-0 MSG rows
+    for the batch's seed nodes (hash % BFS_SEED_MOD == 0). Seeds travel
+    as MESSAGES, not DIST rows: the first step's frontier is "nodes whose
+    best depth improved vs their DIST rows", so a seed pre-installed as
+    DIST would never enter the frontier and propagation would not start.
+    Duplicates across batches collapse under the in-bucket min fold."""
+    a = edges["a"].to_numpy(np.int64)
+    b = edges["b"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    seeds = nodes[nodes % BFS_SEED_MOD == 0]
+    z = np.zeros(len(a), dtype=np.int64)
+    parts = [
+        _bfs_frame(a, b, _F_ADJ, z),
+        _bfs_frame(b, a, _F_ADJ, z),
+    ]
+    if len(seeds):
+        zs = np.zeros(len(seeds), dtype=np.int64)
+        parts.append(_bfs_frame(seeds, zs, _F_MSG, zs))
+    return pd.concat(parts, ignore_index=True)
+
+
+def _bfs_step(g: pd.DataFrame) -> pd.DataFrame:
+    """One global round inside one bucket: fold DIST rows and inbound MSG
+    candidates to each node's best depth, then relax to a LOCAL fixpoint
+    (the bucket sees every incident edge of its nodes, so in-bucket
+    neighbors improve immediately); out-of-bucket neighbors get one
+    min-deduped MSG each. Global rounds are only spent on cross-bucket
+    hops — the k-core local-fixpoint trick applied to min-plus."""
+    if len(g) == 0:
+        return _bfs_empty()
+    adj = g[g["kind"] == _F_ADJ]
+    known = g[g["kind"] != _F_ADJ]
+    if len(known) == 0:
+        return adj.reset_index(drop=True)
+    prev = known[known["kind"] == _F_DIST].groupby("node")["d"].min()
+    best = known.groupby("node")["d"].min()  # DIST ∪ MSG fold
+    # frontier: nodes whose depth just improved (new node or smaller d)
+    old = prev.reindex(best.index, fill_value=_BFS_INF)
+    frontier = best[best < old]
+    out_msgs: dict[int, int] = {}
+    my_bucket = int(g["bucket"].iloc[0])
+    an = adj["node"].to_numpy(np.int64)
+    ap = adj["peer"].to_numpy(np.int64)
+    bestd = best.to_dict()
+    while len(frontier):
+        # neighbors of the frontier at depth d+1
+        m = np.isin(an, frontier.index.to_numpy())
+        if not m.any():
+            break
+        src = an[m]
+        dst = ap[m]
+        cand = pd.DataFrame(
+            {"node": dst, "d": frontier.reindex(src).to_numpy() + 1}
+        ).groupby("node")["d"].min()
+        improved = {}
+        for node, d in cand.items():
+            node = int(node)
+            d = int(d)
+            if node % NUM_BUCKETS == my_bucket:
+                if d < bestd.get(node, _BFS_INF):
+                    bestd[node] = d
+                    improved[node] = d
+            else:
+                if d < out_msgs.get(node, _BFS_INF):
+                    out_msgs[node] = d
+        frontier = pd.Series(improved, dtype="int64")
+    parts = [adj]
+    if bestd:
+        nodes = np.fromiter(bestd.keys(), dtype=np.int64, count=len(bestd))
+        ds = np.fromiter(bestd.values(), dtype=np.int64, count=len(bestd))
+        parts.append(_bfs_frame(nodes, np.zeros(len(nodes), np.int64), _F_DIST, ds))
+    if out_msgs:
+        nodes = np.fromiter(out_msgs.keys(), dtype=np.int64, count=len(out_msgs))
+        ds = np.fromiter(out_msgs.values(), dtype=np.int64, count=len(out_msgs))
+        parts.append(_bfs_frame(nodes, np.zeros(len(nodes), np.int64), _F_MSG, ds))
+    return pd.concat(parts, ignore_index=True)
+
+
+def _bfs_final(g: pd.DataFrame) -> pd.DataFrame:
+    """Fold to (node, depth) — plus the convergence canary: a leftover MSG
+    that still improves a node's depth means the cross-bucket hop budget
+    was too small; emit a sentinel (node = -1) so the caller raises
+    instead of silently returning too-deep depths."""
+    if len(g) == 0:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"), "depth": pd.Series([], dtype="int64")}
+        )
+    dist = g[g["kind"] == _F_DIST].groupby("node", as_index=False)["d"].min()
+    msgs = g[g["kind"] == _F_MSG]
+    out = dist.rename(columns={"d": "depth"})
+    if len(msgs):
+        mb = msgs.groupby("node")["d"].min()
+        db = dist.set_index("node")["d"].reindex(mb.index, fill_value=_BFS_INF)
+        if (mb < db).any():
+            out = pd.concat(
+                [out, pd.DataFrame({"node": [-1], "depth": [-1]})], ignore_index=True
+            ).astype("int64")
+    return out.astype("int64")
+
+
+def bfs_depths(edges: rd.Dataset, rounds: int = BFS_ROUNDS) -> pd.DataFrame:
+    """Canonical undirected edge Dataset (a, b) → (node, depth): the exact
+    shortest hop count from the nearest seed (hash % BFS_SEED_MOD == 0)
+    for every reachable node. K bucket-grouped rounds, each relaxing to a
+    local fixpoint and exchanging only cross-bucket depth messages
+    (O(improved cut nodes) rows — no frontier, depth vector, or adjacency
+    on the driver); all rounds chain lazily into ONE streaming execution.
+    An unapplied improving message in the final state RAISES."""
+    state = edges.map_batches(_bfs_seed, batch_format="pandas")
+    for _ in range(rounds):
+        state = state.groupby("bucket").map_groups(_bfs_step, batch_format="pandas")
+    out = (
+        state.groupby("bucket").map_groups(_bfs_final, batch_format="pandas").to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"), "depth": pd.Series([], dtype="int64")}
+        )
+    if (out["node"] < 0).any():
+        raise RuntimeError(
+            f"bfs_depths: propagation did not converge in {rounds} rounds "
+            f"(an improving depth message remains unapplied) — raise the "
+            f"round budget for this graph's cross-bucket hop diameter"
+        )
+    return out

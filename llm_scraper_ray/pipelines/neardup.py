@@ -718,3 +718,168 @@ def neardup_eval(sf_dir: str) -> pd.DataFrame:
         .T.astype("int64")
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (the PPJoin-style candidate-generation
+# strategy: an alternative to the all-shared-shingle pair expansion above
+# whose candidate mass is bounded by PREFIX co-occurrence, not full-set
+# co-occurrence — the standard trade at 100 TB when DF_CAP alone leaves the
+# shared-token join too dense)
+
+
+def ngram_prefix_pairs(sf_dir: str) -> pd.DataFrame:
+    """The exact JACCARD_THRESHOLD pair set — same output and same SQL
+    oracle as ``ngram_jaccard_pairs`` — derived by prefix filtering:
+
+    1. kept-shingle instances (global df in 2..DF_CAP, computed in-bucket
+       — a shingle is whole within its hash bucket);
+    2. per doc (one doc-hash shuffle): sort kept shingles by the global
+       canonical order (the hash value), compute the minimum overlap any
+       qualifying partner must share, o = ceil(τ·n_sh) — valid because
+       i ≥ τ(n_a + n_b − i) with n_b ≥ i forces i ≥ τ·n_a — and emit only
+       the first |kept| − o + 1 shingles (docs with fewer kept shingles
+       than o cannot qualify and emit nothing). If two docs meet the
+       threshold their prefixes MUST share a shingle: were every common
+       shingle outside a's prefix, a's tail (o−1 slots) couldn't hold the
+       ≥ o common shingles. The same pass packs each doc's kept set to a
+       binary blob (the verification side);
+    3. candidates = ``grouped_pair_expansion`` over the prefix rows (its
+       2..DF_CAP keep-band is inert here: prefix occurrences ≤ df ≤
+       DF_CAP), then exact verification by joining the packed kept sets —
+       inter counts KEPT shingles, union uses FULL sizes, exactly the
+       oracle CTE's semantics."""
+    shingles = doc_shingles(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sh_col = batch["shingles"].combine_chunks()
+        flat = pc.cast(pc.list_flatten(sh_col), pa.int64())
+        parent = pc.list_parent_indices(sh_col)
+        t = pa.Table.from_pydict(
+            {
+                "sh": flat,
+                "doc_id": pc.take(batch["doc_id"].combine_chunks(), parent),
+                "n_sh": pc.take(batch["n_sh"].combine_chunks(), parent),
+            }
+        )
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["sh"], NUM_BUCKETS - 1), pa.int64())
+        )
+
+    def kept_rows(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("sh", "doc_id", "n_sh", "pbucket")}
+            )
+        vc = g["sh"].value_counts()
+        kept = vc[(vc >= 2) & (vc <= DF_CAP)].index
+        g = g[g["sh"].isin(kept)]
+        out = g[["sh", "doc_id", "n_sh"]].copy()
+        out["pbucket"] = (out["doc_id"] % NUM_BUCKETS).astype("int64")
+        return out.astype("int64")
+
+    _IDX_COLS = ("kind", "bkey", "doc_id", "n_sh", "bucket")
+
+    def prefix_and_pack(g: pd.DataFrame) -> pd.DataFrame:
+        base = {c: pd.Series([], dtype="int64") for c in _IDX_COLS}
+        base["blob"] = pd.Series([], dtype=object)
+        if len(g) == 0:
+            return pd.DataFrame(base)
+        g = g.sort_values(["doc_id", "sh"], kind="stable").reset_index(drop=True)
+        # vectorized prefix cut: rank-within-doc < |kept| − ceil(τ·n_sh) + 1
+        sizes = g.groupby("doc_id")["sh"].transform("size").to_numpy(np.int64)
+        rank = g.groupby("doc_id").cumcount().to_numpy(np.int64)
+        o = np.ceil(JACCARD_THRESHOLD * g["n_sh"].to_numpy(np.int64)).astype(np.int64)
+        pref = g[rank < sizes - o + 1]
+        pre = pd.DataFrame(
+            {
+                "kind": np.zeros(len(pref), dtype=np.int64),
+                "bkey": pref["sh"].to_numpy(np.int64),
+                "doc_id": pref["doc_id"].to_numpy(np.int64),
+                "n_sh": np.zeros(len(pref), dtype=np.int64),
+                "blob": b"",
+            }
+        )
+        # pack EVERY doc's kept set (a doc with p ≤ 0 prefix slots can
+        # still appear as a candidate via its partner's prefix — it must
+        # remain verifiable); one blob row per doc
+        packs = []
+        for d, sub in g.groupby("doc_id"):
+            packs.append(
+                (1, int(d), int(d), int(sub["n_sh"].iloc[0]),
+                 sub["sh"].to_numpy(np.int64).tobytes())
+            )
+        pk = pd.DataFrame(packs, columns=["kind", "bkey", "doc_id", "n_sh", "blob"])
+        out = pd.concat([pre, pk], ignore_index=True)
+        out = out.astype({c: "int64" for c in ("kind", "bkey", "doc_id", "n_sh")})
+        out["bucket"] = (out["bkey"] % NUM_BUCKETS).astype("int64")
+        return out
+
+    index = (
+        shingles.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kept_rows, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(prefix_and_pack, batch_format="pandas")
+        .materialize()  # the PPJoin index artifact (kept-set-sized)
+    )
+    def take_kind(kind: int, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["kind"], kind)).select(cols)
+
+        return fn
+
+    prefixes = scrub_empty_blocks(
+        index.map_batches(
+            take_kind(0, ["bkey", "doc_id", "bucket"]), batch_format="pyarrow"
+        )
+    )
+    cands = grouped_pair_expansion(prefixes)
+
+    def pack_side(key_name: str, blob_name: str, n_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([key_name, n_name, blob_name])
+
+        return fn
+
+    packed = scrub_empty_blocks(
+        index.map_batches(
+            take_kind(1, ["bkey", "n_sh", "blob"]), batch_format="pyarrow"
+        )
+    )
+    sh_a = packed.map_batches(pack_side("ja", "blob_a", "na"), batch_format="pyarrow")
+    sh_b = packed.map_batches(pack_side("jb", "blob_b", "nb"), batch_format="pyarrow")
+    joined = cands.join(
+        sh_a, "inner", num_partitions=8, on=("doc_a",), right_on=("ja",)
+    ).join(sh_b, "inner", num_partitions=8, on=("doc_b",), right_on=("jb",))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for da, db, na, nb, sa, sb in zip(
+            batch["doc_a"], batch["doc_b"], batch["na"], batch["nb"],
+            batch["blob_a"], batch["blob_b"],
+        ):
+            aa = np.frombuffer(sa, dtype=np.int64)
+            bb = np.frombuffer(sb, dtype=np.int64)
+            inter = np.intersect1d(aa, bb, assume_unique=True).size
+            union = int(na) + int(nb) - inter
+            if union and inter >= JACCARD_THRESHOLD * union:
+                rows.append((int(da), int(db), inter, union))
+        if not rows:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("doc_a", "doc_b", "inter", "union_sz")}
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_a", "doc_b", "inter", "union_sz"]
+        ).astype("int64")
+
+    out = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    if len(out) == 0 or "doc_a" not in out.columns:
+        return _empty_ngram()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

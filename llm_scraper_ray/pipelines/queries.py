@@ -1598,6 +1598,7 @@ from .neardup import (  # noqa: E402  (distributed near-dup operators)
     scrub_empty_blocks as _scrub_empty_blocks,
     ngram_containment_pairs as q_ngram_containment_pairs,
     ngram_jaccard_pairs as q_ngram_jaccard_pairs,
+    ngram_prefix_pairs as q_ngram_prefix_pairs,
     simhash_buckets as q_simhash_buckets,
 )
 from . import curation as _curation  # noqa: E402  (corpus-curation operators)
@@ -2159,6 +2160,14 @@ def all_queries():
         # real multimodal transforms over the decodable containers
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        # positional phrase search + mergeable-sketch heavy hitters
+        "doc_phrase_search": _curation.q_doc_phrase_search,
+        "vocab_heavy_hitters": _curation.q_vocab_heavy_hitters,
+        # min-plus propagation over the knowledge graph
+        "kg_bfs_depths": q_kg_bfs_depths,
+        # PPJoin-style prefix-filtered set-similarity join (same exact
+        # pair set as ngram_jaccard_pairs via a different candidate plan)
+        "ngram_prefix_pairs": q_ngram_prefix_pairs,
     }
 
 
@@ -2322,6 +2331,38 @@ WITH dedup AS (
 ), tc AS (SELECT h, count(*) AS c FROM tn GROUP BY h)
 SELECT n.node_type, n.node_key, CAST(coalesce(tc.c, 0) AS BIGINT) AS n_triangles
 FROM nodes n LEFT JOIN tc ON tc.h = n.h
+ORDER BY node_type, node_key
+""",
+        "kg_bfs_depths": f"""
+WITH RECURSIVE dedup AS (
+  SELECT subj_type, subj_name, obj_type, obj_name
+  FROM read_parquet('{path}') GROUP BY {key}
+), hashed AS (
+  SELECT subj_type, {gk('subj_name')} AS subj_key,
+         obj_type, {gk('obj_name')} AS obj_key FROM dedup
+), he AS (
+  SELECT
+    CAST(md5_number_lower(subj_type || '|' || subj_key)
+         % 9223372036854775808 AS BIGINT) AS a,
+    CAST(md5_number_lower(obj_type || '|' || obj_key)
+         % 9223372036854775808 AS BIGINT) AS b,
+    subj_type, subj_key, obj_type, obj_key
+  FROM hashed
+), nodes AS (
+  SELECT subj_type AS node_type, subj_key AS node_key, a AS h FROM he
+  UNION
+  SELECT obj_type, obj_key, b FROM he
+), e0 AS (
+  SELECT a, b FROM he WHERE a <> b
+  UNION SELECT b, a FROM he WHERE a <> b
+), walk(h, d) AS (
+  SELECT DISTINCT a, 0 FROM e0 WHERE a % 8 = 0
+  UNION
+  SELECT e.b, w.d + 1 FROM walk w JOIN e0 e ON e.a = w.h WHERE w.d < 40
+)
+SELECT n.node_type, n.node_key, CAST(min(w.d) AS BIGINT) AS depth
+FROM nodes n JOIN walk w ON w.h = n.h
+GROUP BY n.node_type, n.node_key
 ORDER BY node_type, node_key
 """,
         "kg_components": f"""
@@ -2498,6 +2539,7 @@ def all_oracle_sql():
         "doc_pii_scrub": _SQL_DOC_PII_SCRUB,
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "ngram_containment_pairs": _SQL_NGRAM_CONTAINMENT,
+        "ngram_prefix_pairs": _SQL_NGRAM_JACCARD,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_knn_eval": _SQL_EMBEDDING_KNN_EVAL,
         "embedding_hard_negatives": _SQL_EMBEDDING_HARD_NEGATIVES,
@@ -2561,6 +2603,8 @@ def all_oracle_sql():
         "doc_split_assign": _curation.SQL_DOC_SPLIT_ASSIGN,
         "doc_tfidf_top_terms": _curation.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,
+        "doc_phrase_search": _curation.SQL_DOC_PHRASE_SEARCH,
+        "vocab_heavy_hitters": _curation.SQL_VOCAB_HEAVY_HITTERS,
         "doc_bm25_topk": _curation.SQL_DOC_BM25_TOPK,
         "event_value_quantiles": _analytics.SQL_EVENT_VALUE_QUANTILES,
         "doc_bigram_scores": _curation.SQL_DOC_BIGRAM_SCORES,
@@ -3942,6 +3986,53 @@ def q_kg_kcore(sf_dir: str) -> pd.DataFrame:
     nodes["in_kcore"] = nodes["h"].isin(alive).astype(np.int64)
     return (
         nodes[["node_type", "node_key", "in_kcore"]]
+        .sort_values(["node_type", "node_key"])
+        .reset_index(drop=True)
+    )
+
+
+def q_kg_bfs_depths(sf_dir: str) -> pd.DataFrame:
+    """Multi-source BFS over the knowledge graph — the MIN-PLUS propagation
+    class (CC's min-fold with an additive hop cost): the exact shortest hop
+    count from the nearest seed entity (node hash % BFS_SEED_MOD == 0) for
+    every reachable entity. Runs as ``pipelines/graph.bfs_depths`` — K
+    bucket-grouped rounds, each relaxing to a LOCAL fixpoint (the k-core
+    acceleration applied to distances) and exchanging only cross-bucket
+    depth messages, lazily chained into ONE execution; an unapplied
+    improving message RAISES instead of returning too-deep depths. Node
+    identity matches ``kg_components``; oracle = a bounded recursive-CTE
+    walk taking min depth per node, so the driver hash equality also
+    proves the round budget covered the graph's hop diameter."""
+    from ..functions.textnorm import graph_key
+    from .graph import bfs_depths
+
+    tri = _deduped_triplets_df(sf_dir)
+    if len(tri) == 0:
+        return pd.DataFrame(columns=["node_type", "node_key", "depth"])
+    ha = _kg_node_hash(tri["subj_type"], tri["subj_name"])
+    hb = _kg_node_hash(tri["obj_type"], tri["obj_name"])
+    lo, hi = np.minimum(ha, hb), np.maximum(ha, hb)
+    edges = (
+        pd.DataFrame({"a": lo, "b": hi})
+        .query("a != b")
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    depths = bfs_depths(rd.from_pandas(edges)).set_index("node")["depth"]
+    nodes = pd.DataFrame(
+        {
+            "node_type": pd.concat([tri["subj_type"], tri["obj_type"]]),
+            "node_key": pd.concat(
+                [tri["subj_name"].map(graph_key), tri["obj_name"].map(graph_key)]
+            ),
+            "h": np.concatenate([ha, hb]),
+        }
+    ).drop_duplicates(["node_type", "node_key"])
+    nodes["depth"] = nodes["h"].map(depths)
+    out = nodes[nodes["depth"].notna()].copy()
+    out["depth"] = out["depth"].astype("int64")
+    return (
+        out[["node_type", "node_key", "depth"]]
         .sort_values(["node_type", "node_key"])
         .reset_index(drop=True)
     )

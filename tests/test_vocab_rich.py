@@ -37,6 +37,9 @@ WORD_STAT_QUERIES = [
     "source_divergence",
     "doc_bm25_topk",
     "doc_search_terms",
+    # MG sketch trimming is a no-op on a 31-word vocab — the rich corpus
+    # is where the sketch→candidates→exact-recount guarantee is exercised
+    "vocab_heavy_hitters",
 ]
 
 
