@@ -3327,3 +3327,146 @@ SELECT o.event_id, o.user_id
 FROM o JOIN deb d ON d.user_id = o.user_id AND d.rn = o.rn
 WHERE d.is_kept = 1 ORDER BY o.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC / SCD-Type-1 upsert merge (change-stream materialization with deletes)
+
+
+def q_events_cdc_upsert(sf_dir: str) -> pd.DataFrame:
+    """MERGE INTO / CDC materialization: apply the events table as a keyed
+    change stream over a base snapshot (customer) and emit the final state
+    table — latest-wins per key with DELETE tombstones ('error' events
+    remove the key outright, base row included; keys absent from the base
+    surface as inserts). The operator class a warehouse MERGE or an
+    Iceberg/Hudi upsert compaction runs at scale.
+
+    Dataflow: base rows (sentinel ts = -1) and change rows ride ONE tagged
+    union through ONE key-hash bucket shuffle; each key is whole in its
+    bucket, so the latest-version pick, tombstone filter and
+    insert-vs-update classification are all in-bucket vectorized passes —
+    no driver key set, no per-key groupby (NDIST_NB buckets), nothing
+    corpus-sized on the driver. At 100 TB the same plan holds: the change
+    stream pre-dedups per batch (only each batch's latest version per key
+    enters the shuffle), so shuffle mass is min(|changes|, |batches|·|keys|)."""
+    base_schema = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("seq", pa.int64()),
+            ("last_type", pa.string()),
+            ("value", pa.float64()),
+            ("is_base", pa.int64()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        out = pa.Table.from_pydict(
+            {
+                "k": pa.array(k, pa.int64()),
+                "ts_us": pa.array(np.full(n, -1, np.int64)),
+                "seq": pa.array(np.full(n, -1, np.int64)),
+                "last_type": pa.array(["none"] * n, pa.string()),
+                "value": t["c_acctbal"],
+                "is_base": pa.array(np.ones(n, np.int64)),
+                "bucket": pa.array(
+                    (_splitmix64(k) % np.uint64(NDIST_NB)).astype(np.int64)
+                ),
+            }
+        )
+        return out.cast(base_schema)
+
+    def change_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "ts_us": pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False),
+                "seq": t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "last_type": t["event_type"].to_pylist(),
+                "value": t["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        # batch-local pre-dedup: only each batch's latest version per key
+        # enters the shuffle (the CDC analogue of a pre-aggregation combiner)
+        df = df.sort_values(["k", "ts_us", "seq"], kind="stable")
+        df = df.drop_duplicates("k", keep="last")
+        df["is_base"] = np.int64(0)
+        df["bucket"] = (
+            _splitmix64(df["k"].to_numpy(np.int64)) % np.uint64(NDIST_NB)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(base_schema)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "user_id": pd.Series([], dtype="int64"),
+            "src": pd.Series([], dtype=object),
+            "last_type": pd.Series([], dtype=object),
+            "last_ts_us": pd.Series([], dtype="int64"),
+            "value": pd.Series([], dtype="float64"),
+        }
+        if len(g) == 0:
+            return pd.DataFrame(cols)
+        in_base = set(g.loc[g["is_base"] == 1, "k"].tolist())
+        g = g.sort_values(["k", "ts_us", "seq"], kind="stable")
+        win = g.drop_duplicates("k", keep="last")
+        win = win[win["last_type"] != "error"]  # tombstone: key removed
+        if len(win) == 0:
+            return pd.DataFrame(cols)
+        src = np.where(
+            win["is_base"].to_numpy(np.int64) == 1,
+            "base",
+            np.where(win["k"].isin(in_base).to_numpy(), "event", "insert"),
+        )
+        return pd.DataFrame(
+            {
+                "user_id": win["k"].to_numpy(np.int64),
+                "src": src,
+                "last_type": win["last_type"].to_numpy(object),
+                "last_ts_us": win["ts_us"].to_numpy(np.int64),
+                "value": win["value"].to_numpy(np.float64),
+            }
+        )
+
+    base = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    ).map_batches(base_rows, batch_format="pyarrow")
+    changes = _read_events(
+        sf_dir, ["user_id", "ts", "event_id", "event_type", "value"]
+    ).map_batches(change_rows, batch_format="pyarrow")
+    out = (
+        base.union(changes)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENTS_CDC_UPSERT = """
+WITH ch AS (
+  SELECT user_id AS k, epoch_us(ts) AS ts_us, event_id AS seq,
+         event_type, value
+  FROM events
+), latest AS (
+  SELECT k, ts_us, event_type, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY k ORDER BY ts_us DESC, seq DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+), base AS (
+  SELECT c_custkey AS k, c_acctbal AS value FROM customer
+)
+SELECT coalesce(b.k, l.k) AS user_id,
+       CASE WHEN l.k IS NULL THEN 'base'
+            WHEN b.k IS NULL THEN 'insert'
+            ELSE 'event' END AS src,
+       coalesce(l.event_type, 'none') AS last_type,
+       CAST(coalesce(l.ts_us, -1) AS BIGINT) AS last_ts_us,
+       coalesce(l.value, b.value) AS value
+FROM base b FULL OUTER JOIN latest l ON l.k = b.k
+WHERE l.event_type IS NULL OR l.event_type <> 'error'
+ORDER BY user_id
+"""

@@ -2801,3 +2801,265 @@ SELECT source, CAST(n_words AS BIGINT) AS n_words,
          AS kl_from_corpus
 FROM per, tot ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# frequent word-pair co-occurrence mining (a-priori pruned 2-itemsets)
+
+COOC_SUP_F = 0.10  # relative support: pair kept iff in ≥ 10% of docs
+
+
+def q_word_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Frequent 2-itemset mining over document vocabularies — the a-priori
+    candidate-pruned co-occurrence join (market-basket / co-training-signal
+    shape): pairs of DISTINCT words appearing together in ≥ ceil(f·N) docs.
+
+    Scale plan: a naive per-doc pair explode is O(k²) over each doc's FULL
+    distinct-word set; the a-priori cut first computes per-word document
+    frequency in-bucket (word-hash buckets — the word-stat family's no-
+    broadcast trick) and keeps only words with df ≥ ceil(f·N). Because
+    Σ_w df(w) ≤ N · max-distinct-per-doc, the frequent set is bounded by
+    max_distinct/f REGARDLESS of corpus size — a genuinely broadcastable
+    side (``ray.put`` once). Pair partials are then counted per batch
+    (combiner) before one NB-key bucket shuffle sums supports; monotonicity
+    (sup(pair) ≤ min df) makes the prune lossless."""
+    import math
+
+    import pyarrow.parquet as pq
+    import ray
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    min_sup = int(math.ceil(COOC_SUP_F * n_docs))
+
+    def dfreq(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"word": pd.Series([], dtype=object)})
+        d = g.drop_duplicates(["doc_id", "word"]).groupby("word").size()
+        d = d[d >= min_sup]
+        return pd.DataFrame({"word": d.index.to_numpy(object)})
+
+    freq = (
+        _word_instance_rows(sf_dir)
+        .groupby("bucket")
+        .map_groups(dfreq, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(freq) == 0 or "word" not in freq.columns:
+        return pd.DataFrame(
+            {
+                "w1": pd.Series([], dtype=object),
+                "w2": pd.Series([], dtype=object),
+                "support": pd.Series([], dtype="int64"),
+            }
+        )
+    fref = ray.put(frozenset(freq["word"].tolist()))
+
+    part_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64()), ("pbucket", pa.int64())]
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        fset = ray.get(fref)
+        cnt: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            ws = sorted(set(_WORD.findall(txt.lower())) & fset)
+            k = len(ws)
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, k=1)
+            wa = np.asarray(ws, dtype=object)
+            cnt.update(zip(wa[ii], wa[jj]))
+        if not cnt:
+            return part_schema.empty_table()
+        w1 = [a for a, _ in cnt]
+        w2 = [b for _, b in cnt]
+        bk = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b((a + "|" + b).encode(), digest_size=8).digest(),
+                    "little",
+                )
+                & _MASK63
+                for a, b in cnt
+            ),
+            dtype=np.int64,
+            count=len(cnt),
+        )
+        return pa.Table.from_pydict(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+                "pbucket": pa.array(bk % NUM_BUCKETS, pa.int64()),
+            }
+        ).cast(part_schema)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "w1": pd.Series([], dtype=object),
+            "w2": pd.Series([], dtype=object),
+            "support": pd.Series([], dtype="int64"),
+        }
+        if len(g) == 0:
+            return pd.DataFrame(cols)
+        s = g.groupby(["w1", "w2"], as_index=False)["c"].sum()
+        s = s[s["c"] >= min_sup]
+        if len(s) == 0:
+            return pd.DataFrame(cols)
+        return s.rename(columns={"c": "support"}).astype({"support": "int64"})
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0 or "w1" not in out.columns:
+        return pd.DataFrame(
+            {
+                "w1": pd.Series([], dtype=object),
+                "w2": pd.Series([], dtype=object),
+                "support": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+SQL_WORD_COOCCURRENCE = f"""
+WITH n AS (
+  SELECT CAST(ceil({COOC_SUP_F} * count(*)) AS BIGINT) AS s FROM documents
+), toks AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+    FROM documents
+  )
+), df AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), freq AS (
+  SELECT w FROM df, n WHERE c >= n.s
+), ft AS (
+  SELECT doc_id, w FROM toks WHERE w IN (SELECT w FROM freq)
+)
+SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS support
+FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.w < b.w
+GROUP BY 1, 2
+HAVING count(*) >= (SELECT s FROM n)
+ORDER BY w1, w2
+"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split assignment (dedup-aware train/valid/test)
+
+
+def q_doc_split_leakage_safe(sf_dir: str) -> pd.DataFrame:
+    """Dedup-AWARE split assignment — the leakage guard real LLM pipelines
+    need on top of a plain hash split: every member of a near-dup cluster
+    hashes on its cluster REPRESENTATIVE (the component's min doc_id), so a
+    document and its near-duplicate can never straddle train/test. Docs
+    outside any cluster keep their own id as rep, making the op a strict
+    refinement of ``doc_split_assign`` (identical split for non-dup docs).
+
+    Dataflow: the cached CC label Dataset (dup-node-sized, object-store
+    resident) and the corpus id stream ride ONE tagged union through ONE
+    doc-hash bucket shuffle; rep resolution and the md5 band assignment are
+    in-bucket vectorized passes. No driver-side label map, no join against
+    the corpus-wide table — the label side is only dup-mass-sized. Oracle =
+    the recursive-CTE transitive closure + the same md5 band twin, so the
+    driver hash also re-proves CC convergence through the split lens."""
+    from .neardup import scrub_empty_blocks
+
+    tag_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lab", pa.int64()), ("bucket", pa.int64())]
+    )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids),
+                "lab": pa.array(np.full(len(ids), -1, np.int64)),
+                "bucket": pa.array(ids % NUM_BUCKETS),
+            }
+        ).cast(tag_schema)
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids),
+                "lab": t["cluster_id"],
+                "bucket": pa.array(ids % NUM_BUCKETS),
+            }
+        ).cast(tag_schema)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "rep": pd.Series([], dtype="int64"),
+                    "split": pd.Series([], dtype=object),
+                }
+            )
+        m = g.groupby("doc_id", as_index=False)["lab"].max()
+        rep = np.where(
+            m["lab"].to_numpy(np.int64) >= 0,
+            m["lab"].to_numpy(np.int64),
+            m["doc_id"].to_numpy(np.int64),
+        )
+        b = np.fromiter(
+            (_md5_lower64(str(r)) % 100 for r in rep), dtype=np.int64, count=len(rep)
+        )
+        split = np.where(
+            b < SPLIT_TRAIN_PCT,
+            "train",
+            np.where(b < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid", "test"),
+        )
+        return pd.DataFrame(
+            {"doc_id": m["doc_id"].to_numpy(np.int64), "rep": rep, "split": split}
+        )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(tag_docs, batch_format="pyarrow")
+    labels = scrub_empty_blocks(
+        _doc_clusters(sf_dir).map_batches(tag_labels, batch_format="pyarrow")
+    )
+    out = (
+        docs.union(labels)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_SPLIT_LEAKAGE_SAFE = f"""
+WITH RECURSIVE {NGRAM_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+  SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       CAST(coalesce(l.rep, d.doc_id) AS BIGINT) AS rep,
+       CASE WHEN md5_number_lower(CAST(coalesce(l.rep, d.doc_id) AS VARCHAR))
+                 % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN md5_number_lower(CAST(coalesce(l.rep, d.doc_id) AS VARCHAR))
+                 % 100 < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""

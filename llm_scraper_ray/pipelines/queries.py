@@ -2168,6 +2168,12 @@ def all_queries():
         # PPJoin-style prefix-filtered set-similarity join (same exact
         # pair set as ngram_jaccard_pairs via a different candidate plan)
         "ngram_prefix_pairs": q_ngram_prefix_pairs,
+        # CDC / MERGE: latest-wins change-stream materialization w/ deletes
+        "events_cdc_upsert": _analytics.q_events_cdc_upsert,
+        # a-priori pruned frequent 2-itemset co-occurrence mining
+        "word_cooccurrence": _curation.q_word_cooccurrence,
+        # dedup-aware split: near-dup clusters never straddle train/test
+        "doc_split_leakage_safe": _curation.q_doc_split_leakage_safe,
     }
 
 
@@ -2605,6 +2611,9 @@ def all_oracle_sql():
         "doc_search_terms": _curation.SQL_DOC_SEARCH_TERMS,
         "doc_phrase_search": _curation.SQL_DOC_PHRASE_SEARCH,
         "vocab_heavy_hitters": _curation.SQL_VOCAB_HEAVY_HITTERS,
+        "word_cooccurrence": _curation.SQL_WORD_COOCCURRENCE,
+        "events_cdc_upsert": _analytics.SQL_EVENTS_CDC_UPSERT,
+        "doc_split_leakage_safe": _curation.SQL_DOC_SPLIT_LEAKAGE_SAFE,
         "doc_bm25_topk": _curation.SQL_DOC_BM25_TOPK,
         "event_value_quantiles": _analytics.SQL_EVENT_VALUE_QUANTILES,
         "doc_bigram_scores": _curation.SQL_DOC_BIGRAM_SCORES,
