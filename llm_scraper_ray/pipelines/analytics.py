@@ -3470,3 +3470,125 @@ FROM base b FULL OUTER JOIN latest l ON l.k = b.k
 WHERE l.event_type IS NULL OR l.event_type <> 'error'
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Skyline (multi-dimensional Pareto frontier)
+
+
+def _skyline_fold(P: np.ndarray, keys: np.ndarray, chunk: int = 2048):
+    """Exact skyline of points P (n×d int64, every dim oriented MAXIMIZE):
+    rows not strictly dominated (another row ≥ in all dims, > in one).
+    Chunked: test each chunk against the accumulated skyline, prune
+    chunk-internal dominated rows pairwise (c² on a bounded chunk), then
+    evict accumulated rows the chunk dominates. Identical duplicate tuples
+    never dominate each other, so every tied orderkey survives — matching
+    the NOT-EXISTS strict-dominance oracle. Associative + idempotent:
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)), which is what makes
+    the per-batch partials mergeable (tree-reduce at cluster scale; the
+    driver fold here is over skyline-sized partials only)."""
+    S = P[:0]
+    SK = keys[:0]
+    for lo in range(0, len(P), chunk):
+        C, CK = P[lo : lo + chunk], keys[lo : lo + chunk]
+        if len(S):
+            dom = (
+                (S[None, :, :] >= C[:, None, :]).all(2)
+                & (S[None, :, :] != C[:, None, :]).any(2)
+            ).any(1)
+            C, CK = C[~dom], CK[~dom]
+        if len(C):
+            dom_in = (
+                (C[None, :, :] >= C[:, None, :]).all(2)
+                & (C[None, :, :] != C[:, None, :]).any(2)
+            ).any(1)
+            C, CK = C[~dom_in], CK[~dom_in]
+        if len(S) and len(C):
+            dom_s = (
+                (C[None, :, :] >= S[:, None, :]).all(2)
+                & (C[None, :, :] != S[:, None, :]).any(2)
+            ).any(1)
+            S, SK = S[~dom_s], SK[~dom_s]
+        S = np.concatenate([S, C])
+        SK = np.concatenate([SK, CK])
+    return S, SK
+
+
+def q_orders_skyline(sf_dir: str) -> pd.DataFrame:
+    """Skyline / Pareto-frontier operator (the multi-criteria shortlist a
+    recommender or procurement pipeline runs): orders not strictly
+    dominated on (total price MAX, order date MIN, priority rank MIN).
+    No SQL primitive exists; the oracle is the defining NOT-EXISTS
+    strict-dominance anti-join.
+
+    Dataflow: one pruned-column scan; each batch emits its LOCAL skyline —
+    a point dominated inside its batch is dominated globally, so the cut
+    is lossless (the same provable-cut argument as the per-bucket top-K
+    family) — and local skylines of random partitions are tiny
+    (O(log^(d-1) n) expected), so the driver fold is metadata-sized and
+    the partials are mergeable/associative for a tree reduce at 100 TB.
+    All three dims are exact integers (cents / epoch days / rank digit):
+    dominance can never float-drift from the oracle."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // 86_400_000_000
+        prio = np.array(
+            [int(s[0]) for s in t["o_orderpriority"].to_pylist()], np.int64
+        )
+        P = np.stack([cents, -day, -prio], axis=1)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        S, SK = _skyline_fold(P, keys)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": pa.array(SK, pa.int64()),
+                "cents": pa.array(S[:, 0], pa.int64()),
+                "day": pa.array(-S[:, 1], pa.int64()),
+                "prio": pa.array(-S[:, 2], pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("o_orderkey", "cents", "day", "prio")}
+        )
+    P = np.stack(
+        [
+            parts["cents"].to_numpy(np.int64),
+            -parts["day"].to_numpy(np.int64),
+            -parts["prio"].to_numpy(np.int64),
+        ],
+        axis=1,
+    )
+    S, SK = _skyline_fold(P, parts["o_orderkey"].to_numpy(np.int64))
+    out = pd.DataFrame(
+        {"o_orderkey": SK, "cents": S[:, 0], "day": -S[:, 1], "prio": -S[:, 2]}
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDERS_SKYLINE = """
+WITH pts AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio
+  FROM orders)
+SELECT p.o_orderkey, p.cents, p.day, p.prio
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.cents >= p.cents AND q.day <= p.day AND q.prio <= p.prio
+    AND (q.cents > p.cents OR q.day < p.day OR q.prio < p.prio))
+ORDER BY p.o_orderkey
+"""

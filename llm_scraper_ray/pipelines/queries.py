@@ -2174,6 +2174,8 @@ def all_queries():
         "word_cooccurrence": _curation.q_word_cooccurrence,
         # dedup-aware split: near-dup clusters never straddle train/test
         "doc_split_leakage_safe": _curation.q_doc_split_leakage_safe,
+        # multi-dimensional Pareto frontier (mergeable local-skyline cut)
+        "orders_skyline": _analytics.q_orders_skyline,
     }
 
 
@@ -2613,6 +2615,7 @@ def all_oracle_sql():
         "vocab_heavy_hitters": _curation.SQL_VOCAB_HEAVY_HITTERS,
         "word_cooccurrence": _curation.SQL_WORD_COOCCURRENCE,
         "events_cdc_upsert": _analytics.SQL_EVENTS_CDC_UPSERT,
+        "orders_skyline": _analytics.SQL_ORDERS_SKYLINE,
         "doc_split_leakage_safe": _curation.SQL_DOC_SPLIT_LEAKAGE_SAFE,
         "doc_bm25_topk": _curation.SQL_DOC_BM25_TOPK,
         "event_value_quantiles": _analytics.SQL_EVENT_VALUE_QUANTILES,
