@@ -3592,3 +3592,69 @@ WHERE NOT EXISTS (
     AND (q.cents > p.cents OR q.day < p.day OR q.prio < p.prio))
 ORDER BY p.o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user hourly rate limit (quota keep-first-N)
+
+RATE_LIMIT_N = 3  # events kept per (user, day)
+
+
+def q_events_rate_limit(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Per-user daily quota: keep the first RATE_LIMIT_N events of every
+    (user, day) — the bot-rate cap / ingestion throttle a collection
+    pipeline applies before anything downstream pays for a hot user (the
+    window binds at test scale: ~850 user-days exceed it at sf0.01). The
+    within-(user, day) rank is a distributed grouped scan
+    (pipelines/scan.grouped_rank): ONE (user, ts, event_id) sort — day is
+    monotone in ts within a user, so the quota groups are contiguous under
+    it — O(#batches) carry chain, never O(#groups) state. Identity-only
+    output (event ids + integer day), nothing floats."""
+    from .scan import grouped_rank
+
+    def hourly(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": ts_us,
+                "day": pc.divide(ts_us, 86_400_000_000),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    ).map_batches(hourly, batch_format="pyarrow")
+    ranked = grouped_rank(
+        ds, ["user_id", "ts_us", "event_id"], ["user_id", "day"], batch_size
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["grank"] <= RATE_LIMIT_N]
+        return out.rename(columns={"grank": "rnk"})[
+            ["event_id", "user_id", "day", "rnk"]
+        ]
+
+    out = ranked.map_batches(keep, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in ("event_id", "user_id", "day", "rnk")
+            }
+        )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_RATE_LIMIT = f"""
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       CAST(row_number() OVER (
+           PARTITION BY user_id, epoch_us(ts) // 86400000000
+           ORDER BY ts, event_id) AS BIGINT) AS rnk
+FROM events
+QUALIFY rnk <= {RATE_LIMIT_N}
+ORDER BY event_id
+"""

@@ -3063,3 +3063,124 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# stratified (per-source) systematic sampling — distributed grouped scan
+
+STRATA_K = 7  # keep every 7th doc per source (1st, 8th, 15th, ... by doc_id)
+
+
+def q_doc_stratified_sample(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Per-source systematic sampling (the stratified split a corpus audit
+    or per-domain eval set draws): within each source, in doc_id order,
+    keep every STRATA_K-th document. RNG-free and exact, so any worker can
+    recompute membership. The within-source rank is a distributed grouped
+    scan (pipelines/scan.grouped_rank): ONE (source, doc_id) sort, local
+    ranks per batch, O(#batches) carry chain on the driver — per-group
+    state never materializes, so 10^8 strata cost the same as 20."""
+    from .scan import grouped_rank
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    ranked = grouped_rank(ds, ["source", "doc_id"], ["source"], batch_size)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[(df["grank"] - 1) % STRATA_K == 0]
+        return out.rename(columns={"grank": "rank_in_source"})
+
+    out = ranked.map_batches(keep, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype="object"),
+                "rank_in_source": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "source", "rank_in_source"]
+    ]
+
+
+SQL_DOC_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+           AS rank_in_source
+FROM documents
+QUALIFY (rank_in_source - 1) % {STRATA_K} = 0
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic data-mixing order (weighted source interleave / curriculum)
+
+MIX_WEIGHTS = {"en": 4, "es": 2, "zh": 2, "de": 1, "fr": 1}
+MIX_W = 4  # LCM of the weights — keys stay exact integers
+
+
+def _mix_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN {MIX_W // w}" for k, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE lang {arms} ELSE {MIX_W} END"
+
+
+def q_doc_mixture_order(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Deterministic data-mixing order: interleave languages at fixed
+    weights (en:4 es:2 zh:2 de:1 fr:1) — the curriculum/mixture schedule a
+    training pipeline feeds the loader, computed as a total order instead
+    of an RNG shuffle so it is reproducible and resumable. Water-filling
+    key: the i-th doc of lang L sits at key (i-1)·(W/w_L); sorting by
+    (key, lang, doc_id) yields the weighted round-robin. Two distributed
+    grouped scans (within-lang rank, then the global position), exact
+    integer keys throughout — no float can reorder a boundary."""
+    from .scan import grouped_rank
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    ranked = grouped_rank(ds, ["lang", "doc_id"], ["lang"], batch_size)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        mult = df["lang"].map(lambda s: MIX_W // MIX_WEIGHTS.get(s, 1)).astype("int64")
+        df = df.rename(columns={"grank": "rn"})
+        df["key"] = (df["rn"] - 1) * mult
+        df["_one"] = np.int64(0)
+        return df
+
+    pos = grouped_rank(
+        ranked.map_batches(keyed, batch_format="pandas"),
+        ["key", "lang", "doc_id"],
+        ["_one"],
+        batch_size,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"grank": "mix_pos"})[["doc_id", "lang", "mix_pos"]]
+
+    out = pos.map_batches(finish, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype="object"),
+                "mix_pos": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_MIXTURE_ORDER = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS rn
+  FROM documents),
+k AS (
+  SELECT doc_id, lang, rn * ({_mix_case_sql()}) AS key FROM r)
+SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY key, lang, doc_id) AS BIGINT) AS mix_pos
+FROM k ORDER BY doc_id
+"""

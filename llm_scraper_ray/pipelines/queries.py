@@ -2176,6 +2176,12 @@ def all_queries():
         "doc_split_leakage_safe": _curation.q_doc_split_leakage_safe,
         # multi-dimensional Pareto frontier (mergeable local-skyline cut)
         "orders_skyline": _analytics.q_orders_skyline,
+        # distributed grouped-scan family (partitioned row_number, one sort,
+        # O(#batches) carry chain): stratified sampling, per-user quota,
+        # deterministic weighted data-mixing order
+        "doc_stratified_sample": _curation.q_doc_stratified_sample,
+        "events_rate_limit": _analytics.q_events_rate_limit,
+        "doc_mixture_order": _curation.q_doc_mixture_order,
     }
 
 
@@ -2616,6 +2622,9 @@ def all_oracle_sql():
         "word_cooccurrence": _curation.SQL_WORD_COOCCURRENCE,
         "events_cdc_upsert": _analytics.SQL_EVENTS_CDC_UPSERT,
         "orders_skyline": _analytics.SQL_ORDERS_SKYLINE,
+        "doc_stratified_sample": _curation.SQL_DOC_STRATIFIED_SAMPLE,
+        "events_rate_limit": _analytics.SQL_EVENTS_RATE_LIMIT,
+        "doc_mixture_order": _curation.SQL_DOC_MIXTURE_ORDER,
         "doc_split_leakage_safe": _curation.SQL_DOC_SPLIT_LEAKAGE_SAFE,
         "doc_bm25_topk": _curation.SQL_DOC_BM25_TOPK,
         "event_value_quantiles": _analytics.SQL_EVENT_VALUE_QUANTILES,
