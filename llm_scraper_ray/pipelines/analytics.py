@@ -3658,3 +3658,395 @@ FROM events
 QUALIFY rnk <= {RATE_LIMIT_N}
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21-style decorrelated multi-EXISTS self-join
+# (reference analogue: the per-order "which fetch attempt failed alone"
+# audit the scraper's retry analysis runs; here the classic shape: per
+# supplier, count orders where it was the ONLY supplier with a returned
+# line and the order had other suppliers at all.)
+
+
+def q_lineitem_lone_return_supplier(sf_dir: str) -> pd.DataFrame:
+    """Q21 shape: EXISTS(another supplier in the order) AND NOT EXISTS
+    (another supplier with a returned line) — two correlated subqueries
+    decorrelated into ONE orderkey-co-located grouped pass (a correlated
+    self-join pair at 100 TB would be two extra full-fact shuffles).
+
+    Dataflow: per-batch pre-dedup to distinct (orderkey, suppkey,
+    any-returned) rows — the combiner that bounds shuffle mass at ~4
+    lines/order; one orderkey-hash bucket shuffle (NB keys, never
+    per-order groupby state); per bucket a vectorized orderkey fold emits
+    supplier partial counts; the driver folds supplier partials only
+    (suppliers are a bounded dimension). All decided quantities are exact
+    integers."""
+    NB = 64
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ok": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "sk": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "r": (
+                    pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["ok", "sk"], sort=False, as_index=False)["r"].max()
+        g["bucket"] = g["ok"] % NB
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"s_suppkey": pd.Series([], dtype="int64"),
+                 "numwait": pd.Series([], dtype="int64")}
+            )
+        # cross-batch OR per (orderkey, suppkey), then per-order facts
+        p = g.groupby(["ok", "sk"], sort=False, as_index=False)["r"].max()
+        per = p.groupby("ok", sort=False).agg(
+            ns=("sk", "size"), nr=("r", "sum"),
+        )
+        rsup = p[p["r"] == 1].drop_duplicates("ok", keep="first").set_index("ok")["sk"]
+        hit = per[(per["ns"] >= 2) & (per["nr"] == 1)]
+        lone = rsup.loc[hit.index]
+        out = lone.value_counts().rename_axis("s_suppkey").reset_index(name="numwait")
+        return out.astype("int64")
+
+    parts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+        )
+        .map_batches(distinct_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "numwait": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby("s_suppkey", as_index=False)["numwait"].sum()
+    return out.sort_values("s_suppkey").reset_index(drop=True).astype("int64")
+
+
+SQL_LINEITEM_LONE_RETURN = """
+WITH per AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS ns,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nr,
+         min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS lone
+  FROM lineitem GROUP BY l_orderkey)
+SELECT lone AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM per WHERE ns >= 2 AND nr = 1
+GROUP BY lone ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# keyed snapshot diff (data-versioning regression check)
+
+DIFF_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("k", pa.int64()),
+        ("side", pa.int8()),
+        ("st", pa.string()),
+        ("cents", pa.int64()),
+        ("day", pa.int64()),
+        ("pr", pa.string()),
+    ]
+)
+
+
+def q_orders_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Keyed diff of two table snapshots — the regression check a data
+    platform runs between pipeline versions: classify every key as
+    added / removed / changed (unchanged rows are silent). The snapshots
+    are derived deterministically from the orders table (old drops keys
+    ≡13 mod 97; new drops keys ≡7 mod 89 and bumps price by $1 on keys
+    ≡0 mod 31) but are READ AND TRANSFORMED AS TWO INDEPENDENT STREAMS —
+    the dataflow is a genuine two-snapshot merge.
+
+    Dataflow: tag each side, ONE key-hash bucket shuffle, per-bucket
+    vectorized pivot + field compare (the tagged-union bucket merge —
+    Ray's full_outer join breaks on empty hash partitions, see
+    CLAUDE.md). Payloads compare on exact integers (cents, epoch days)
+    and dimension strings; the $1 bump is applied to cents AFTER
+    rounding on both sides so no float path decides anything."""
+    NB = 64
+
+    def snap(side: int):
+        def rows(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            cents = np.rint(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // 86_400_000_000
+            if side == 0:
+                keep = (k % 97) != 13
+            else:
+                keep = (k % 89) != 7
+                cents = cents + np.where(k % 31 == 0, 100, 0)
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array(k[keep] % NB, pa.int64()),
+                    "k": pa.array(k[keep], pa.int64()),
+                    "side": pa.array(np.full(int(keep.sum()), side, np.int8)),
+                    "st": pc.array_filter(t["o_orderstatus"], pa.array(keep)),
+                    "cents": pa.array(cents[keep], pa.int64()),
+                    "day": pa.array(day[keep], pa.int64()),
+                    "pr": pc.array_filter(t["o_orderpriority"], pa.array(keep)),
+                },
+                schema=DIFF_SCHEMA,
+            )
+
+        return rows
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series([], dtype="int64"),
+                 "change": pd.Series([], dtype=object)}
+            )
+        o = g[g["side"] == 0].set_index("k")
+        n = g[g["side"] == 1].set_index("k")
+        added = n.index.difference(o.index)
+        removed = o.index.difference(n.index)
+        both = o.index.intersection(n.index)
+        ob, nb = o.loc[both], n.loc[both]
+        diff = (
+            (ob["st"].to_numpy(object) != nb["st"].to_numpy(object))
+            | (ob["cents"].to_numpy(np.int64) != nb["cents"].to_numpy(np.int64))
+            | (ob["day"].to_numpy(np.int64) != nb["day"].to_numpy(np.int64))
+            | (ob["pr"].to_numpy(object) != nb["pr"].to_numpy(object))
+        )
+        ks = np.concatenate(
+            [added.to_numpy(np.int64), removed.to_numpy(np.int64),
+             both.to_numpy(np.int64)[diff]]
+        )
+        ch = np.concatenate(
+            [np.full(len(added), "added", object),
+             np.full(len(removed), "removed", object),
+             np.full(int(diff.sum()), "changed", object)]
+        )
+        return pd.DataFrame({"o_orderkey": ks, "change": ch})
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    old = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=cols).map_batches(
+        snap(0), batch_format="pyarrow"
+    )
+    new = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=cols).map_batches(
+        snap(1), batch_format="pyarrow"
+    )
+    out = (
+        old.union(new).groupby("bucket").map_groups(classify, batch_format="pandas").to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"o_orderkey": pd.Series([], dtype="int64"),
+             "change": pd.Series([], dtype=object)}
+        )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDERS_SNAPSHOT_DIFF = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         o_orderpriority AS pr
+  FROM orders WHERE o_orderkey % 97 <> 13),
+n AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 31 = 0 THEN 100 ELSE 0 END AS cents,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         o_orderpriority AS pr
+  FROM orders WHERE o_orderkey % 89 <> 7)
+SELECT coalesce(o.k, n.k) AS o_orderkey,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM o FULL OUTER JOIN n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL
+   OR o.st <> n.st OR o.cents <> n.cents OR o.day <> n.day OR o.pr <> n.pr
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# dataset profiler (per-column audit: counts, nulls, exact distinct, min/max)
+
+_PROFILE_COLS = ["event_id", "user_id", "day", "event_type", "etype_ok"]
+_PROFILE_INT = {0: True, 1: True, 2: True, 3: False, 4: False}
+
+
+def q_events_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-column dataset profile — the schema-drift / data-quality audit a
+    pipeline runs before training ingestion: row count, null count, EXACT
+    distinct count, min and max for each profiled column (ints compare
+    numerically, strings lexicographically; min/max emit as strings so one
+    result schema covers both). `etype_ok` nulls out the 'error' event
+    type (the dirty-value→NULL normalization), so the null path is
+    exercised, not degenerate.
+
+    Dataflow: per batch, values fold to per-(column, value) COUNTS (the
+    combiner — shuffle mass is per-batch-distinct, never the raw stream);
+    one value-hash bucket shuffle; a value lands in exactly one bucket, so
+    per-bucket distinct/min/max/count partials are exact and mergeable;
+    the driver folds #buckets × #columns constant-size partials. Exact
+    distinct on a unique key column inherently costs the full shuffle —
+    `events_distinct_hll` is the sketch alternative when approximate
+    suffices."""
+    NB = 64
+
+    def tagged(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        et = t["event_type"].to_pylist()
+        cols = {
+            0: t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            1: t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            2: ts_us // 86_400_000_000,
+            3: np.array(et, object),
+            4: np.array([None if s == "error" else s for s in et], object),
+        }
+        frames = []
+        n = t.num_rows
+        for cid, arr in cols.items():
+            if _PROFILE_INT[cid]:
+                vi, counts = np.unique(arr, return_counts=True)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "bucket": (vi % NB).astype(np.int64),
+                            "cid": np.int64(cid),
+                            "v": vi.astype(str),
+                            "vi": vi,
+                            "cnt": counts.astype(np.int64),
+                            "nulls": np.int64(0),
+                        }
+                    )
+                )
+            else:
+                s = pd.Series(arr, dtype=object)
+                n_null = int(s.isna().sum())
+                vc = s.dropna().value_counts()
+                from ..functions.analysis import _feat_hash
+
+                b = np.fromiter(
+                    ((_feat_hash(v) & 0x7FFFFFFFFFFFFFFF) % NB for v in vc.index),
+                    np.int64,
+                    count=len(vc),
+                )
+                f = pd.DataFrame(
+                    {
+                        "bucket": b,
+                        "cid": np.int64(cid),
+                        "v": vc.index.to_numpy(object),
+                        "vi": np.int64(0),
+                        "cnt": vc.to_numpy(np.int64),
+                        "nulls": np.int64(0),
+                    }
+                )
+                if n_null:
+                    # null-count rides one metadata row (bucket 0, cnt 0)
+                    f = pd.concat(
+                        [f, pd.DataFrame(
+                            {"bucket": [0], "cid": [np.int64(cid)], "v": [""],
+                             "vi": [np.int64(0)], "cnt": [np.int64(0)],
+                             "nulls": [np.int64(n_null)]}
+                        )],
+                        ignore_index=True,
+                    )
+                frames.append(f)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, sub in g.groupby("cid", sort=False):
+            vals = sub[sub["cnt"] > 0]
+            # same value from different batches: one distinct, summed count
+            per_v = vals.groupby("v", sort=False).agg(
+                cnt=("cnt", "sum"), vi=("vi", "first")
+            )
+            if _PROFILE_INT[int(cid)]:
+                mn = mx = None
+                if len(per_v):
+                    mn, mx = int(per_v["vi"].min()), int(per_v["vi"].max())
+                rows.append((int(cid), int(per_v["cnt"].sum()), int(sub["nulls"].sum()),
+                             len(per_v), str(mn), str(mx), mn if mn is not None else 0,
+                             mx if mx is not None else 0, len(per_v) > 0))
+            else:
+                mn_s = per_v.index.min() if len(per_v) else ""
+                mx_s = per_v.index.max() if len(per_v) else ""
+                rows.append((int(cid), int(per_v["cnt"].sum()), int(sub["nulls"].sum()),
+                             len(per_v), mn_s, mx_s, 0, 0, len(per_v) > 0))
+        return pd.DataFrame(
+            rows, columns=["cid", "n", "n_null", "nd", "mn_s", "mx_s", "mn_i", "mx_i", "has"]
+        )
+
+    parts = (
+        _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(tagged, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out_rows = []
+    for cid in range(len(_PROFILE_COLS)):
+        sub = parts[(parts["cid"] == cid)]
+        live = sub[sub["has"]]
+        n_null = int(sub["n_null"].sum())
+        n = int(sub["n"].sum()) + n_null  # count(*) includes nulls
+        nd = int(sub["nd"].sum())
+        if _PROFILE_INT[cid]:
+            mn_s = str(int(live["mn_i"].min())) if len(live) else ""
+            mx_s = str(int(live["mx_i"].max())) if len(live) else ""
+        else:
+            mn_s = live["mn_s"].min() if len(live) else ""
+            mx_s = live["mx_s"].max() if len(live) else ""
+        out_rows.append((_PROFILE_COLS[cid], n, n_null, nd, mn_s, mx_s))
+    return pd.DataFrame(
+        out_rows, columns=["col", "n", "n_null", "n_distinct", "min_s", "max_s"]
+    ).astype({"n": "int64", "n_null": "int64", "n_distinct": "int64"})
+
+
+SQL_EVENTS_PROFILE = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         event_type,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS etype_ok
+  FROM events)
+SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_s, CAST(max(event_id) AS VARCHAR) AS max_s
+FROM e
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM e
+UNION ALL
+SELECT 'day', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(day) AS BIGINT),
+       CAST(count(DISTINCT day) AS BIGINT),
+       CAST(min(day) AS VARCHAR), CAST(max(day) AS VARCHAR) FROM e
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       min(event_type), max(event_type) FROM e
+UNION ALL
+SELECT 'etype_ok', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(etype_ok) AS BIGINT),
+       CAST(count(DISTINCT etype_ok) AS BIGINT),
+       coalesce(min(etype_ok), ''), coalesce(max(etype_ok), '') FROM e
+ORDER BY col
+"""

@@ -2182,6 +2182,12 @@ def all_queries():
         "doc_stratified_sample": _curation.q_doc_stratified_sample,
         "events_rate_limit": _analytics.q_events_rate_limit,
         "doc_mixture_order": _curation.q_doc_mixture_order,
+        # Q21-shape decorrelated multi-EXISTS self-join (one co-located pass)
+        "lineitem_lone_return_supplier": _analytics.q_lineitem_lone_return_supplier,
+        # keyed two-snapshot diff: added / removed / changed classification
+        "orders_snapshot_diff": _analytics.q_orders_snapshot_diff,
+        # per-column dataset profile (exact bucketed distinct, min/max, nulls)
+        "events_profile": _analytics.q_events_profile,
     }
 
 
@@ -2625,6 +2631,9 @@ def all_oracle_sql():
         "doc_stratified_sample": _curation.SQL_DOC_STRATIFIED_SAMPLE,
         "events_rate_limit": _analytics.SQL_EVENTS_RATE_LIMIT,
         "doc_mixture_order": _curation.SQL_DOC_MIXTURE_ORDER,
+        "lineitem_lone_return_supplier": _analytics.SQL_LINEITEM_LONE_RETURN,
+        "orders_snapshot_diff": _analytics.SQL_ORDERS_SNAPSHOT_DIFF,
+        "events_profile": _analytics.SQL_EVENTS_PROFILE,
         "doc_split_leakage_safe": _curation.SQL_DOC_SPLIT_LEAKAGE_SAFE,
         "doc_bm25_topk": _curation.SQL_DOC_BM25_TOPK,
         "event_value_quantiles": _analytics.SQL_EVENT_VALUE_QUANTILES,
