@@ -125,24 +125,39 @@ def _run_bench() -> None:
             print(f"# query {name} failed: {e}", file=sys.stderr)
 
     total = round(crawl_secs + sum(s for s in qsecs.values() if s > 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": {"crawl": round(crawl_secs, 3), **qsecs},
-                "sf": sf_dir,
-                "num_cpus": num_cpus,
-                "crawl": {
-                    "urls": int(n_urls),
-                    "rounds": result.rounds,
-                    "secs": round(crawl_secs, 3),
-                    "urls_per_sec": round(n_urls / crawl_secs, 2) if crawl_secs else 0.0,
-                },
-            }
-        )
-    )
+    # the driver captures only the TAIL (~2 KB) of stdout — r03's full
+    # 154-entry per-query line exceeded that and parsed as null. Keep the
+    # contract line compact (crawl + suite rollup + the 20 slowest
+    # queries) and write the complete per-query map to BENCH_DETAIL.json.
+    slowest = dict(sorted(qsecs.items(), key=lambda kv: -kv[1])[:20])
+    line = {
+        "metric": "headline_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            "crawl": round(crawl_secs, 3),
+            "suite_total": round(sum(s for s in qsecs.values() if s > 0), 3),
+            "suite_n": len(qsecs),
+            "failed_n": sum(1 for s in qsecs.values() if s < 0),
+            **slowest,
+        },
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "crawl": {
+            "urls": int(n_urls),
+            "rounds": result.rounds,
+            "secs": round(crawl_secs, 3),
+            "urls_per_sec": round(n_urls / crawl_secs, 2) if crawl_secs else 0.0,
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    if not os.environ.get("LLMSR_BENCH_CRAWL_ONLY"):
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json")
+        with open(detail_path, "w") as fh:
+            json.dump({**line, "queries": {"crawl": round(crawl_secs, 3), **qsecs}},
+                      fh, indent=1)
+    print(json.dumps(line))
     ray.shutdown()
 
 

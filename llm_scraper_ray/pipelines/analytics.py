@@ -4050,3 +4050,272 @@ SELECT 'etype_ok', CAST(count(*) AS BIGINT),
        coalesce(min(etype_ok), ''), coalesce(max(etype_ok), '') FROM e
 ORDER BY col
 """
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution (two-table strict-asof + channel revenue credit)
+
+ATTR_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),  # 0 channel partial, 1 head order, 2 tail touch
+        ("channel", pa.string()),
+        ("n", pa.int64()),
+        ("cents", pa.int64()),
+        ("u", pa.int64()),
+        ("id", pa.int64()),
+        ("ts_i", pa.int64()),
+        ("tag", pa.int8()),
+    ]
+)
+
+
+def q_events_attribution(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Last-touch marketing attribution: every PURCHASE event (the
+    conversion) is credited to the same user's most recent NON-purchase
+    event STRICTLY BEFORE it ('direct' when none) — revenue and
+    conversion counts per channel. (Orders and events are time-disjoint
+    in this corpus — 1997-2001 vs 2024 — so the conversion stream is the
+    purchase events themselves, the standard in-stream attribution
+    shape.) A strict as-of between two ROLES of one stream + aggregate:
+    resolved conversions fold to per-batch (channel, n, cents) PARTIALS —
+    the shuffle never carries conversion rows, only constant-size
+    partials + the O(#batches) edge set.
+
+    ONE scan tags rows, ONE (user, ts, tag, id) sort; tag 0 (conversion)
+    sorts before tag 1 (touch) at equal ts, which encodes the strict-<
+    semantics positionally. Only each batch's FIRST user's unresolved
+    conversions need cross-batch context (the documented full-sort-key
+    edge fixup); tails carry the batch's last touch. Oracle: rank-1 row
+    over a strict-inequality LEFT JOIN."""
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        is_conv = pc.equal(t["event_type"], "purchase")
+        conv_np = is_conv.to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "u": t["user_id"],
+                "ts_i": pc.cast(t["ts"], pa.int64()),
+                "tag": pa.array(np.where(conv_np, 0, 1).astype(np.int8)),
+                "id": t["event_id"],
+                "cents": pa.array(
+                    np.where(
+                        conv_np, np.rint(val * 100).astype(np.int64), 0
+                    )
+                ),
+                "channel": pc.if_else(
+                    is_conv, pa.scalar("", pa.string()), t["event_type"]
+                ),
+            }
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return ATTR_SCHEMA.empty_table()
+        u = t["u"].to_numpy(zero_copy_only=False)
+        tag = t["tag"].to_numpy(zero_copy_only=False)
+        ts_i = t["ts_i"].to_numpy(zero_copy_only=False)
+        oid = t["id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        ch = np.array(t["channel"].to_pylist(), object)
+        is_touch = tag == 1
+        idx = np.arange(n)
+        last_touch = np.maximum.accumulate(np.where(is_touch, idx, -1))
+        valid = last_touch >= 0
+        same = np.zeros(n, dtype=bool)
+        same[valid] = u[last_touch[valid]] == u[valid]
+        ok = valid & same & ~is_touch
+        is_order = ~is_touch
+        head = is_order & ~ok & (u == u[0])  # may resolve from an earlier batch
+        final = is_order & ~head
+        chan = np.where(ok, ch[np.maximum(last_touch, 0)], "direct")
+        parts = pd.DataFrame(
+            {"channel": chan[final], "cents": cents[final]}
+        ).groupby("channel", as_index=False).agg(n=("cents", "size"), cents=("cents", "sum"))
+        out = {
+            "kind": np.zeros(len(parts), np.int8),
+            "channel": parts["channel"].to_numpy(object),
+            "n": parts["n"].to_numpy(np.int64),
+            "cents": parts["cents"].to_numpy(np.int64),
+            "u": np.zeros(len(parts), np.int64),
+            "id": np.zeros(len(parts), np.int64),
+            "ts_i": np.zeros(len(parts), np.int64),
+            "tag": np.zeros(len(parts), np.int8),
+        }
+        frames = [pd.DataFrame(out)]
+        if head.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.int8(1), "channel": "",
+                        "n": np.int64(1), "cents": cents[head],
+                        "u": u[head], "id": oid[head], "ts_i": ts_i[head],
+                        "tag": np.int8(0),
+                    }
+                )
+            )
+        touches = np.flatnonzero(is_touch)
+        if touches.size:
+            r = touches[-1]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": [np.int8(2)], "channel": [ch[r]],
+                        "n": [np.int64(0)], "cents": [np.int64(0)],
+                        "u": [u[r]], "id": [oid[r]], "ts_i": [ts_i[r]],
+                        "tag": [np.int8(1)],
+                    }
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(ATTR_SCHEMA)
+
+    rows = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+        .map_batches(tag_rows, batch_format="pyarrow")
+        .sort(["u", "ts_i", "tag", "id"])
+        .map_batches(resolve, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()
+    )
+    if len(rows) == 0 or "kind" not in rows.columns:  # all-empty-block quirk
+        return pd.DataFrame(
+            {"channel": pd.Series([], dtype=object),
+             "n_orders": pd.Series([], dtype="int64"),
+             "revenue_cents": pd.Series([], dtype="int64")}
+        )
+    agg: dict[str, list[int]] = {}
+
+    def credit(channel: str, n: int, cents: int) -> None:
+        cur = agg.setdefault(channel, [0, 0])
+        cur[0] += n
+        cur[1] += cents
+    for _, r in rows[rows["kind"] == 0].iterrows():
+        credit(r["channel"], int(r["n"]), int(r["cents"]))
+    edges = rows[rows["kind"] != 0]
+    if len(edges):
+        # stream order: full sort key (u, ts_i, tag, id); tails (tag 1)
+        # sort after a head at equal ts → strict-before preserved
+        edges = edges.sort_values(["u", "ts_i", "tag", "id"], kind="stable")
+        is_tail = edges["kind"] == 2
+        last_u = edges["u"].where(is_tail).ffill()
+        last_ch = edges["channel"].where(is_tail).ffill()
+        heads = edges[edges["kind"] == 1]
+        same = (last_u[heads.index] == heads["u"]).to_numpy()
+        chans = np.where(same, last_ch[heads.index].to_numpy(object), "direct")
+        for chn, cents in zip(chans, heads["cents"].to_numpy(np.int64)):
+            credit(str(chn), 1, int(cents))
+    out = pd.DataFrame(
+        [(k, v[0], v[1]) for k, v in agg.items()],
+        columns=["channel", "n_orders", "revenue_cents"],
+    ).astype({"n_orders": "int64", "revenue_cents": "int64"})
+    return out.sort_values("channel").reset_index(drop=True)
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT c.event_id, c.cents, e.event_type,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM c LEFT JOIN events e
+    ON e.user_id = c.user_id AND e.event_type <> 'purchase'
+   AND e.ts < c.ts)
+SELECT coalesce(event_type, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM t WHERE rn = 1
+GROUP BY channel ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# value band self-join (non-equi distance join via neighbor-bucket blocking)
+
+BAND_CENTS = 50  # |value diff| <= 50 cents, same calendar day
+
+
+def q_events_band_join(sf_dir: str) -> pd.DataFrame:
+    """Band (distance) self-join — pairs of same-day events whose values
+    differ by ≤ BAND_CENTS (the correlated-metric / near-identical-price
+    pair detector). A non-equi join Ray Data lacks: blocking by
+    (day, value // BAND) with each row ALSO ghost-emitted to the next
+    band — any qualifying pair either shares a band (counted home×home
+    there) or spans adjacent bands (counted ghost×home in the upper one),
+    and bands two apart cannot qualify, so the enumeration is exact with
+    2× row expansion and no all-pairs pass. Pair counts pre-aggregate per
+    (group, day) before the small per-day rollup. Exact integer cents."""
+    NB = 256
+
+    def rows(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        day = ts_us // 86_400_000_000
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        band = c // BAND_CENTS
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        home = pd.DataFrame(
+            {"day": day, "band": band, "c": c, "eid": eid, "ghost": np.int8(0)}
+        )
+        ghost = pd.DataFrame(
+            {"day": day, "band": band + 1, "c": c, "eid": eid, "ghost": np.int8(1)}
+        )
+        df = pd.concat([home, ghost], ignore_index=True)
+        df["bucket"] = ((df["day"] * 1_000_003 + df["band"]) % NB).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        res = []
+        for (day, _band), sub in g.groupby(["day", "band"], sort=False):
+            h = sub[sub["ghost"] == 0]
+            gh = sub[sub["ghost"] == 1]
+            n = 0
+            if len(h) > 1:
+                cs = np.sort(h["c"].to_numpy(np.int64))
+                # within-band: diff <= BAND always? band width == BAND means
+                # max in-band diff is BAND-1 < BAND — all home pairs qualify
+                n += len(cs) * (len(cs) - 1) // 2
+            if len(h) and len(gh):
+                hc = np.sort(h["c"].to_numpy(np.int64))
+                for v in gh["c"].to_numpy(np.int64):
+                    lo = np.searchsorted(hc, v - BAND_CENTS, side="left")
+                    hi = np.searchsorted(hc, v + BAND_CENTS, side="right")
+                    n += int(hi - lo)
+            if n:
+                res.append((int(day), n))
+        if not res:
+            return pd.DataFrame(
+                {"day": pd.Series([], dtype="int64"),
+                 "n_pairs": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(res, columns=["day", "n_pairs"]).astype("int64")
+
+    parts = (
+        _read_events(sf_dir, ["event_id", "ts", "value"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype="int64"),
+             "n_pairs": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby("day", as_index=False)["n_pairs"].sum()
+    return out.sort_values("day").reset_index(drop=True).astype("int64")
+
+
+SQL_EVENTS_BAND_JOIN = f"""
+WITH e AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events)
+SELECT a.day, CAST(count(*) AS BIGINT) AS n_pairs
+FROM e a JOIN e b
+  ON a.day = b.day AND a.event_id < b.event_id
+ AND abs(a.c - b.c) <= {BAND_CENTS}
+GROUP BY a.day ORDER BY a.day
+"""

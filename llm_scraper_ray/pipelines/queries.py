@@ -2188,6 +2188,12 @@ def all_queries():
         "orders_snapshot_diff": _analytics.q_orders_snapshot_diff,
         # per-column dataset profile (exact bucketed distinct, min/max, nulls)
         "events_profile": _analytics.q_events_profile,
+        # two-table strict-asof last-touch attribution with channel rollup
+        "events_attribution": _analytics.q_events_attribution,
+        # non-equi band self-join via neighbor-bucket blocking
+        "events_band_join": _analytics.q_events_band_join,
+        # binary content-hash dedup over the simulated media asset library
+        "media_exact_dedup": q_media_exact_dedup,
     }
 
 
@@ -2634,6 +2640,9 @@ def all_oracle_sql():
         "lineitem_lone_return_supplier": _analytics.SQL_LINEITEM_LONE_RETURN,
         "orders_snapshot_diff": _analytics.SQL_ORDERS_SNAPSHOT_DIFF,
         "events_profile": _analytics.SQL_EVENTS_PROFILE,
+        "events_attribution": _analytics.SQL_EVENTS_ATTRIBUTION,
+        "events_band_join": _analytics.SQL_EVENTS_BAND_JOIN,
+        "media_exact_dedup": _SQL_MEDIA_EXACT_DEDUP,
         "doc_split_leakage_safe": _curation.SQL_DOC_SPLIT_LEAKAGE_SAFE,
         "doc_bm25_topk": _curation.SQL_DOC_BM25_TOPK,
         "event_value_quantiles": _analytics.SQL_EVENT_VALUE_QUANTILES,
@@ -3160,6 +3169,76 @@ def q_media_frames(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+
+
+MEDIA_LIB = 64  # distinct media assets in the simulated library
+
+
+def q_media_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact BINARY dedup over a media column — the content-hash image/audio
+    dedup a multimodal corpus runs before feature extraction. Docs
+    reference a shared asset library (asset id = doc_id % MEDIA_LIB, the
+    many-docs-one-asset layout of real web corpora); the engine renders
+    the actual payload bytes and dedups on a 64-bit BLAKE2b content
+    fingerprint of the BYTES — the shuffle carries (hash, doc_id) rows,
+    never payloads (the 100-TB shape: fingerprints travel, content
+    doesn't). Per-bucket fold keeps the min-doc representative + refcount.
+
+    Oracle: the generator's asset mapping is injective payload↔asset-id
+    (pinned by the media_decode truth gate), so content-equality groups
+    are exactly the doc_id % MEDIA_LIB classes — SQL-expressible."""
+    import hashlib as _hl
+
+    from ..sources.media import render_media
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        fps: dict[int, int] = {}
+        out_h = np.empty(len(ids), np.int64)
+        for i, d in enumerate(ids):
+            a = int(d) % MEDIA_LIB
+            h = fps.get(a)
+            if h is None:
+                _, payload = render_media(a)
+                h = (
+                    int.from_bytes(
+                        _hl.blake2b(payload, digest_size=8).digest(), "little"
+                    )
+                    & 0x7FFFFFFFFFFFFFFF
+                )
+                fps[a] = h
+            out_h[i] = h
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(out_h % 64, pa.int64()),
+                "h": pa.array(out_h, pa.int64()),
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(
+            rep_doc=("doc_id", "min"), n_refs=("doc_id", "size")
+        )
+        return out[["rep_doc", "n_refs"]].astype("int64")
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("rep_doc").reset_index(drop=True)
+
+
+_SQL_MEDIA_EXACT_DEDUP = f"""
+SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc,
+       CAST(count(*) AS BIGINT) AS n_refs
+FROM documents
+GROUP BY doc_id % {MEDIA_LIB}
+ORDER BY rep_doc
+"""
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
