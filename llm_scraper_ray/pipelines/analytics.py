@@ -4319,3 +4319,1215 @@ FROM e a JOIN e b
  AND abs(a.c - b.c) <= {BAND_CENTS}
 GROUP BY a.day ORDER BY a.day
 """
+
+
+# ---------------------------------------------------------------------------
+# Q17-class small-quantity revenue: per-part threshold from the part's OWN
+# aggregate, decided in exact integers
+
+SMALLQTY_BRAND = "Brand#13"
+
+
+def q_lineitem_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue that would be lost by refusing orders whose
+    quantity is below 20% of the part's own average order quantity, over one
+    brand (reference: the promotion/brand-slice analyses in
+    query_analysis.py). The correlated subquery (each row compared against
+    an aggregate of its OWN group) is the shape that forces a fact-fact
+    self-join in SQL; here both the aggregate and the row filter happen
+    inside ONE partkey-hash bucket after ONE shuffle.
+
+    Exactness: ``qty < 0.2 * avg(qty)`` is decided as
+    ``5*qty*cnt < sum_qty`` — all int64 (quantities are integral), so no
+    float boundary can flip a row between engines. The brand filter rides
+    the same shuffle as tagged part rows (qty == -1 marker): no broadcast
+    of the part dim, scale-safe when part is fact-sized.
+
+    Output: one row (total_cents, n_small, avg_yearly); avg_yearly is the
+    single float division total_cents/700.0 (Q17's /7.0 over dollars),
+    bit-identical across engines."""
+    NB = 64
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(k % NB, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "q": pa.array(q, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def part_rows(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["p_brand"], SMALLQTY_BRAND)
+        k = pc.filter(t["p_partkey"], mask).to_numpy(zero_copy_only=False)
+        n = len(k)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(k % NB, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "q": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"total_cents": pd.Series([], dtype="int64"),
+                 "n_small": pd.Series([], dtype="int64")}
+            )
+        keep_k = g.loc[g["q"].to_numpy() == -1, "k"].unique()
+        li = g[g["q"].to_numpy() != -1]
+        li = li[li["k"].isin(keep_k)]
+        if len(li) == 0:
+            return pd.DataFrame({"total_cents": [0], "n_small": [0]}).astype("int64")
+        ag = li.groupby("k")["q"].agg(sumq="sum", cnt="size")
+        sumq = ag["sumq"].reindex(li["k"]).to_numpy(np.int64)
+        cnt = ag["cnt"].reindex(li["k"]).to_numpy(np.int64)
+        small = 5 * li["q"].to_numpy(np.int64) * cnt < sumq
+        return pd.DataFrame(
+            {"total_cents": [int(li["cents"].to_numpy(np.int64)[small].sum())],
+             "n_small": [int(small.sum())]}
+        ).astype("int64")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+    pt = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).map_batches(part_rows, batch_format="pyarrow")
+    parts = (
+        li.union(pt).groupby("bucket").map_groups(fold, batch_format="pandas")
+    ).to_pandas()
+    total = int(parts["total_cents"].sum()) if len(parts) else 0
+    n = int(parts["n_small"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {"total_cents": pd.Series([total], dtype="int64"),
+         "n_small": pd.Series([n], dtype="int64"),
+         "avg_yearly": [round(total / 700.0, 6)]}
+    )
+
+
+SQL_LINEITEM_SMALL_QTY = f"""
+WITH li AS (
+  SELECT l_partkey AS k, CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{SMALLQTY_BRAND}'),
+ag AS (
+  SELECT k, CAST(sum(q) AS BIGINT) AS sumq, count(*) AS cnt
+  FROM li GROUP BY k)
+SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_small,
+       round(CAST(coalesce(sum(cents), 0) AS BIGINT) / 700.0, 6) AS avg_yearly
+FROM li JOIN ag USING (k)
+WHERE 5 * li.q * ag.cnt < ag.sumq
+"""
+
+
+# ---------------------------------------------------------------------------
+# argmin join: cheapest supplier per part (TPC-H Q2's min-supplycost shape
+# over the lineitem fact, dims attached in the contract-bound epilogue)
+
+
+def q_part_cheapest_supplier(sf_dir: str) -> pd.DataFrame:
+    """Per-part argmin join — TPC-H Q2's 'supplier with minimum supply
+    cost' shape re-based on lineitem (this corpus has no partsupp): for
+    every part, the supplier of its cheapest lineitem (exact integer cents;
+    ties break to the smallest suppkey), decorated with supplier + nation
+    names.
+
+    Dataflow: per-batch PARTIAL argmin per partkey (lexsort + first-of-run
+    — the mergeable cut: a batch's non-minimal rows can never win
+    globally), then ONE partkey-hash bucket shuffle and the same vectorized
+    argmin per bucket. Supplier/nation are metadata-sized dims merged in
+    the pandas epilogue (the result is already part-cardinality there)."""
+    NB = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.lexsort((s, cents, k))
+        ks = k[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        idx = order[first]
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(k[idx] % NB, pa.int64()),
+                "k": pa.array(k[idx], pa.int64()),
+                "s": pa.array(s[idx], pa.int64()),
+                "cents": pa.array(cents[idx], pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("k", "s", "cents")}
+            )
+        k = g["k"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((s, c, k))
+        ks = k[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        idx = order[first]
+        return pd.DataFrame({"k": k[idx], "s": s[idx], "cents": c[idx]})
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    import pyarrow.parquet as _pq
+
+    sup = _pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).to_pandas()
+    nat = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = out.merge(sup, left_on="s", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    out = out.rename(columns={"k": "p_partkey", "cents": "min_cents"})[
+        ["p_partkey", "s_suppkey", "s_name", "n_name", "min_cents"]
+    ]
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+SQL_PART_CHEAPEST_SUPPLIER = """
+WITH c AS (
+  SELECT l_partkey AS k, l_suppkey AS s,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+m AS (SELECT k, min(cents) AS mc FROM c GROUP BY k),
+w AS (
+  SELECT c.k AS k, min(c.s) AS s
+  FROM c JOIN m ON c.k = m.k AND c.cents = m.mc
+  GROUP BY c.k)
+SELECT w.k AS p_partkey, w.s AS s_suppkey, s_name, n_name, m.mc AS min_cents
+FROM w JOIN m ON w.k = m.k
+  JOIN supplier ON s_suppkey = w.s
+  JOIN nation ON n_nationkey = s_nationkey
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# partition checksum audit: order-independent mergeable (count, sum, xor)
+# fingerprint per partition — the copy/export verification an ingest runs
+
+CKS_MOD = 2147483647  # 2^31 - 1: keeps every intermediate far inside int64
+
+
+def q_orders_partition_checksum(sf_dir: str) -> pd.DataFrame:
+    """Per-partition content checksum — the audit a pipeline runs to verify
+    a copied/exported table without re-reading it row-by-row: for each
+    order month, row count + an order-independent (sum mod M, xor) hash of
+    the row payload. Sum and xor are commutative/associative, so per-batch
+    partials merge in any order — the mergeable-sketch shape.
+
+    The row hash is plain BIGINT arithmetic reproducible in SQL
+    (multiply-add mod 2^31-1 over orderkey, price cents, epoch day and the
+    status code point); every intermediate is bounded < 2^53 so neither
+    engine overflows or wraps. Unicode code points come from the numpy
+    UCS4 view (vectorized, no Python loop)."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // 86_400_000_000
+        stc = (
+            t["o_orderstatus"]
+            .to_numpy(zero_copy_only=False)
+            .astype("U1")
+            .view(np.uint32)
+            .astype(np.int64)
+        )
+        h = ((k % 4294967296) * 1000003 + cents * 31 + day * 7 + stc) % CKS_MOD
+        m = _month_idx(t["o_orderdate"])
+        df = pd.DataFrame({"m": m, "h": h})
+        agg = df.groupby("m")["h"].agg(
+            n="size",
+            s=lambda x: int(x.to_numpy(np.int64).sum() % CKS_MOD),
+            x=lambda x: int(np.bitwise_xor.reduce(x.to_numpy(np.int64))),
+        )
+        return agg.reset_index()
+
+    parts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("m").agg(
+        n_rows=("n", "sum"),
+        sum_hash=("s", lambda x: int(x.to_numpy(np.int64).sum() % CKS_MOD)),
+        xor_hash=("x", lambda x: int(np.bitwise_xor.reduce(x.to_numpy(np.int64)))),
+    )
+    agg = agg.reset_index().sort_values("m")
+    return pd.DataFrame(
+        {
+            "month": [f"{m // 12:04d}-{m % 12 + 1:02d}" for m in agg["m"]],
+            "n_rows": agg["n_rows"].to_numpy(np.int64),
+            "sum_hash": agg["sum_hash"].to_numpy(np.int64),
+            "xor_hash": agg["xor_hash"].to_numpy(np.int64),
+        }
+    )
+
+
+SQL_ORDERS_PARTITION_CHECKSUM = f"""
+WITH r AS (
+  SELECT printf('%04d-%02d',
+                CAST(date_part('year', o_orderdate) AS BIGINT),
+                CAST(date_part('month', o_orderdate) AS BIGINT)) AS month,
+         ((o_orderkey % 4294967296) * 1000003
+          + CAST(round(o_totalprice * 100) AS BIGINT) * 31
+          + CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) * 7
+          + ascii(o_orderstatus)) % {CKS_MOD} AS h
+  FROM orders)
+SELECT month, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(h) % {CKS_MOD} AS BIGINT) AS sum_hash,
+       CAST(bit_xor(h) AS BIGINT) AS xor_hash
+FROM r GROUP BY month ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# one-pass multi-scenario evaluation: K parameter settings over ONE data scan
+
+SCN_N = 8  # scenarios: pct = 5+k on orders with cents >= 10M + 5M*k
+
+
+def q_orders_discount_scenarios(sf_dir: str) -> pd.DataFrame:
+    """What-if parameter sweep — evaluate K discount policies in ONE pass
+    over the fact table (the shape a tuning job wants: never K scans).
+    Scenario k discounts orders at/above a cents threshold by an integer
+    percent; the per-batch kernel compares rows × scenarios vectorized
+    (outer broadcast) and emits K partial rows; the driver folds K rows per
+    batch. All decided quantities are integer cents (`cents * pct // 100`
+    floor division — identical in numpy and DuckDB for non-negatives)."""
+    pcts = np.arange(5, 5 + SCN_N, dtype=np.int64)
+    thr = (10_000_000 + 5_000_000 * np.arange(SCN_N, dtype=np.int64))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        hit = cents[:, None] >= thr[None, :]  # rows × K
+        disc = (cents[:, None] * pcts[None, :]) // 100
+        return pd.DataFrame(
+            {
+                "scenario": np.arange(SCN_N, dtype=np.int64),
+                "n_affected": hit.sum(axis=0).astype(np.int64),
+                "discount_cents": np.where(hit, disc, 0).sum(axis=0).astype(np.int64),
+                "gross_cents": np.full(SCN_N, int(cents.sum()), np.int64),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = (
+        parts.groupby("scenario", as_index=False)[
+            ["n_affected", "discount_cents", "gross_cents"]
+        ].sum()
+    ).sort_values("scenario")
+    return pd.DataFrame(
+        {
+            "scenario": agg["scenario"].to_numpy(np.int64),
+            "pct": pcts,
+            "threshold_cents": thr,
+            "n_affected": agg["n_affected"].to_numpy(np.int64),
+            "discount_cents": agg["discount_cents"].to_numpy(np.int64),
+            "net_cents": (
+                agg["gross_cents"].to_numpy(np.int64)
+                - agg["discount_cents"].to_numpy(np.int64)
+            ),
+        }
+    )
+
+
+SQL_ORDERS_DISCOUNT_SCENARIOS = f"""
+WITH s AS (
+  SELECT k AS scenario, 5 + k AS pct,
+         10000000 + 5000000 * k AS threshold_cents
+  FROM (SELECT unnest(range(0, {SCN_N})) AS k)),
+o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT s.scenario, CAST(s.pct AS BIGINT) AS pct,
+       CAST(s.threshold_cents AS BIGINT) AS threshold_cents,
+       CAST(sum(CASE WHEN o.cents >= s.threshold_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_affected,
+       CAST(sum(CASE WHEN o.cents >= s.threshold_cents
+                     THEN (o.cents * s.pct) // 100 ELSE 0 END)
+            AS BIGINT) AS discount_cents,
+       CAST(sum(o.cents) - sum(CASE WHEN o.cents >= s.threshold_cents
+                                    THEN (o.cents * s.pct) // 100 ELSE 0 END)
+            AS BIGINT) AS net_cents
+FROM s CROSS JOIN o
+GROUP BY s.scenario, s.pct, s.threshold_cents
+ORDER BY s.scenario
+"""
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood entity-resolution blocking: rank-window candidate
+# pairs + exact edit-distance verify
+
+SNM_SPAN = 64   # ranks per block (neighbor-bucket blocking over the rank axis)
+SNM_WIN = 5     # sliding window: pair ranks differ by < SNM_WIN
+SNM_MAXLEV = 2  # verified pairs: levenshtein(name_a, name_b) <= 2
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, same definition as DuckDB's levenshtein()."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def q_part_name_snm_pairs(sf_dir: str) -> pd.DataFrame:
+    """Sorted-neighborhood method (SNM) — the classic entity-resolution
+    blocking plan: sort records by a fuzzy key (part name), slide a
+    w-record window down the GLOBAL rank order, verify only in-window pairs
+    with exact edit distance. Complements the set-similarity planners
+    (minhash / PPJoin): SNM catches near-dups those miss when token sets
+    disagree but the sort key collates them adjacently.
+
+    Dataflow: ONE (p_name, p_partkey) sort; global ranks via the
+    distributed prefix-sum scan (per-batch local positions + O(#batches)
+    offset merge, FULL first-row sort key as the batch key); each row then
+    lands in rank-block ``(rn-1)//SPAN`` and GHOSTS into the previous block
+    when within WIN-1 of its start — so every in-window pair co-locates in
+    the lower rank's home block, emitted exactly once. Rank-blocks shuffle
+    under block%NB; edit distance verifies only the O(n·w) candidates."""
+    NB = 64
+
+    def scan_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        names = t["p_name"].to_numpy(zero_copy_only=False)
+        keys = t["p_partkey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "k": t["p_partkey"],
+                "name": t["p_name"],
+                "local_pos": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "bk1": pa.array([str(names[0]) if n else ""] * n, pa.string()),
+                "bk2": pa.array(np.full(n, keys[0] if n else 0, np.int64)),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+        )
+        .sort(["p_name", "p_partkey"])
+        .map_batches(scan_batch, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"bk1": pd.Series([], dtype=object),
+                 "bk2": pd.Series([], dtype="int64"),
+                 "total": pd.Series([], dtype="int64")}
+            )
+        s = df.groupby(["bk1", "bk2"], as_index=False)["local_pos"].max()
+        return s.rename(columns={"local_pos": "total"})
+
+    summary = (
+        rows.map_batches(summarize, batch_format="pandas", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["bk1", "bk2"])
+        .reset_index(drop=True)
+    )
+    offs = summary["total"].cumsum().shift(fill_value=0)
+    offsets = {
+        (str(a), int(b)): int(o)
+        for a, b, o in zip(summary["bk1"], summary["bk2"], offs)
+    }
+
+    def block_rows(t: pa.Table) -> pd.DataFrame:
+        bk1 = t["bk1"].to_numpy(zero_copy_only=False)
+        bk2 = t["bk2"].to_numpy(zero_copy_only=False)
+        off = np.fromiter(
+            (offsets[(str(a), int(b))] for a, b in zip(bk1, bk2)),
+            dtype=np.int64,
+            count=len(bk1),
+        )
+        rn = off + t["local_pos"].to_numpy(zero_copy_only=False)
+        blk = (rn - 1) // SNM_SPAN
+        k = t["k"].to_numpy(zero_copy_only=False)
+        nm = t["name"].to_numpy(zero_copy_only=False)
+        ghost = ((rn - 1) % SNM_SPAN < SNM_WIN - 1) & (blk >= 1)
+        frames = [pd.DataFrame({"blk": blk, "rn": rn, "k": k, "name": nm})]
+        if ghost.any():
+            frames.append(
+                pd.DataFrame(
+                    {"blk": blk[ghost] - 1, "rn": rn[ghost],
+                     "k": k[ghost], "name": nm[ghost]}
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = out["blk"] % NB
+        return out
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"pa_key": pd.Series([], dtype="int64"),
+                 "pb_key": pd.Series([], dtype="int64"),
+                 "lev": pd.Series([], dtype="int64")}
+            )
+        g = g.drop_duplicates(["blk", "rn"]).sort_values(["blk", "rn"])
+        blk = g["blk"].to_numpy(np.int64)
+        rn = g["rn"].to_numpy(np.int64)
+        k = g["k"].to_numpy(np.int64)
+        nm = g["name"].to_numpy(object)
+        res_a, res_b, res_l = [], [], []
+        for d in range(1, SNM_WIN):
+            if d >= len(g):
+                break
+            a, b = slice(None, -d), slice(d, None)
+            ok = (
+                (blk[a] == blk[b])
+                & (rn[b] - rn[a] == d)
+                & ((rn[a] - 1) // SNM_SPAN == blk[a])  # a is a HOME row
+            )
+            for i in np.flatnonzero(ok):
+                lv = _levenshtein(str(nm[i]), str(nm[i + d]))
+                if lv <= SNM_MAXLEV:
+                    res_a.append(k[i])
+                    res_b.append(k[i + d])
+                    res_l.append(lv)
+        return pd.DataFrame(
+            {"pa_key": pd.Series(res_a, dtype="int64"),
+             "pb_key": pd.Series(res_b, dtype="int64"),
+             "lev": pd.Series(res_l, dtype="int64")}
+        )
+
+    out = (
+        rows.map_batches(block_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"pa_key": pd.Series([], dtype="int64"),
+             "pb_key": pd.Series([], dtype="int64"),
+             "lev": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values(["pa_key", "pb_key"]).reset_index(drop=True)
+
+
+SQL_PART_NAME_SNM = f"""
+WITH r AS (
+  SELECT p_partkey, p_name,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+  FROM part)
+SELECT a.p_partkey AS pa_key, b.p_partkey AS pb_key,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+FROM r a JOIN r b
+  ON b.rn > a.rn AND b.rn < a.rn + {SNM_WIN}
+ AND levenshtein(a.p_name, b.p_name) <= {SNM_MAXLEV}
+ORDER BY pa_key, pb_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped mode: most frequent category per group (deterministic tie-break)
+
+
+def q_customer_mode_segment(sf_dir: str) -> pd.DataFrame:
+    """Per-nation MODE of the market segment (ties break to the
+    lexicographically smallest segment) — the grouped-argmax-over-counts
+    shape. (group, category) cardinality is the product of two small
+    domains, so per-batch partial counts collapse the fact stream to a
+    metadata-sized fold; the argmax is a vectorized sort + first-of-run."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "nk": t["c_nationkey"].to_numpy(zero_copy_only=False),
+                "seg": t["c_mktsegment"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby(["nk", "seg"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+
+    parts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_nationkey", "c_mktsegment"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cnt = parts.groupby(["nk", "seg"], as_index=False)["cnt"].sum()
+    cnt = cnt.sort_values(["nk", "cnt", "seg"], ascending=[True, False, True])
+    mode = cnt.drop_duplicates("nk")
+    nat = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    out = mode.merge(nat, left_on="nk", right_on="n_nationkey")
+    return (
+        out.rename(columns={"seg": "mode_segment", "cnt": "n_customers"})[
+            ["n_name", "mode_segment", "n_customers"]
+        ]
+        .astype({"n_customers": "int64"})
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+SQL_CUSTOMER_MODE_SEGMENT = """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+  FROM customer GROUP BY c_nationkey, c_mktsegment),
+m AS (
+  SELECT c_nationkey, c_mktsegment, cnt,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY cnt DESC, c_mktsegment) AS rk
+  FROM c)
+SELECT n_name, c_mktsegment AS mode_segment, CAST(cnt AS BIGINT) AS n_customers
+FROM m JOIN nation ON n_nationkey = c_nationkey
+WHERE rk = 1 ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# ordered time-window funnel: view -> click -> purchase, each step within W
+# of the previous step's FIRST qualifying event
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_W_US = 8 * 3600 * 1_000_000  # 8 h per step
+
+
+def q_events_funnel_windowed(sf_dir: str) -> pd.DataFrame:
+    """Classic ordered conversion funnel — per user: first 'view', then the
+    first 'click' STRICTLY after it within W, then the first 'purchase'
+    strictly after that within W; report users reaching each step. The
+    correlated "first event after a per-user anchor" is the shape that
+    needs per-user sequence locality: ONE user-hash bucket shuffle
+    co-locates each user's events, then every step is a vectorized
+    groupby-min per bucket (anchors broadcast back via index alignment —
+    never a Python loop over users).
+
+    Timestamps decide in exact epoch-microsecond integers (no float
+    boundary); step windows anchor on the PREVIOUS step's time (not the
+    funnel start), matching the product-analytics convention."""
+    NB = 64
+
+    def rows(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(FUNNEL_STEPS))
+        u = pc.filter(t["user_id"], keep).to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.filter(t["ts"], keep), pa.int64()).to_numpy()
+        step = pc.index_in(
+            pc.filter(et, keep), value_set=pa.array(FUNNEL_STEPS)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(u % NB, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "step": pa.array(step, pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"step": pd.Series([], dtype="int64"),
+                 "n_users": pd.Series([], dtype="int64")}
+            )
+        counts = np.zeros(len(FUNNEL_STEPS), np.int64)
+        anchor = (
+            g[g["step"] == 0].groupby("u")["t"].min()
+        )  # first 'view' per user
+        counts[0] = len(anchor)
+        for s in range(1, len(FUNNEL_STEPS)):
+            ev = g[g["step"] == s]
+            lo = anchor.reindex(ev["u"]).to_numpy()
+            t = ev["t"].to_numpy(np.int64)
+            ok = ~np.isnan(lo) & (t > lo) & (t <= lo + FUNNEL_W_US)
+            nxt = ev[ok].groupby("u")["t"].min()
+            counts[s] = len(nxt)
+            anchor = nxt
+        return pd.DataFrame(
+            {"step": np.arange(len(FUNNEL_STEPS), dtype=np.int64),
+             "n_users": counts}
+        )
+
+    parts = (
+        _read_events(sf_dir, ["user_id", "ts", "event_type"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("step", as_index=False)["n_users"].sum()
+    out = pd.DataFrame(
+        {"step_name": list(FUNNEL_STEPS),
+         "step": np.arange(len(FUNNEL_STEPS), dtype=np.int64)}
+    ).merge(agg, on="step", how="left")
+    out["n_users"] = out["n_users"].fillna(0).astype("int64")
+    return out[["step", "step_name", "n_users"]]
+
+
+SQL_EVENTS_FUNNEL_WINDOWED = f"""
+WITH a AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+b AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+  FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+    AND epoch_us(e.ts) > a.t0 AND epoch_us(e.ts) <= a.t0 + {FUNNEL_W_US}
+  GROUP BY e.user_id),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN b USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+    AND epoch_us(e.ts) > b.t1 AND epoch_us(e.ts) <= b.t1 + {FUNNEL_W_US}
+  GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+         (SELECT count(*) FROM a) AS n_users
+  UNION ALL
+  SELECT 1, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM b)
+  UNION ALL
+  SELECT 2, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM c)
+) ORDER BY step
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 reconstruction: collapse each user's consecutive same-state runs into
+# validity intervals [valid_from, valid_to)
+
+
+def q_events_scd_intervals(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension (type 2) reconstruction from an event
+    stream: per user, consecutive runs of the same event_type (ordered by
+    ts, event_id) collapse to one row with [valid_from, valid_to) in epoch
+    microseconds — valid_to is the NEXT run's start, -1 for the open
+    current run. The gaps-and-islands run-collapse, per-user-local, so ONE
+    user-hash bucket shuffle + a vectorized per-bucket pass (lexsort +
+    run-boundary diff; no per-user loop)."""
+    NB = 64
+
+    def rows(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(u % NB, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "t": pa.array(pc.cast(t["ts"], pa.int64()).to_numpy(), pa.int64()),
+                "eid": t["event_id"],
+                "et": t["event_type"],
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "user_id": "int64", "state": object,
+            "valid_from": "int64", "valid_to": "int64", "n_events": "int64",
+        }
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=d) for c, d in cols.items()}
+            )
+        order = np.lexsort(
+            (g["eid"].to_numpy(np.int64), g["t"].to_numpy(np.int64),
+             g["u"].to_numpy(np.int64))
+        )
+        u = g["u"].to_numpy(np.int64)[order]
+        t = g["t"].to_numpy(np.int64)[order]
+        et = g["et"].to_numpy(object)[order]
+        n = len(u)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], n]
+        run_u = u[starts]
+        vfrom = t[starts]
+        # next run's start within the same user, else -1 (open interval)
+        vto = np.full(len(starts), -1, np.int64)
+        same_user = run_u[1:] == run_u[:-1]
+        vto[:-1][same_user] = vfrom[1:][same_user]
+        return pd.DataFrame(
+            {
+                "user_id": run_u,
+                "state": et[starts],
+                "valid_from": vfrom,
+                "valid_to": vto,
+                "n_events": (ends - starts).astype(np.int64),
+            }
+        )
+
+    out = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "valid_from"]).reset_index(drop=True)
+
+
+SQL_EVENTS_SCD = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM e),
+g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS grp FROM m),
+r AS (
+  SELECT user_id, grp, min(event_type) AS state, min(t) AS valid_from,
+         count(*) AS n_events
+  FROM g GROUP BY user_id, grp)
+SELECT user_id, state, valid_from,
+       coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from), -1) AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events
+FROM r ORDER BY user_id, valid_from
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3-way golden-record merge: field-wise majority vote across three derived
+# snapshots (the snapshot_diff tagged-union merge, extended to N sides)
+
+GOLDEN_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("k", pa.int64()),
+        ("side", pa.int8()),
+        ("cents", pa.int64()),
+        ("st", pa.string()),
+        ("day", pa.int64()),
+    ]
+)
+
+
+def q_orders_golden_record(sf_dir: str) -> pd.DataFrame:
+    """Golden-record conflict resolution — three independently-corrupted
+    snapshots of the same table (deterministic per-key corruption rules)
+    merge into one record per key by FIELD-WISE majority vote (2-of-3; the
+    all-distinct fallback takes the minimum). The multi-source
+    reconciliation an ingest runs when three crawls disagree. Same
+    tagged-union bucket merge as ``q_orders_snapshot_diff`` (Ray's
+    full_outer join breaks on empty hash partitions) with a 3-way
+    vectorized pivot; only keys where ANY field had a disagreement are
+    emitted (the golden-but-boring majority rows stay silent).
+
+    Corruptions: side A bumps cents +100 on k%11==0; side B rewrites
+    status to 'X' on k%13==0; side C bumps day +1 on k%17==0 AND cents
+    +100 on k%23==0 — so cents flips majority when 11|k and 23|k."""
+    NB = 64
+
+    def snap(side: int):
+        def rows(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            cents = np.rint(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // 86_400_000_000
+            st = t["o_orderstatus"].to_numpy(zero_copy_only=False).astype(object)
+            if side == 0:
+                cents = cents + np.where(k % 11 == 0, 100, 0)
+            elif side == 1:
+                st = np.where(k % 13 == 0, "X", st)
+            else:
+                day = day + np.where(k % 17 == 0, 1, 0)
+                cents = cents + np.where(k % 23 == 0, 100, 0)
+            return pa.Table.from_pydict(
+                {
+                    "bucket": pa.array(k % NB, pa.int64()),
+                    "k": pa.array(k, pa.int64()),
+                    "side": pa.array(np.full(len(k), side, np.int8)),
+                    "cents": pa.array(cents, pa.int64()),
+                    "st": pa.array(st, pa.string()),
+                    "day": pa.array(day, pa.int64()),
+                },
+                schema=GOLDEN_SCHEMA,
+            )
+
+        return rows
+
+    def _maj(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+        out = np.where(
+            (a == b) | (a == c), a, np.where(b == c, b, np.minimum(np.minimum(a, b), c))
+        )
+        return out
+
+    def _maj_obj(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+        mn = np.minimum(np.minimum(a, b), c)
+        return np.where((a == b) | (a == c), a, np.where(b == c, b, mn))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "o_orderkey": "int64", "g_cents": "int64", "g_st": object,
+            "g_day": "int64", "n_conflicts": "int64",
+        }
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        p = g.pivot(index="k", columns="side", values=["cents", "st", "day"])
+        c0, c1, c2 = (p[("cents", s)].to_numpy(np.int64) for s in (0, 1, 2))
+        s0, s1, s2 = (p[("st", s)].to_numpy(object) for s in (0, 1, 2))
+        d0, d1, d2 = (p[("day", s)].to_numpy(np.int64) for s in (0, 1, 2))
+        gc = _maj(c0, c1, c2)
+        gs = _maj_obj(s0, s1, s2)
+        gd = _maj(d0, d1, d2)
+        conf = (
+            ((c0 != c1) | (c1 != c2)).astype(np.int64)
+            + ((s0 != s1) | (s1 != s2)).astype(np.int64)
+            + ((d0 != d1) | (d1 != d2)).astype(np.int64)
+        )
+        keep = conf > 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": p.index.to_numpy(np.int64)[keep],
+                "g_cents": gc[keep],
+                "g_st": gs[keep],
+                "g_day": gd[keep],
+                "n_conflicts": conf[keep],
+            }
+        )
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"]
+    sides = [
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=cols)
+        .map_batches(snap(s), batch_format="pyarrow")
+        for s in range(3)
+    ]
+    out = (
+        sides[0]
+        .union(sides[1], sides[2])
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "g_cents": pd.Series([], dtype="int64"),
+                "g_st": pd.Series([], dtype=object),
+                "g_day": pd.Series([], dtype="int64"),
+                "n_conflicts": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDERS_GOLDEN_RECORD = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus AS st,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day
+  FROM orders),
+a AS (SELECT k, cents + CASE WHEN k % 11 = 0 THEN 100 ELSE 0 END AS cents,
+             st, day FROM base),
+b AS (SELECT k, cents, CASE WHEN k % 13 = 0 THEN 'X' ELSE st END AS st,
+             day FROM base),
+c AS (SELECT k, cents + CASE WHEN k % 23 = 0 THEN 100 ELSE 0 END AS cents,
+             st, day + CASE WHEN k % 17 = 0 THEN 1 ELSE 0 END AS day
+      FROM base),
+j AS (
+  SELECT a.k, a.cents AS c0, b.cents AS c1, c.cents AS c2,
+         a.st AS s0, b.st AS s1, c.st AS s2,
+         a.day AS d0, b.day AS d1, c.day AS d2
+  FROM a JOIN b ON a.k = b.k JOIN c ON a.k = c.k)
+SELECT k AS o_orderkey,
+       CASE WHEN c0 = c1 OR c0 = c2 THEN c0 WHEN c1 = c2 THEN c1
+            ELSE least(c0, c1, c2) END AS g_cents,
+       CASE WHEN s0 = s1 OR s0 = s2 THEN s0 WHEN s1 = s2 THEN s1
+            ELSE least(s0, s1, s2) END AS g_st,
+       CASE WHEN d0 = d1 OR d0 = d2 THEN d0 WHEN d1 = d2 THEN d1
+            ELSE least(d0, d1, d2) END AS g_day,
+       CAST((CASE WHEN c0 <> c1 OR c1 <> c2 THEN 1 ELSE 0 END)
+          + (CASE WHEN s0 <> s1 OR s1 <> s2 THEN 1 ELSE 0 END)
+          + (CASE WHEN d0 <> d1 OR d1 <> d2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conflicts
+FROM j
+WHERE c0 <> c1 OR c1 <> c2 OR s0 <> s1 OR s1 <> s2 OR d0 <> d1 OR d1 <> d2
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: base aggregate + CDC delta partials ==
+# full recompute (the oracle PROVES the incremental merge)
+
+IVM_INS_MOD = 101  # keys k%101==0 arrive as inserts (absent from base)
+IVM_UPD_MOD = 31   # keys k%31==0 get a +100-cents update after base load
+
+
+def q_orders_view_maintenance(sf_dir: str) -> pd.DataFrame:
+    """Incremental materialized-view maintenance — the per-month
+    (count, sum) view is built from a BASE snapshot plus a CDC delta
+    stream, never rescanning base: base rows (k%101 != 0, original price)
+    aggregate once; the delta contributes insert partials (k%101 == 0
+    rows at their current price) and update partials (+100 cents on base
+    keys with k%31 == 0, a delete+insert that nets to a pure delta). The
+    oracle recomputes the view from the CURRENT table — equality proves
+    delta-merge == recompute, the IVM contract. Both passes are plain
+    map_batches partial aggregations; the month-domain fold is
+    metadata-sized."""
+
+    def base_partial(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = (k % IVM_INS_MOD) != 0
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)[keep]
+        m = _month_idx(t["o_orderdate"])[keep]
+        df = pd.DataFrame({"m": m, "n": 1, "c": cents})
+        return df.groupby("m", as_index=False).agg(n=("n", "sum"), c=("c", "sum"))
+
+    def delta_partial(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        m = _month_idx(t["o_orderdate"])
+        ins = (k % IVM_INS_MOD) == 0
+        upd = ~ins & ((k % IVM_UPD_MOD) == 0)
+        # inserts land at their CURRENT price (incl. the update when 31|k)
+        ins_c = cents[ins] + np.where(k[ins] % IVM_UPD_MOD == 0, 100, 0)
+        frames = [
+            pd.DataFrame({"m": m[ins], "n": 1, "c": ins_c}),
+            pd.DataFrame(
+                {"m": m[upd], "n": 0, "c": np.full(int(upd.sum()), 100, np.int64)}
+            ),
+        ]
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("m", as_index=False).agg(n=("n", "sum"), c=("c", "sum"))
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderdate"]
+    base = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=cols
+    ).map_batches(base_partial, batch_format="pyarrow")
+    delta = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=cols
+    ).map_batches(delta_partial, batch_format="pyarrow")
+    parts = base.union(delta).to_pandas()
+    agg = parts.groupby("m", as_index=False).agg(
+        n_orders=("n", "sum"), sum_cents=("c", "sum")
+    ).sort_values("m")
+    return pd.DataFrame(
+        {
+            "month": [f"{m // 12:04d}-{m % 12 + 1:02d}" for m in agg["m"]],
+            "n_orders": agg["n_orders"].to_numpy(np.int64),
+            "sum_cents": agg["sum_cents"].to_numpy(np.int64),
+        }
+    )
+
+
+SQL_ORDERS_VIEW_MAINTENANCE = f"""
+WITH cur AS (
+  SELECT printf('%04d-%02d',
+                CAST(date_part('year', o_orderdate) AS BIGINT),
+                CAST(date_part('month', o_orderdate) AS BIGINT)) AS month,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % {IVM_UPD_MOD} = 0 THEN 100 ELSE 0 END AS cents
+  FROM orders)
+SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM cur GROUP BY month ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence-pattern match over per-user event streams (MATCH_RECOGNIZE class)
+
+PATTERN_RE = "s[cv]{2,}p"  # signup, >=2 clicks/views, purchase — no errors between
+_TYPE_INITIAL = {"click": "c", "error": "e", "purchase": "p",
+                 "signup": "s", "view": "v"}
+
+
+def q_events_pattern_match(sf_dir: str) -> pd.DataFrame:
+    """Event-sequence pattern matching (SQL MATCH_RECOGNIZE's core): per
+    user, the full (ts, event_id)-ordered event-type sequence collapses to
+    an initial-letter string; users whose string contains the regex
+    pattern are reported. Pattern semantics live in RE2-compatible syntax
+    so DuckDB's regexp_matches and Python's re agree. ONE user-hash bucket
+    shuffle co-locates each user's events; the per-bucket pass is a
+    lexsort + pandas grouped string concat + one vectorized str.contains —
+    no Python loop over users."""
+    NB = 64
+
+    def rows(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ini = pc.index_in(
+            t["event_type"], value_set=pa.array(sorted(_TYPE_INITIAL))
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(u % NB, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "t": pa.array(pc.cast(t["ts"], pa.int64()).to_numpy(), pa.int64()),
+                "eid": t["event_id"],
+                "ini": pa.array(ini, pa.int64()),
+            }
+        )
+
+    initials = np.array(
+        [_TYPE_INITIAL[k] for k in sorted(_TYPE_INITIAL)], dtype=object
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+        order = np.lexsort(
+            (g["eid"].to_numpy(np.int64), g["t"].to_numpy(np.int64),
+             g["u"].to_numpy(np.int64))
+        )
+        u = g["u"].to_numpy(np.int64)[order]
+        ch = initials[g["ini"].to_numpy(np.int64)[order]]
+        df = pd.DataFrame({"u": u, "ch": ch})
+        seq = df.groupby("u")["ch"].agg("".join)
+        hit = seq[seq.str.contains(PATTERN_RE, regex=True)]
+        return pd.DataFrame({"user_id": hit.index.to_numpy(np.int64)})
+
+    out = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENTS_PATTERN_MATCH = f"""
+WITH s AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                      WHEN 'view' THEN 'v' END, ''
+                    ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id FROM s WHERE regexp_matches(seq, '{PATTERN_RE}')
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding feature stats (exact quantized moments)
+
+DIMSTATS_QSCALE = 1048576.0  # 2^20: exact float32→int, same as the kNN eval
+
+
+def q_embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension feature profile of the embedding column — the
+    feature-quality audit run before training a probe: count, exact sum /
+    sum-of-squares of the 2^20-quantized values, and mean/variance derived
+    by a PINNED float64 op sequence both engines share (the
+    embedding_knn_eval exactness pattern: integers decide, floats only
+    decorate). Per-batch work is one matrix fold (d-length partials);
+    the driver merges #batches × d rows."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t["embedding"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(arr), -1).astype(np.float64)
+        q = np.floor(mat * DIMSTATS_QSCALE).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(q.shape[1], dtype=np.int64),
+                "n": np.full(q.shape[1], q.shape[0], np.int64),
+                "s": q.sum(axis=0),
+                "ss": (q * q).sum(axis=0),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+    )
+    agg = parts.groupby("dim", as_index=False)[["n", "s", "ss"]].sum()
+    n64 = agg["n"].to_numpy(np.int64).astype(np.float64)
+    s64 = agg["s"].to_numpy(np.int64).astype(np.float64)
+    ss64 = agg["ss"].to_numpy(np.int64).astype(np.float64)
+    mean = s64 / n64
+    var = (ss64 - (s64 * s64) / n64) / n64  # pinned op order, see SQL
+    return pd.DataFrame(
+        {
+            "dim": agg["dim"].to_numpy(np.int64),
+            "n": agg["n"].to_numpy(np.int64),
+            "sum_q": agg["s"].to_numpy(np.int64),
+            "sumsq_q": agg["ss"].to_numpy(np.int64),
+            "mean_q": np.round(mean, 6),
+            "var_q": np.round(var, 6),
+        }
+    ).sort_values("dim").reset_index(drop=True)
+
+
+SQL_EMBEDDING_DIM_STATS = f"""
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {DIMSTATS_QSCALE})
+              AS BIGINT) AS q
+  FROM embeddings),
+a AS (
+  SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+         CAST(sum(q) AS BIGINT) AS sum_q,
+         CAST(sum(q * q) AS BIGINT) AS sumsq_q
+  FROM x GROUP BY dim)
+SELECT dim, n, sum_q, sumsq_q,
+       round(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_q,
+       round((CAST(sumsq_q AS DOUBLE)
+              - (CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE))
+                / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS var_q
+FROM a ORDER BY dim
+"""

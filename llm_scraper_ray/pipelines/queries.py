@@ -2194,6 +2194,31 @@ def all_queries():
         "events_band_join": _analytics.q_events_band_join,
         # binary content-hash dedup over the simulated media asset library
         "media_exact_dedup": q_media_exact_dedup,
+        # Q17-shape correlated small-quantity revenue (exact-integer decide)
+        "lineitem_small_qty_revenue": _analytics.q_lineitem_small_qty_revenue,
+        # per-part argmin join (Q2's min-supplycost shape, mergeable cut)
+        "part_cheapest_supplier": _analytics.q_part_cheapest_supplier,
+        # order-independent partition checksum audit (mergeable sum/xor)
+        "orders_partition_checksum": _analytics.q_orders_partition_checksum,
+        # one-pass K-scenario what-if sweep (rows x scenarios broadcast)
+        "orders_discount_scenarios": _analytics.q_orders_discount_scenarios,
+        # sorted-neighborhood ER blocking + exact edit-distance verify
+        "part_name_snm_pairs": _analytics.q_part_name_snm_pairs,
+        # grouped mode (argmax over counted categories, deterministic ties)
+        "customer_mode_segment": _analytics.q_customer_mode_segment,
+        # ordered time-window conversion funnel (per-user anchor chaining;
+        # distinct from events_funnel's un-windowed ordered-subsequence op)
+        "events_funnel_windowed": _analytics.q_events_funnel_windowed,
+        # SCD2 validity-interval reconstruction (run collapse + LEAD)
+        "events_scd_intervals": _analytics.q_events_scd_intervals,
+        # 3-way golden-record merge: field-wise majority vote
+        "orders_golden_record": _analytics.q_orders_golden_record,
+        # incremental materialized-view maintenance (delta merge == recompute)
+        "orders_view_maintenance": _analytics.q_orders_view_maintenance,
+        # MATCH_RECOGNIZE-class sequence-pattern match over user streams
+        "events_pattern_match": _analytics.q_events_pattern_match,
+        # per-dimension embedding feature stats (exact quantized moments)
+        "embedding_dim_stats": _analytics.q_embedding_dim_stats,
     }
 
 
@@ -2648,6 +2673,18 @@ def all_oracle_sql():
         "event_value_quantiles": _analytics.SQL_EVENT_VALUE_QUANTILES,
         "doc_bigram_scores": _curation.SQL_DOC_BIGRAM_SCORES,
         "doc_dup_span_scrub": _curation.SQL_DOC_DUP_SPAN_SCRUB,
+        "lineitem_small_qty_revenue": _analytics.SQL_LINEITEM_SMALL_QTY,
+        "part_cheapest_supplier": _analytics.SQL_PART_CHEAPEST_SUPPLIER,
+        "orders_partition_checksum": _analytics.SQL_ORDERS_PARTITION_CHECKSUM,
+        "orders_discount_scenarios": _analytics.SQL_ORDERS_DISCOUNT_SCENARIOS,
+        "part_name_snm_pairs": _analytics.SQL_PART_NAME_SNM,
+        "customer_mode_segment": _analytics.SQL_CUSTOMER_MODE_SEGMENT,
+        "events_funnel_windowed": _analytics.SQL_EVENTS_FUNNEL_WINDOWED,
+        "events_scd_intervals": _analytics.SQL_EVENTS_SCD,
+        "orders_golden_record": _analytics.SQL_ORDERS_GOLDEN_RECORD,
+        "orders_view_maintenance": _analytics.SQL_ORDERS_VIEW_MAINTENANCE,
+        "events_pattern_match": _analytics.SQL_EVENTS_PATTERN_MATCH,
+        "embedding_dim_stats": _analytics.SQL_EMBEDDING_DIM_STATS,
     }
 
 # ---------------------------------------------------------------------------
