@@ -5531,3 +5531,273 @@ SELECT dim, n, sum_q, sumsq_q,
                 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS var_q
 FROM a ORDER BY dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering layout: multidimensional sort + per-file
+# min/max pruning statistics — the lakehouse data-layout operator
+
+ZORD_FILE_ROWS = 256
+ZORD_PRICE_STEP = 200_000  # cents per price bucket (<=255 after clamp)
+ZORD_DAY_STEP = 10         # days per day bucket
+
+
+def _morton16(pb: np.ndarray, db: np.ndarray) -> np.ndarray:
+    """Interleave two 8-bit bucket ids (price on odd bits) → 16-bit Morton
+    code. Same closed-form shift/mask sum the generated SQL uses."""
+    z = np.zeros(len(pb), np.int64)
+    for i in range(8):
+        z |= ((pb >> i) & 1) << (2 * i + 1)
+        z |= ((db >> i) & 1) << (2 * i)
+    return z
+
+
+def _morton16_sql(pb: str, db: str) -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"((({pb} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({db} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def q_orders_zorder_layout(sf_dir: str) -> pd.DataFrame:
+    """Z-order clustering layout — the Delta/Iceberg OPTIMIZE ZORDER shape:
+    bucket two dimensions (price cents, days since the table's min date),
+    interleave the bucket bits into a Morton code, sort by it, cut into
+    fixed-size files, and report each file's per-dimension min/max — the
+    statistics a reader prunes on. Good layouts show tight boxes on BOTH
+    dimensions; the oracle reproduces the exact same file cuts via a
+    window row_number over the identical integer code.
+
+    Dataflow: one tiny min-date aggregate (two-pass, both distributed),
+    one (z, key) sort, global file ids via the prefix-sum scan machinery
+    (FULL first-row sort key as batch key), per-batch partial min/max per
+    file merged in a metadata-sized fold."""
+
+    def code(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // 86_400_000_000
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array(k, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "day": pa.array(day, pa.int64()),
+            }
+        )
+
+    base = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(code, batch_format="pyarrow")
+    day_min = int(base.min("day"))
+
+    def zrow(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        pb = np.minimum(cents // ZORD_PRICE_STEP, 255)
+        db = np.minimum((day - day_min) // ZORD_DAY_STEP, 255)
+        return pa.Table.from_pydict(
+            {
+                "k": t["k"],
+                "pb": pa.array(pb, pa.int64()),
+                "db": pa.array(db, pa.int64()),
+                "z": pa.array(_morton16(pb, db), pa.int64()),
+            }
+        )
+
+    def scan_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = t["z"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "pb": t["pb"],
+                "db": t["db"],
+                "local_pos": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "bk1": pa.array(np.full(n, z[0] if n else 0, np.int64)),
+                "bk2": pa.array(np.full(n, k[0] if n else 0, np.int64)),
+            }
+        )
+
+    rows = (
+        base.map_batches(zrow, batch_format="pyarrow")
+        .sort(["z", "k"])
+        .map_batches(scan_batch, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("bk1", "bk2", "total")}
+            )
+        s = df.groupby(["bk1", "bk2"], as_index=False)["local_pos"].max()
+        return s.rename(columns={"local_pos": "total"}).astype("int64")
+
+    summary = (
+        rows.map_batches(summarize, batch_format="pandas", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["bk1", "bk2"])
+        .reset_index(drop=True)
+    )
+    offs = summary["total"].cumsum().shift(fill_value=0)
+    offsets = {
+        (int(a), int(b)): int(o)
+        for a, b, o in zip(summary["bk1"], summary["bk2"], offs)
+    }
+
+    def filestats(t: pa.Table) -> pd.DataFrame:
+        bk1 = t["bk1"].to_numpy(zero_copy_only=False)
+        bk2 = t["bk2"].to_numpy(zero_copy_only=False)
+        off = np.fromiter(
+            (offsets[(int(a), int(b))] for a, b in zip(bk1, bk2)),
+            dtype=np.int64,
+            count=len(bk1),
+        )
+        rn = off + t["local_pos"].to_numpy(zero_copy_only=False)
+        fid = (rn - 1) // ZORD_FILE_ROWS
+        df = pd.DataFrame(
+            {
+                "file_id": fid,
+                "pb": t["pb"].to_numpy(zero_copy_only=False),
+                "db": t["db"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("file_id", as_index=False).agg(
+            n_rows=("pb", "size"),
+            pb_min=("pb", "min"), pb_max=("pb", "max"),
+            db_min=("db", "min"), db_max=("db", "max"),
+        )
+
+    parts = rows.map_batches(filestats, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("file_id", as_index=False).agg(
+        n_rows=("n_rows", "sum"),
+        pb_min=("pb_min", "min"), pb_max=("pb_max", "max"),
+        db_min=("db_min", "min"), db_max=("db_max", "max"),
+    )
+    return (
+        agg.sort_values("file_id").reset_index(drop=True).astype("int64")
+    )
+
+
+def _sql_orders_zorder() -> str:
+    z = _morton16_sql("pb", "db")
+    return f"""
+WITH b AS (
+  SELECT o_orderkey AS k,
+         least(CAST(round(o_totalprice * 100) AS BIGINT) // {ZORD_PRICE_STEP},
+               255) AS pb,
+         least((CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                - (SELECT min(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT))
+                   FROM orders)) // {ZORD_DAY_STEP}, 255) AS db
+  FROM orders),
+r AS (
+  SELECT pb, db, k, {z} AS z FROM b),
+f AS (
+  SELECT pb, db,
+         (row_number() OVER (ORDER BY z, k) - 1) // {ZORD_FILE_ROWS} AS file_id
+  FROM r)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       min(pb) AS pb_min, max(pb) AS pb_max,
+       min(db) AS db_min, max(db) AS db_max
+FROM f GROUP BY file_id ORDER BY file_id
+"""
+
+
+SQL_ORDERS_ZORDER = _sql_orders_zorder()
+
+
+# ---------------------------------------------------------------------------
+# non-linear running scan: clamped running balance via the min-scan identity
+
+CLAMP_POS = "purchase"  # +cents
+CLAMP_NEG = "error"     # -cents
+
+
+def q_events_running_clamp(sf_dir: str) -> pd.DataFrame:
+    """Clamped running balance — the inventory/credit shape
+    ``b_n = max(0, b_{n-1} + d_n)`` that naive SQL cannot express without
+    recursion: purchases add value cents, errors subtract, balance floors
+    at zero. Solved CLOSED-FORM by the min-scan identity
+    ``b_n = S_n - min(0, min_{j<=n} S_j)`` (S = plain running sum), which
+    turns the non-linear recurrence into two vectorized prefix scans —
+    pandas grouped cumsum + cummin per user-hash bucket on the engine
+    side, two window functions in the oracle. Exact integer cents."""
+    NB = 64
+
+    def rows(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.is_in(et, value_set=pa.array([CLAMP_POS, CLAMP_NEG]))
+        u = pc.filter(t["user_id"], keep).to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.filter(t["ts"], keep), pa.int64()).to_numpy()
+        eid = pc.filter(t["event_id"], keep).to_numpy(zero_copy_only=False)
+        val = pc.filter(t["value"], keep).to_numpy(zero_copy_only=False)
+        cents = np.rint(val * 100).astype(np.int64)
+        sign = np.where(
+            pc.filter(et, keep).to_numpy(zero_copy_only=False) == CLAMP_POS, 1, -1
+        )
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(u % NB, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "eid": pa.array(eid, pa.int64()),
+                "d": pa.array(cents * sign, pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("event_id", "user_id", "balance_cents")}
+            )
+        order = np.lexsort(
+            (g["eid"].to_numpy(np.int64), g["t"].to_numpy(np.int64),
+             g["u"].to_numpy(np.int64))
+        )
+        g = g.iloc[order]
+        s = g.groupby("u")["d"].cumsum()
+        runmin = s.groupby(g["u"]).cummin()
+        bal = s.to_numpy(np.int64) - np.minimum(0, runmin.to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "event_id": g["eid"].to_numpy(np.int64),
+                "user_id": g["u"].to_numpy(np.int64),
+                "balance_cents": bal,
+            }
+        )
+
+    out = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_RUNNING_CLAMP = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT)
+           * CASE WHEN event_type = '{CLAMP_POS}' THEN 1 ELSE -1 END AS d
+  FROM events WHERE event_type IN ('{CLAMP_POS}', '{CLAMP_NEG}')),
+s1 AS (
+  SELECT event_id, user_id, ts,
+         sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS run_sum
+  FROM e),
+s2 AS (
+  SELECT event_id, user_id, run_sum,
+         min(run_sum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_min
+  FROM s1)
+SELECT event_id, user_id,
+       CAST(run_sum - least(0, run_min) AS BIGINT) AS balance_cents
+FROM s2 ORDER BY event_id
+"""

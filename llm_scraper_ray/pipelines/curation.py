@@ -3184,3 +3184,75 @@ SELECT doc_id, lang,
        CAST(row_number() OVER (ORDER BY key, lang, doc_id) AS BIGINT) AS mix_pos
 FROM k ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick vectorization: per-doc sparse K-dim count vector
+
+FEATHASH_K = 32
+
+
+def _feat_idx_py(words: np.ndarray) -> np.ndarray:
+    """md5-based feature index — the one hash BOTH engines can compute:
+    int(md5(w)[:8 hex], 16) % K (DuckDB: CAST('0x'||substr(md5(w),1,8))."""
+    return np.fromiter(
+        (
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % FEATHASH_K
+            for w in words
+        ),
+        dtype=np.int64,
+        count=len(words),
+    )
+
+
+def q_doc_feature_hash(sf_dir: str) -> pd.DataFrame:
+    """Hashing-trick text vectorization (the sklearn HashingVectorizer
+    shape): every token maps to ``md5(word) % K`` — no vocabulary, no
+    fitting, collisions by design — and each document reduces to sparse
+    (doc_id, feat, cnt) rows. The per-batch pass tokenizes with the shared
+    ``_WORD`` regex, hashes the BATCH'S DISTINCT words only
+    (vocabulary-sized, not instance-sized: np.unique + inverse), and
+    pre-aggregates counts per (doc, feat); rows are already final (a
+    (doc, feat) pair is whole within the doc's batch), so the output
+    needs no shuffle at all."""
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        txt = pc.utf8_lower(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        docs, toks = [], []
+        for d, s in zip(ids, txt.to_pylist()):
+            ws = _WORD.findall(s)
+            docs.append(np.full(len(ws), d, np.int64))
+            toks.extend(ws)
+        if not toks:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_id", "feat", "cnt")}
+            )
+        doc_col = np.concatenate(docs)
+        tok_arr = np.asarray(toks, dtype=object)
+        uniq, inv = np.unique(tok_arr, return_inverse=True)
+        feat = _feat_idx_py(uniq)[inv]
+        df = pd.DataFrame({"doc_id": doc_col, "feat": feat})
+        out = df.groupby(["doc_id", "feat"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype("int64")
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(explode, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "feat"]).reset_index(drop=True)
+
+
+SQL_DOC_FEATURE_HASH = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS word
+  FROM documents)
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % {FEATHASH_K}
+         AS feat,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM w GROUP BY doc_id, feat ORDER BY doc_id, feat
+"""

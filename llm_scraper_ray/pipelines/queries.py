@@ -2219,6 +2219,12 @@ def all_queries():
         "events_pattern_match": _analytics.q_events_pattern_match,
         # per-dimension embedding feature stats (exact quantized moments)
         "embedding_dim_stats": _analytics.q_embedding_dim_stats,
+        # hashing-trick text vectorization (md5 feature index both engines)
+        "doc_feature_hash": _curation.q_doc_feature_hash,
+        # Z-order clustering layout with per-file pruning statistics
+        "orders_zorder_layout": _analytics.q_orders_zorder_layout,
+        # clamped running balance via the min-scan closed form
+        "events_running_clamp": _analytics.q_events_running_clamp,
     }
 
 
@@ -2685,6 +2691,9 @@ def all_oracle_sql():
         "orders_view_maintenance": _analytics.SQL_ORDERS_VIEW_MAINTENANCE,
         "events_pattern_match": _analytics.SQL_EVENTS_PATTERN_MATCH,
         "embedding_dim_stats": _analytics.SQL_EMBEDDING_DIM_STATS,
+        "doc_feature_hash": _curation.SQL_DOC_FEATURE_HASH,
+        "orders_zorder_layout": _analytics.SQL_ORDERS_ZORDER,
+        "events_running_clamp": _analytics.SQL_EVENTS_RUNNING_CLAMP,
     }
 
 # ---------------------------------------------------------------------------
