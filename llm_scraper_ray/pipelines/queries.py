@@ -1602,6 +1602,7 @@ from .neardup import (  # noqa: E402  (distributed near-dup operators)
     simhash_buckets as q_simhash_buckets,
 )
 from . import curation as _curation  # noqa: E402  (corpus-curation operators)
+from . import tpch as _tpch  # noqa: E402  (TPC-H-shaped relational classes)
 from . import analytics as _analytics  # noqa: E402  (windowed/ranked event ops)
 
 # ---------------------------------------------------------------------------
@@ -2225,6 +2226,19 @@ def all_queries():
         "orders_zorder_layout": _analytics.q_orders_zorder_layout,
         # clamped running balance via the min-scan closed form
         "events_running_clamp": _analytics.q_events_running_clamp,
+        # TPC-H-shaped relational classes (pipelines/tpch.py)
+        "q7_nation_volume": _tpch.q_q7_nation_volume,
+        "q8_market_share": _tpch.q_q8_market_share,
+        "q9_product_profit": _tpch.q_q9_product_profit,
+        "q10_returned_revenue": _tpch.q_q10_returned_revenue,
+        "part_value_concentration": _tpch.q_part_value_concentration,
+        "q12_priority_class": _tpch.q_q12_priority_class,
+        "q14_promo_effect": _tpch.q_q14_promo_effect,
+        "q15_top_supplier": _tpch.q_q15_top_supplier,
+        "supplier_part_counts": _tpch.q_supplier_part_counts,
+        "q19_disjunctive_revenue": _tpch.q_q19_disjunctive_revenue,
+        "supplier_part_share": _tpch.q_supplier_part_share,
+        "missed_opportunities": _tpch.q_missed_opportunities,
     }
 
 
@@ -2694,6 +2708,18 @@ def all_oracle_sql():
         "doc_feature_hash": _curation.SQL_DOC_FEATURE_HASH,
         "orders_zorder_layout": _analytics.SQL_ORDERS_ZORDER,
         "events_running_clamp": _analytics.SQL_EVENTS_RUNNING_CLAMP,
+        "q7_nation_volume": _tpch.SQL_Q7_NATION_VOLUME,
+        "q8_market_share": _tpch.SQL_Q8_MARKET_SHARE,
+        "q9_product_profit": _tpch.SQL_Q9_PRODUCT_PROFIT,
+        "q10_returned_revenue": _tpch.SQL_Q10_RETURNED_REVENUE,
+        "part_value_concentration": _tpch.SQL_PART_VALUE_CONCENTRATION,
+        "q12_priority_class": _tpch.SQL_Q12_PRIORITY_CLASS,
+        "q14_promo_effect": _tpch.SQL_Q14_PROMO_EFFECT,
+        "q15_top_supplier": _tpch.SQL_Q15_TOP_SUPPLIER,
+        "supplier_part_counts": _tpch.SQL_SUPPLIER_PART_COUNTS,
+        "q19_disjunctive_revenue": _tpch.SQL_Q19_DISJUNCTIVE_REVENUE,
+        "supplier_part_share": _tpch.SQL_SUPPLIER_PART_SHARE,
+        "missed_opportunities": _tpch.SQL_MISSED_OPPORTUNITIES,
     }
 
 # ---------------------------------------------------------------------------
