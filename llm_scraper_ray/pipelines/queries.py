@@ -1603,6 +1603,7 @@ from .neardup import (  # noqa: E402  (distributed near-dup operators)
 )
 from . import curation as _curation  # noqa: E402  (corpus-curation operators)
 from . import tpch as _tpch  # noqa: E402  (TPC-H-shaped relational classes)
+from . import linkage as _linkage  # noqa: E402  (record linkage / data quality)
 from . import analytics as _analytics  # noqa: E402  (windowed/ranked event ops)
 
 # ---------------------------------------------------------------------------
@@ -2239,6 +2240,10 @@ def all_queries():
         "q19_disjunctive_revenue": _tpch.q_q19_disjunctive_revenue,
         "supplier_part_share": _tpch.q_supplier_part_share,
         "missed_opportunities": _tpch.q_missed_opportunities,
+        # record linkage / data quality (pipelines/linkage.py)
+        "customer_name_ed1_pairs": _linkage.q_customer_name_ed1_pairs,
+        "events_activity_bitmap": _linkage.q_events_activity_bitmap,
+        "referential_integrity_audit": _linkage.q_referential_integrity_audit,
     }
 
 
@@ -2720,6 +2725,9 @@ def all_oracle_sql():
         "q19_disjunctive_revenue": _tpch.SQL_Q19_DISJUNCTIVE_REVENUE,
         "supplier_part_share": _tpch.SQL_SUPPLIER_PART_SHARE,
         "missed_opportunities": _tpch.SQL_MISSED_OPPORTUNITIES,
+        "customer_name_ed1_pairs": _linkage.SQL_CUSTOMER_NAME_ED1,
+        "events_activity_bitmap": _linkage.SQL_EVENTS_ACTIVITY_BITMAP,
+        "referential_integrity_audit": _linkage.SQL_REFERENTIAL_INTEGRITY,
     }
 
 # ---------------------------------------------------------------------------
