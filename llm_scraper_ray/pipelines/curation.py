@@ -3256,3 +3256,109 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS cnt
 FROM w GROUP BY doc_id, feat ORDER BY doc_id, feat
 """
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample Kolmogorov-Smirnov distance between source distributions
+
+
+def q_doc_ks_distance(sf_dir: str) -> pd.DataFrame:
+    """Exact two-sample KS statistic between every pair of sources over the
+    document-length (n_chars) distribution — the drift/shift test a corpus
+    pipeline runs between ingestion batches. The decided quantity is
+    max |cdf_a·n_b − cdf_b·n_a| in exact int64 (cross-multiplied counts —
+    no float CDF anywhere), so the ranking cannot flip across engines; the
+    displayed ks value is one division of that integer by n_a·n_b.
+
+    Dataflow: per-batch (source, value) COUNT partials collapse each block
+    to ≤ |sources|·|distinct lengths| rows; one NB-key in-bucket sum fold
+    (value whole within its hash bucket) makes the counts global; the
+    pairwise CDF walk runs on the driver over the S·V count table —
+    metadata-sized because lengths are bounded (≈300 distinct here; any
+    physical length field is similarly bounded at 100 TB) and S is small.
+    A billion raw documents never leave the cluster; only their histogram
+    does."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": np.asarray(t["source"].to_pylist(), object),
+                "val": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        p = df.groupby(["source", "val"], as_index=False).size()
+        p = p.rename(columns={"size": "c"})
+        p["bucket"] = (p["val"].to_numpy(np.uint64) % np.uint64(NUM_BUCKETS)).astype(
+            np.int64
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["source", "val"], as_index=False)["c"].sum()
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    counts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    # driver epilogue over the S x V histogram (metadata-sized)
+    grid = np.sort(counts["val"].unique())
+    sources = sorted(counts["source"].unique())
+    pos = {v: i for i, v in enumerate(grid)}
+    cdf = {}
+    tot = {}
+    for s in sources:
+        sub = counts[counts["source"] == s]
+        h = np.zeros(len(grid), np.int64)
+        h[[pos[v] for v in sub["val"]]] = sub["c"].to_numpy(np.int64)
+        cdf[s] = np.cumsum(h)
+        tot[s] = int(cdf[s][-1])
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            # python ints: the cross-multiplied counts overflow int64 once
+            # per-source counts pass ~3e9 — the epilogue is V·S² scalar ops
+            # on the driver, so arbitrary precision costs nothing
+            ca, cb, na, nb = cdf[a].tolist(), cdf[b].tolist(), tot[a], tot[b]
+            num = max(abs(x * nb - y * na) for x, y in zip(ca, cb))
+            rows.append((a, b, num, na, nb, round(num / (na * nb), 6)))
+    out = pd.DataFrame(
+        rows, columns=["source_a", "source_b", "ks_num", "n_a", "n_b", "ks"]
+    )
+    for c in ("ks_num", "n_a", "n_b"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SQL_DOC_KS_DISTANCE = """
+WITH counts AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS val, count(*) AS c
+  FROM documents GROUP BY 1, 2),
+grid AS (SELECT DISTINCT val FROM counts),
+srcs AS (SELECT DISTINCT source FROM counts),
+cum AS (
+  SELECT s.source, g.val,
+         CAST(sum(coalesce(c.c, 0))
+              OVER (PARTITION BY s.source ORDER BY g.val) AS BIGINT) AS cc
+  FROM srcs s CROSS JOIN grid g
+  LEFT JOIN counts c ON c.source = s.source AND c.val = g.val),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(max(abs(ca.cc * tb.n - cb.cc * ta.n)) AS BIGINT) AS ks_num,
+       ta.n AS n_a, tb.n AS n_b,
+       round(max(abs(ca.cc * tb.n - cb.cc * ta.n))
+             / CAST(ta.n * tb.n AS DOUBLE), 6) AS ks
+FROM srcs a JOIN srcs b ON a.source < b.source
+JOIN tot ta ON ta.source = a.source
+JOIN tot tb ON tb.source = b.source
+JOIN cum ca ON ca.source = a.source
+JOIN cum cb ON cb.source = b.source AND cb.val = ca.val
+GROUP BY 1, 2, ta.n, tb.n
+ORDER BY source_a, source_b
+"""

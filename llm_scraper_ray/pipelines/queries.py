@@ -2244,6 +2244,10 @@ def all_queries():
         "customer_name_ed1_pairs": _linkage.q_customer_name_ed1_pairs,
         "events_activity_bitmap": _linkage.q_events_activity_bitmap,
         "referential_integrity_audit": _linkage.q_referential_integrity_audit,
+        # exact two-sample KS drift test between source length distributions
+        "doc_ks_distance": _curation.q_doc_ks_distance,
+        # exact distributed median via iterative histogram refinement
+        "orders_exact_median": _tpch.q_orders_exact_median,
     }
 
 
@@ -2728,6 +2732,8 @@ def all_oracle_sql():
         "customer_name_ed1_pairs": _linkage.SQL_CUSTOMER_NAME_ED1,
         "events_activity_bitmap": _linkage.SQL_EVENTS_ACTIVITY_BITMAP,
         "referential_integrity_audit": _linkage.SQL_REFERENTIAL_INTEGRITY,
+        "doc_ks_distance": _curation.SQL_DOC_KS_DISTANCE,
+        "orders_exact_median": _tpch.SQL_ORDERS_EXACT_MEDIAN,
     }
 
 # ---------------------------------------------------------------------------

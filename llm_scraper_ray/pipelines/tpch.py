@@ -1156,3 +1156,97 @@ WHERE CAST(floor(c.c_acctbal * 100) AS BIGINT) * b.pos_n > b.pos_sum
                     AND o.o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# exact distributed median via iterative histogram refinement (selection)
+
+
+_MEDIAN_BINS = 4096
+
+
+def q_orders_exact_median(sf_dir: str) -> pd.DataFrame:
+    """EXACT median order price over an UNBOUNDED value domain — the
+    distributed selection algorithm (iterative histogram refinement), not
+    a value-count fold (those require a bounded distinct-value domain, cf.
+    `doc_length_quantiles`). Round 0 folds (count, min, max) scalars; each
+    refinement round histograms the candidate interval into 4096 bins —
+    every batch emits ONE row whose counts ride as a packed int64 blob, so
+    the fold is #batches rows and there is NO per-bin groupby (4096 keys
+    × 1 ms = the known groupby trap) — and the k-th element's bin becomes
+    the next interval. ceil(log2(range)/12) rounds ≈ 2-4 executions total
+    at any scale; the final interval (width ≤ 4096) finishes with one
+    exact in-interval value-count pass. Prices are integer cents
+    (floor·100, the cross-engine quantization), so 'the k-th smallest' is
+    engine-exact; k = ceil(n/2) matches DuckDB ``quantile_disc(0.5)``."""
+    base = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"cents": pa.array(_cents(t["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64())}
+        )
+
+    cents = base.map_batches(cents_col, batch_format="pyarrow").materialize()
+
+    def span(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        if len(c) == 0:
+            return pa.Table.from_pydict(
+                {"n": pa.array([], pa.int64()), "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "lo": pa.array([int(c.min())], pa.int64()),
+                "hi": pa.array([int(c.max())], pa.int64()),
+            }
+        )
+
+    s = cents.map_batches(span, batch_format="pyarrow").to_pandas()
+    n = int(s["n"].sum())
+    lo, hi = int(s["lo"].min()), int(s["hi"].max())
+    k = (n + 1) // 2  # 1-based rank of quantile_disc(0.5)
+
+    while hi - lo + 1 > _MEDIAN_BINS:
+        edges = np.linspace(lo, hi + 1, _MEDIAN_BINS + 1).astype(np.int64)
+
+        def hist(t: pa.Table, edges=edges, lo=lo, hi=hi) -> pa.Table:
+            c = t["cents"].to_numpy(zero_copy_only=False)
+            c = c[(c >= lo) & (c <= hi)]
+            counts, _ = np.histogram(c, bins=edges)
+            return pa.Table.from_pydict(
+                {"blob": pa.array([counts.astype(np.int64).tobytes()], pa.binary())}
+            )
+
+        parts = cents.map_batches(hist, batch_format="pyarrow").to_pandas()
+        total = np.zeros(_MEDIAN_BINS, np.int64)
+        for b in parts["blob"]:
+            total += np.frombuffer(b, np.int64)
+        cum = np.cumsum(total)
+        b = int(np.searchsorted(cum, k))
+        k -= int(cum[b - 1]) if b > 0 else 0
+        lo, hi = int(edges[b]), int(edges[b + 1]) - 1
+
+    def vc(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        c = c[(c >= lo) & (c <= hi)]
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.Table.from_pydict(
+            {"val": pa.array(u, pa.int64()), "c": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    vals = cents.map_batches(vc, batch_format="pyarrow").to_pandas()
+    vals = vals.groupby("val")["c"].sum().sort_index()
+    cum = vals.cumsum()
+    median = int(cum.index[int(np.searchsorted(cum.to_numpy(), k))])
+    return pd.DataFrame(
+        {"n": pd.Series([n], dtype="int64"), "median_cents": pd.Series([median], dtype="int64")}
+    )
+
+
+SQL_ORDERS_EXACT_MEDIAN = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       quantile_disc(CAST(floor(o_totalprice * 100) AS BIGINT), 0.5)
+         AS median_cents
+FROM orders
+"""

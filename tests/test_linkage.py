@@ -25,7 +25,13 @@ def _oracle(sql: str) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "qname",
-    ["customer_name_ed1_pairs", "events_activity_bitmap", "referential_integrity_audit"],
+    [
+        "customer_name_ed1_pairs",
+        "events_activity_bitmap",
+        "referential_integrity_audit",
+        "doc_ks_distance",
+        "orders_exact_median",
+    ],
 )
 def test_linkage_query_matches_oracle(ray_session, qname):
     from llm_scraper_ray.pipelines.queries import all_oracle_sql, all_queries
