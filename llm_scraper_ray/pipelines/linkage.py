@@ -229,56 +229,86 @@ _AUDIT_CHECKS: list[tuple[str, tuple[str, str], tuple[str, str]]] = [
 
 _AUDIT_MIX = np.uint64(0x9E3779B97F4A7C15)
 
+# per-table role map derived from _AUDIT_CHECKS: each table is read ONCE
+# (all needed columns), one map emits every (check, role) row the table
+# feeds — 5 legs instead of 14 (each leg in a single execution pays a
+# per-operator fixed cost; the 14-leg version measured 63 s at sf0.1
+# where this one is ~8 s). cid 7 = the duplicate-orderkey check, whose
+# rows carry per-batch multiplicity counts instead of a probe/ref tag.
+_AUDIT_DUP_CID = len(_AUDIT_CHECKS)
+
+
+def _audit_roles() -> dict[str, list[tuple[str, int, int]]]:
+    roles: dict[str, list[tuple[str, int, int]]] = {}
+    for i, (_, (pt, pcol), (rt, rcol)) in enumerate(_AUDIT_CHECKS):
+        roles.setdefault(pt, []).append((pcol, i, 0))
+        roles.setdefault(rt, []).append((rcol, i, 1))
+    roles.setdefault("orders", []).append(("o_orderkey", _AUDIT_DUP_CID, 2))
+    return roles
+
 
 def q_referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
     """dbt-tests-shaped dataset audit: orphaned foreign keys, unreferenced
     dimension rows, duplicate primary keys, and empty payload fields, one
-    (check_name, n_bad) row each. ALL seven key checks fuse into ONE
-    tagged-union bucket merge (a (check, key) is whole within its hash
-    bucket, so distinct-orphan counts are exact and additive across
-    buckets) — not seven anti-joins; `Dataset.join` is also the documented
-    empty-partition trap for sparse sides (CLAUDE.md). Duplicate counts
-    are Σ in-bucket (multiplicity − 1); empties are per-batch predicate
-    count partials."""
+    (check_name, n_bad) row each. ALL key checks fuse into ONE tagged-union
+    bucket merge (a (check, key) is whole within its hash bucket, so
+    distinct-orphan counts are exact and additive across buckets) — not
+    seven anti-joins; `Dataset.join` is also the documented empty-partition
+    trap for sparse sides (CLAUDE.md). Each base table is read ONCE and
+    emits all of its role rows from a single map; duplicate counts ride the
+    same shuffle as multiplicity rows (is_ref=2, Σ(c−1) per key in-bucket);
+    empties are per-batch predicate count partials."""
+    roles = _audit_roles()
 
-    def tagged(cid: int, col: str, is_ref: int):
+    def tagged(table_roles: list[tuple[str, int, int]]):
         def fn(t: pa.Table) -> pa.Table:
-            k = pc.unique(pc.cast(t[col], pa.int64())).to_numpy(zero_copy_only=False)
+            cids, keys, tags, ns = [], [], [], []
+            for col, cid, tag in table_roles:
+                k = pc.cast(t[col], pa.int64()).to_numpy(zero_copy_only=False)
+                if tag == 2:  # multiplicity role (duplicate-PK check)
+                    u, c = np.unique(k, return_counts=True)
+                else:
+                    u = np.unique(k)
+                    c = np.ones(len(u), np.int64)
+                cids.append(np.full(len(u), cid, np.int64))
+                keys.append(u)
+                tags.append(np.full(len(u), tag, np.int64))
+                ns.append(c.astype(np.int64))
+            cid = np.concatenate(cids)
+            key = np.concatenate(keys)
             b = (
-                ((k.astype(np.uint64) + np.uint64(cid)) * _AUDIT_MIX)
+                ((key.astype(np.uint64) + cid.astype(np.uint64)) * _AUDIT_MIX)
                 % np.uint64(NB)
             ).astype(np.int64)
-            n = len(k)
             return pa.Table.from_pydict(
                 {
-                    "cid": pa.array(np.full(n, cid, np.int64)),
-                    "key": pa.array(k, pa.int64()),
-                    "is_ref": pa.array(np.full(n, is_ref, np.int64)),
+                    "cid": pa.array(cid, pa.int64()),
+                    "key": pa.array(key, pa.int64()),
+                    "is_ref": pa.array(np.concatenate(tags), pa.int64()),
+                    "n": pa.array(np.concatenate(ns), pa.int64()),
                     "bucket": pa.array(b, pa.int64()),
                 }
             )
 
         return fn
 
-    legs = []
-    for i, (_, (pt, pcol), (rt, rcol)) in enumerate(_AUDIT_CHECKS):
-        legs.append(
-            _read(sf_dir, pt, [pcol]).map_batches(
-                tagged(i, pcol, 0), batch_format="pyarrow"
-            )
+    legs = [
+        _read(sf_dir, table, sorted({c for c, _, _ in tr})).map_batches(
+            tagged(tr), batch_format="pyarrow"
         )
-        legs.append(
-            _read(sf_dir, rt, [rcol]).map_batches(
-                tagged(i, rcol, 1), batch_format="pyarrow"
-            )
-        )
+        for table, tr in roles.items()
+    ]
 
-    def orphans(g: pd.DataFrame) -> pd.DataFrame:
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
         out = []
         for cid, grp in g.groupby("cid"):
-            refs = set(grp.loc[grp["is_ref"] == 1, "key"])
-            probe = set(grp.loc[grp["is_ref"] == 0, "key"])
-            out.append((int(cid), len(probe - refs)))
+            if int(cid) == _AUDIT_DUP_CID:
+                per = grp.groupby("key")["n"].sum()
+                out.append((int(cid), int((per - 1).clip(lower=0).sum())))
+            else:
+                refs = set(grp.loc[grp["is_ref"] == 1, "key"])
+                probe = set(grp.loc[grp["is_ref"] == 0, "key"])
+                out.append((int(cid), len(probe - refs)))
         return pd.DataFrame(
             {
                 "cid": pd.Series([c for c, _ in out], dtype="int64"),
@@ -290,40 +320,14 @@ def q_referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
         legs[0]
         .union(*legs[1:])
         .groupby("bucket")
-        .map_groups(orphans, batch_format="pandas")
+        .map_groups(fold, batch_format="pandas")
         .to_pandas()
     )
     per_cid = parts.groupby("cid")["n"].sum() if len(parts) else pd.Series(dtype="int64")
     checks: dict[str, int] = {
         name: int(per_cid.get(i, 0)) for i, (name, _, _) in enumerate(_AUDIT_CHECKS)
     }
-
-    # duplicate primary keys: n_rows − Σ per-bucket distinct
-    def key_partials(t: pa.Table) -> pa.Table:
-        k = pc.cast(t["o_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
-        u, c = np.unique(k, return_counts=True)
-        return pa.Table.from_pydict(
-            {
-                "key": pa.array(u, pa.int64()),
-                "n": pa.array(c.astype(np.int64), pa.int64()),
-                "bucket": pa.array(
-                    (u.astype(np.uint64) % NB).astype(np.int64), pa.int64()
-                ),
-            }
-        )
-
-    def dup_count(g: pd.DataFrame) -> pd.DataFrame:
-        per = g.groupby("key")["n"].sum()
-        return pd.DataFrame({"dups": pd.Series([int((per - 1).clip(lower=0).sum())], dtype="int64")})
-
-    dup = int(
-        _read(sf_dir, "orders", ["o_orderkey"])
-        .map_batches(key_partials, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(dup_count, batch_format="pandas")
-        .sum("dups")
-    )
-    checks["orders_dup_orderkey"] = dup
+    checks["orders_dup_orderkey"] = int(per_cid.get(_AUDIT_DUP_CID, 0))
 
     # empty payloads
     def empty_docs(t: pa.Table) -> pa.Table:
