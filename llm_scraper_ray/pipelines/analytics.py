@@ -5801,3 +5801,197 @@ SELECT event_id, user_id,
        CAST(run_sum - least(0, run_min) AS BIGINT) AS balance_cents
 FROM s2 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# robust dispersion: exact median absolute deviation (two selection passes)
+
+
+def q_events_value_mad(sf_dir: str) -> pd.DataFrame:
+    """EXACT median absolute deviation of event values — two chained
+    distributed selections (`tpch.exact_kth`, iterative histogram
+    refinement): median of cents, then median of |cents − median|. The
+    deviation stream is derived by one vectorized map over the SAME
+    materialized cents dataset (no re-read of the source). Every decided
+    quantity is an int64 order statistic, so the result is engine-exact at
+    any scale; ~4-8 constant-partial executions total, no sort, no
+    shuffle."""
+    from .tpch import cents_span, exact_kth
+
+    ev = _read_events(sf_dir, ["value"])
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"cents": pa.array(np.floor(v * 100.0).astype(np.int64), pa.int64())}
+        )
+
+    cents = ev.map_batches(cents_col, batch_format="pyarrow").materialize()
+    n, lo, hi = cents_span(cents)
+    k = (n + 1) // 2  # 1-based rank of quantile_disc(0.5)
+    med = exact_kth(cents, k, lo, hi)
+
+    def dev_col(t: pa.Table, med=med) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"cents": pa.array(np.abs(c - med), pa.int64())}
+        )
+
+    dev = cents.map_batches(dev_col, batch_format="pyarrow").materialize()
+    _, dlo, dhi = cents_span(dev)
+    mad = exact_kth(dev, k, dlo, dhi)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "median_cents": pd.Series([med], dtype="int64"),
+            "mad_cents": pd.Series([mad], dtype="int64"),
+        }
+    )
+
+
+SQL_EVENTS_VALUE_MAD = """
+WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+m AS (SELECT quantile_disc(cents, 0.5) AS med,
+             CAST(count(*) AS BIGINT) AS n FROM c)
+SELECT m.n AS n,
+       CAST(m.med AS BIGINT) AS median_cents,
+       CAST(quantile_disc(abs(c.cents - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM c, m GROUP BY m.n, m.med
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC: exact integer Mann-Whitney rank statistic
+
+
+AUC_POS_TYPE = "purchase"
+
+
+def q_events_auc(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Exact ROC-AUC of `value` as a score for the binary label
+    `event_type == 'purchase'` — the Mann-Whitney U statistic with full tie
+    handling, kept in INTEGER arithmetic end-to-end (the r04 lesson: a
+    DECIDED quantity must never be a cross-engine float). Emits
+    u2 = 2·U = 2·(# neg<pos pairs) + (# tied pos-neg pairs) as BIGINT; the
+    float AUC = u2 / (2·p·n) is the single division both engines perform
+    identically.
+
+    Dataflow: one global (cents, event_id) sort, then every batch emits ONE
+    summary row — its within-batch pair contributions (vectorized run-length
+    arithmetic) plus its edge-value tallies. Cross-batch strict pairs fold
+    from a #batches-row prefix scan; tie groups that straddle batch
+    boundaries are reconstructed exactly from the edge tallies (a value
+    spanning two batches is necessarily the last value of one and the first
+    of the next, so edge tallies see every batch that holds it). The
+    documented edge-fixup rule applies: the batch key is the FULL first-row
+    sort tuple (cents, event_id), and the merge tolerates block coalescing/
+    splitting because it only ever combines adjacent same-value tallies."""
+    ev = _read_events(sf_dir, ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        pos = pc.equal(t["event_type"], AUC_POS_TYPE)
+        return pa.Table.from_pydict(
+            {
+                "cents": pa.array(np.floor(v * 100.0).astype(np.int64), pa.int64()),
+                "event_id": t["event_id"],
+                "pos": pa.array(pos.to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cents"].to_numpy()
+        p = df["pos"].to_numpy()
+        # value runs (c is sorted within the batch)
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        pos_v = np.add.reduceat(p, starts)
+        cnt_v = np.diff(np.append(starts, len(c)))
+        neg_v = cnt_v - pos_v
+        cum_neg_below = np.concatenate(([0], np.cumsum(neg_v)[:-1]))
+        local2u = int((2 * cum_neg_below * pos_v + pos_v * neg_v).sum())
+        return pd.DataFrame(
+            {
+                "bkey_cents": [int(c[0])],
+                "bkey_id": [int(df["event_id"].iloc[0])],
+                "n_pos": [int(p.sum())],
+                "n_neg": [int(len(p) - p.sum())],
+                "local2u": [local2u],
+                "fv": [int(c[0])],
+                "fv_pos": [int(pos_v[0])],
+                "fv_neg": [int(neg_v[0])],
+                "lv": [int(c[-1])],
+                "lv_pos": [int(pos_v[-1])],
+                "lv_neg": [int(neg_v[-1])],
+            }
+        )
+
+    s = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .sort(["cents", "event_id"])
+        .map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .to_pandas()
+        .sort_values(["bkey_cents", "bkey_id"], kind="stable")
+        .reset_index(drop=True)
+    )
+    p_tot = int(s["n_pos"].sum())
+    n_tot = int(s["n_neg"].sum())
+    # cross-batch: every (neg in earlier batch, pos in later batch) pair
+    # counted as strict (2) — same-value cross pairs corrected below
+    prefix_neg = np.concatenate(([0], np.cumsum(s["n_neg"].to_numpy())[:-1]))
+    total2u = int(s["local2u"].sum()) + int(2 * (prefix_neg * s["n_pos"].to_numpy()).sum())
+    # straddling tie groups: per batch, per edge value v → (p_b(v), n_b(v));
+    # a batch whose rows are all one value contributes a single tally
+    recs: dict[int, list[tuple[int, int]]] = {}
+    for r in s.itertuples(index=False):
+        if r.fv == r.lv:
+            recs.setdefault(r.fv, []).append((r.fv_pos, r.fv_neg))
+        else:
+            recs.setdefault(r.fv, []).append((r.fv_pos, r.fv_neg))
+            recs.setdefault(r.lv, []).append((r.lv_pos, r.lv_neg))
+    for v, tallies in recs.items():
+        if len(tallies) < 2:
+            continue  # value confined to one batch: handled locally
+        P = sum(t[0] for t in tallies)
+        N = sum(t[1] for t in tallies)
+        within = sum(t[0] * t[1] for t in tallies)
+        counted = 0
+        cum_n = 0
+        for tp, tn in tallies:  # batch order == value order (sorted merge)
+            counted += cum_n * tp
+            cum_n += tn
+        # desired: every cross-batch tied pair contributes 1; the strict
+        # cross term above gave 2 per (neg-earlier, pos-later) pair and 0
+        # per (pos-earlier, neg-later) pair
+        total2u += (P * N - within) - 2 * counted
+    auc = total2u / (2 * p_tot * n_tot) if p_tot and n_tot else 0.0
+    return pd.DataFrame(
+        {
+            "n_pos": pd.Series([p_tot], dtype="int64"),
+            "n_neg": pd.Series([n_tot], dtype="int64"),
+            "u2": pd.Series([total2u], dtype="int64"),
+            "auc": pd.Series([auc], dtype="float64"),
+        }
+    )
+
+
+SQL_EVENTS_AUC = f"""
+WITH s AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = '{AUC_POS_TYPE}' THEN 1 ELSE 0 END AS pos
+  FROM events),
+r AS (
+  SELECT pos,
+         RANK() OVER (ORDER BY cents) AS rk,
+         COUNT(*) OVER (PARTITION BY cents) AS tc
+  FROM s),
+t AS (
+  SELECT CAST(count(*) FILTER (pos = 1) AS BIGINT) AS n_pos,
+         CAST(count(*) FILTER (pos = 0) AS BIGINT) AS n_neg,
+         CAST(sum(2 * rk + tc - 1) FILTER (pos = 1) AS BIGINT) AS rank2_pos
+  FROM r)
+SELECT n_pos, n_neg,
+       CAST(rank2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST(rank2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+         / (2 * n_pos * n_neg) AS auc
+FROM t
+"""

@@ -2248,6 +2248,11 @@ def all_queries():
         "doc_ks_distance": _curation.q_doc_ks_distance,
         # exact distributed median via iterative histogram refinement
         "orders_exact_median": _tpch.q_orders_exact_median,
+        # robust statistics on the selection machinery
+        "events_value_mad": _analytics.q_events_value_mad,
+        "orders_winsorized_mean": _tpch.q_orders_winsorized_mean,
+        # exact integer Mann-Whitney ROC-AUC
+        "events_auc": _analytics.q_events_auc,
     }
 
 
@@ -2734,6 +2739,9 @@ def all_oracle_sql():
         "referential_integrity_audit": _linkage.SQL_REFERENTIAL_INTEGRITY,
         "doc_ks_distance": _curation.SQL_DOC_KS_DISTANCE,
         "orders_exact_median": _tpch.SQL_ORDERS_EXACT_MEDIAN,
+        "events_value_mad": _analytics.SQL_EVENTS_VALUE_MAD,
+        "orders_winsorized_mean": _tpch.SQL_ORDERS_WINSORIZED_MEAN,
+        "events_auc": _analytics.SQL_EVENTS_AUC,
     }
 
 # ---------------------------------------------------------------------------

@@ -1165,28 +1165,9 @@ GROUP BY 1 ORDER BY 1
 _MEDIAN_BINS = 4096
 
 
-def q_orders_exact_median(sf_dir: str) -> pd.DataFrame:
-    """EXACT median order price over an UNBOUNDED value domain — the
-    distributed selection algorithm (iterative histogram refinement), not
-    a value-count fold (those require a bounded distinct-value domain, cf.
-    `doc_length_quantiles`). Round 0 folds (count, min, max) scalars; each
-    refinement round histograms the candidate interval into 4096 bins —
-    every batch emits ONE row whose counts ride as a packed int64 blob, so
-    the fold is #batches rows and there is NO per-bin groupby (4096 keys
-    × 1 ms = the known groupby trap) — and the k-th element's bin becomes
-    the next interval. ceil(log2(range)/12) rounds ≈ 2-4 executions total
-    at any scale; the final interval (width ≤ 4096) finishes with one
-    exact in-interval value-count pass. Prices are integer cents
-    (floor·100, the cross-engine quantization), so 'the k-th smallest' is
-    engine-exact; k = ceil(n/2) matches DuckDB ``quantile_disc(0.5)``."""
-    base = _read(sf_dir, "orders", ["o_totalprice"])
-
-    def cents_col(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {"cents": pa.array(_cents(t["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64())}
-        )
-
-    cents = base.map_batches(cents_col, batch_format="pyarrow").materialize()
+def cents_span(cents: "rd.Dataset") -> tuple[int, int, int]:
+    """(count, min, max) of an int64 ``cents`` column — one constant-size
+    fold (each batch emits ONE scalar row)."""
 
     def span(t: pa.Table) -> pa.Table:
         c = t["cents"].to_numpy(zero_copy_only=False)
@@ -1203,10 +1184,24 @@ def q_orders_exact_median(sf_dir: str) -> pd.DataFrame:
         )
 
     s = cents.map_batches(span, batch_format="pyarrow").to_pandas()
-    n = int(s["n"].sum())
-    lo, hi = int(s["lo"].min()), int(s["hi"].max())
-    k = (n + 1) // 2  # 1-based rank of quantile_disc(0.5)
+    if len(s) == 0:
+        return 0, 0, 0
+    return int(s["n"].sum()), int(s["lo"].min()), int(s["hi"].max())
 
+
+def exact_kth(cents: "rd.Dataset", k: int, lo: int, hi: int) -> int:
+    """EXACT k-th smallest (1-based) of an int64 ``cents`` column over an
+    UNBOUNDED value domain — the distributed selection algorithm (iterative
+    histogram refinement), not a value-count fold (those require a bounded
+    distinct-value domain, cf. `doc_length_quantiles`). Each refinement
+    round histograms the candidate interval into 4096 bins — every batch
+    emits ONE row whose counts ride as a packed int64 blob, so the fold is
+    #batches rows and there is NO per-bin groupby (4096 keys × 1 ms = the
+    known groupby trap) — and the k-th element's bin becomes the next
+    interval. ceil(log2(range)/12) rounds ≈ 2-4 executions total at any
+    scale; the final interval (width ≤ 4096) finishes with one exact
+    in-interval value-count pass. The caller passes a MATERIALIZED dataset
+    (each round re-scans it from the object store)."""
     while hi - lo + 1 > _MEDIAN_BINS:
         edges = np.linspace(lo, hi + 1, _MEDIAN_BINS + 1).astype(np.int64)
 
@@ -1238,7 +1233,28 @@ def q_orders_exact_median(sf_dir: str) -> pd.DataFrame:
     vals = cents.map_batches(vc, batch_format="pyarrow").to_pandas()
     vals = vals.groupby("val")["c"].sum().sort_index()
     cum = vals.cumsum()
-    median = int(cum.index[int(np.searchsorted(cum.to_numpy(), k))])
+    return int(cum.index[int(np.searchsorted(cum.to_numpy(), k))])
+
+
+def _orders_cents(sf_dir: str) -> "rd.Dataset":
+    base = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"cents": pa.array(_cents(t["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64())}
+        )
+
+    return base.map_batches(cents_col, batch_format="pyarrow").materialize()
+
+
+def q_orders_exact_median(sf_dir: str) -> pd.DataFrame:
+    """EXACT median order price via `exact_kth` (selection by iterative
+    histogram refinement). Prices are integer cents (floor·100, the
+    cross-engine quantization), so 'the k-th smallest' is engine-exact;
+    k = ceil(n/2) matches DuckDB ``quantile_disc(0.5)``."""
+    cents = _orders_cents(sf_dir)
+    n, lo, hi = cents_span(cents)
+    median = exact_kth(cents, (n + 1) // 2, lo, hi)
     return pd.DataFrame(
         {"n": pd.Series([n], dtype="int64"), "median_cents": pd.Series([median], dtype="int64")}
     )
@@ -1249,4 +1265,58 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        quantile_disc(CAST(floor(o_totalprice * 100) AS BIGINT), 0.5)
          AS median_cents
 FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorized mean: robust aggregation after exact-percentile clamping
+
+
+def q_orders_winsorized_mean(sf_dir: str) -> pd.DataFrame:
+    """Winsorized (5%/95%-clamped) mean order price — robust aggregation
+    over heavy-tailed values. The p05/p95 cut points are EXACT order
+    statistics from two `exact_kth` selections (rank = ceil(q·n), pinned to
+    DuckDB's ``quantile_disc`` convention — verified on discriminating
+    n/q cases); the clamp + sum is then one vectorized integer fold. All
+    decided quantities are int64 cents; the mean is the single float
+    division both engines perform identically. Scale shape: 2 selection
+    passes (2-4 executions each, constant-size partials) + 1 fold — no
+    sort, no shuffle."""
+    cents = _orders_cents(sf_dir)
+    n, lo, hi = cents_span(cents)
+    k05 = max(1, -(-n // 20))          # ceil(0.05·n) without float
+    k95 = max(1, -(-(19 * n) // 20))   # ceil(0.95·n)
+    p05 = exact_kth(cents, k05, lo, hi)
+    p95 = exact_kth(cents, k95, lo, hi)
+
+    def clamp_sum(t: pa.Table, p05=p05, p95=p95) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        s = int(np.clip(c, p05, p95).sum())
+        return pa.Table.from_pydict({"s": pa.array([s], pa.int64())})
+
+    tot = int(cents.map_batches(clamp_sum, batch_format="pyarrow").to_pandas()["s"].sum())
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "p05_cents": pd.Series([p05], dtype="int64"),
+            "p95_cents": pd.Series([p95], dtype="int64"),
+            "winsorized_sum_cents": pd.Series([tot], dtype="int64"),
+            "winsorized_mean_cents": pd.Series([tot / n], dtype="float64"),
+        }
+    )
+
+
+SQL_ORDERS_WINSORIZED_MEAN = """
+WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+q AS (SELECT quantile_disc(cents, 0.05) AS p05,
+             quantile_disc(cents, 0.95) AS p95 FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(q.p05 AS BIGINT) AS p05_cents,
+       CAST(q.p95 AS BIGINT) AS p95_cents,
+       CAST(sum(LEAST(GREATEST(c.cents, q.p05), q.p95)) AS BIGINT)
+         AS winsorized_sum_cents,
+       CAST(sum(LEAST(GREATEST(c.cents, q.p05), q.p95)) AS BIGINT)
+         / count(*) AS winsorized_mean_cents
+FROM c, q GROUP BY q.p05, q.p95
 """
