@@ -592,3 +592,58 @@ def persist_expected_media_frames(sf_dir: str) -> str:
             rows, columns=["media_id", "frame_no", "energy", "zero_crossings"]
         ).astype("int64"),
     )
+
+
+def persist_expected_media_phash(sf_dir: str) -> str:
+    """Expected perceptual-near-dup image pairs (hamming ≤ PHASH_HAM_T),
+    sequentially and with INDEPENDENT formulations on both axes: the
+    average-hash bit is decided by an exact ``fractions.Fraction`` mean
+    comparison over direct per-block slice sums (vs the engine's reduceat
+    integral sums + integer cross-multiplication), and the pair set is a
+    brute-force O(n²) hamming scan over all images (vs the engine's
+    banded multi-index LSH join)."""
+    path = _cache_path(sf_dir, "mediaphash")
+    if os.path.exists(path):
+        return path
+    from fractions import Fraction
+
+    import numpy as np
+
+    from ..sources.media import render_image_variant
+    from ..stages.multimodal import decode_pgm
+
+    ids = sorted(
+        int(x)
+        for x in pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .column("doc_id")
+        .to_pylist()
+    )
+    hashes = []
+    for d in ids:
+        w, h, arr = decode_pgm(render_image_variant(d))
+        a = arr.astype(np.int64)
+        gmean = Fraction(int(a.sum()), h * w)
+        bits = 0
+        for by in range(8):
+            y0, y1 = by * h // 8, (by + 1) * h // 8
+            for bx in range(8):
+                x0, x1 = bx * w // 8, (bx + 1) * w // 8
+                blk = a[y0:y1, x0:x1]
+                if Fraction(int(blk.sum()), blk.size) > gmean:
+                    bits |= 1 << (by * 8 + bx)
+        hashes.append(bits)
+    hs = np.array(hashes, dtype=np.uint64)
+    idv = np.array(ids, dtype=np.int64)
+    pairs = []
+    from ..stages.multimodal import PHASH_HAM_T, popcount64
+
+    for i in range(len(hs)):
+        ham = popcount64((hs[i] ^ hs[i + 1 :]).view(np.int64))
+        close = np.flatnonzero(ham <= PHASH_HAM_T)
+        for j in close:
+            pairs.append((int(idv[i]), int(idv[i + 1 + j]), int(ham[j])))
+    df = pd.DataFrame(pairs, columns=["doc_a", "doc_b", "hamming"]).astype("int64")
+    df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return _write(path, df)

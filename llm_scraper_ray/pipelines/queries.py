@@ -2253,6 +2253,8 @@ def all_queries():
         "orders_winsorized_mean": _tpch.q_orders_winsorized_mean,
         # exact integer Mann-Whitney ROC-AUC
         "events_auc": _analytics.q_events_auc,
+        # perceptual-hash image near-dup pairs (multi-index hamming join)
+        "media_phash_dups": q_media_phash_dups,
     }
 
 
@@ -2501,6 +2503,7 @@ def _analysis_oracle_sqls() -> dict[str, str]:
         persist_expected_bpe,
         persist_expected_bpe_encode,
         persist_expected_media_frames,
+        persist_expected_media_phash,
         persist_expected_media_resize,
         persist_expected_minhash,
         persist_expected_minhash_cands,
@@ -2529,6 +2532,11 @@ def _analysis_oracle_sqls() -> dict[str, str]:
         "media_resize": (
             "SELECT media_id, out_w, out_h, out_sum, out_crc FROM "
             f"read_parquet('{persist_expected_media_resize(sf)}') ORDER BY media_id"
+        ),
+        "media_phash_dups": (
+            "SELECT doc_a, doc_b, hamming FROM "
+            f"read_parquet('{persist_expected_media_phash(sf)}') "
+            "ORDER BY doc_a, doc_b"
         ),
         "media_frames": (
             "SELECT media_id, frame_no, energy, zero_crossings FROM "
@@ -4755,5 +4763,119 @@ def q_events_hourly_csv(sf_dir: str) -> pd.DataFrame:
     return (
         _round(out, {"sum_value": 2})
         .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+def q_media_phash_dups(sf_dir: str) -> pd.DataFrame:
+    """Perceptual near-duplicate IMAGE pairs — the multimodal analog of the
+    MinHash/SimHash text near-dups: every doc renders a shared-asset image
+    variant (re-edit, not byte-copy — exact content-hash dedup misses it,
+    cf. `media_exact_dedup`), the engine decodes the actual bytes and
+    computes a 64-bit average-hash with EXACT integer bit decisions
+    (`stages/multimodal.ahash64`), and pairs with hamming ≤ PHASH_HAM_T are
+    enumerated by the multi-index construction: 4 disjoint 16-bit bands —
+    a pair within distance 3 MUST agree exactly on ≥1 band (pigeonhole), so
+    recall is provably 1.0, no probabilistic LSH tuning. Band-key groupby
+    is NB-bucket-bounded (the repo-wide pair-expansion shape); hashes ride
+    the shuffle rows so the hamming verify runs in-group, vectorized; a
+    second NB-key groupby dedups cross-band repeats. Payloads never enter
+    the shuffle — only (doc_id, phash) rows travel (the 100-TB shape).
+    Oracle: sequential brute-force O(n²) scan with a Fraction-mean hash
+    formulation (`oracle_analysis.persist_expected_media_phash`) —
+    independent on both the hash axis and the join axis. Skew note: exact
+    pair enumeration is inherently quadratic in an asset's copy count; a
+    production corpus caps per-key expansion (cf. DF_CAP) or emits
+    cluster representatives instead."""
+    from ..sources.media import render_image_variant
+    from ..stages.multimodal import PHASH_HAM_T, ahash64, decode_pgm, popcount64
+    from .neardup import _MASK63, _PAIR_MIX, NUM_BUCKETS
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hs = np.empty(len(ids), np.int64)
+        for i, d in enumerate(ids):
+            _, _, arr = decode_pgm(render_image_variant(int(d)))
+            hs[i] = ahash64(arr)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([int(x) for x in ids], pa.int64()),
+                "phash": pa.array(hs, pa.int64()),
+            }
+        )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        hs = batch["phash"].to_numpy()
+        u = np.ascontiguousarray(hs).view(np.uint64)
+        keys = [
+            (np.int64(b) << np.int64(16))
+            | ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            for b in range(4)
+        ]
+        bkey = np.concatenate(keys)
+        return pa.Table.from_pydict(
+            {
+                "bkey": pa.array(bkey, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "phash": pa.array(np.tile(hs, 4), pa.int64()),
+                "bucket": pa.array(
+                    ((bkey * _PAIR_MIX) & _MASK63) % NUM_BUCKETS, pa.int64()
+                ),
+            }
+        )
+
+    def bucket_cands(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_a", "doc_b", "hamming", "pbucket")}
+        )
+        vc = g["bkey"].value_counts()
+        g = g[g["bkey"].isin(vc[vc >= 2].index)]
+        if len(g) == 0:
+            return empty
+        m = g.merge(g, on="bkey", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if len(m) == 0:
+            return empty
+        ham = popcount64(
+            (
+                np.ascontiguousarray(m["phash_a"].to_numpy()).view(np.uint64)
+                ^ np.ascontiguousarray(m["phash_b"].to_numpy()).view(np.uint64)
+            ).view(np.int64)
+        )
+        m = m[ham <= PHASH_HAM_T]
+        ham = ham[ham <= PHASH_HAM_T]
+        if len(m) == 0:
+            return empty
+        pp = pd.DataFrame(
+            {
+                "doc_a": m["doc_id_a"].to_numpy(),
+                "doc_b": m["doc_id_b"].to_numpy(),
+                "hamming": ham,
+            }
+        ).drop_duplicates(["doc_a", "doc_b"])
+        pp["pbucket"] = ((pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % NUM_BUCKETS).astype("int64")
+        return pp.astype("int64")
+
+    def dedup_cands(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["doc_a", "doc_b", "hamming"]].drop_duplicates(["doc_a", "doc_b"]).astype("int64")
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(hash_rows, batch_format="pyarrow", batch_size=256)
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_cands, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedup_cands, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_a", "doc_b", "hamming")}
+        )
+    return (
+        out[["doc_a", "doc_b", "hamming"]]
+        .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )

@@ -121,3 +121,39 @@ def persist_media_truth(sf_dir: str) -> str:
     pq.write_table(t, tmp)
     os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# shared-asset image variants (perceptual near-dup fixture)
+
+PHASH_LIB = 48  # distinct base assets; docs reference asset = doc_id % LIB
+
+
+def render_image_variant(doc_id: int, lib: int = PHASH_LIB) -> bytes:
+    """P5 payload for a SHARED asset with a small per-doc perturbation —
+    the many-docs-one-asset layout of real web media, except variants are
+    structural re-edits (0-3 inverted 8×8-grid cells), not byte-identical
+    copies: the exact-hash dedup misses them, a perceptual hash must not.
+    Assets are asset-seeded random two-level block patterns (levels 60/190
+    + 0..7 noise), so block means sit FAR from the global mean (a
+    perceptual hash is stable under the noise) while cross-asset hashes
+    are ~32 bits apart (random patterns). The BYTES are the cross-side
+    contract (engine and the sequential phash oracle decode this exact
+    payload); the hash computation is what each side formulates
+    independently."""
+    asset = int(doc_id) % lib
+    ra = _rng(asset * 513239 + 7)
+    w = 16 + int(ra.randint(0, 49))  # 16..64
+    h = 16 + int(ra.randint(0, 49))
+    bits = ra.randint(0, 2, size=(8, 8))
+    noise = ra.randint(0, 8, size=(h, w))
+    rv = _rng(int(doc_id) * 7919 + 13)
+    vbits = bits.copy()
+    for _ in range(int(rv.randint(0, 4))):  # invert 0..3 grid cells
+        by, bx = int(rv.randint(0, 8)), int(rv.randint(0, 8))
+        vbits[by, bx] = 1 - vbits[by, bx]
+    row_blk = (np.arange(h) * 8) // h
+    col_blk = (np.arange(w) * 8) // w
+    levels = np.where(vbits, 190, 60)
+    arr = (levels[row_blk[:, None], col_blk[None, :]] + noise).clip(0, 255).astype(np.uint8)
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()

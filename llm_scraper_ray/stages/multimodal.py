@@ -268,3 +268,38 @@ class AudioFrames:
                 "zero_crossings": pa.array([int(x) for x in zcs], pa.int64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (average-hash over the decoded raster, exact integers)
+
+PHASH_HAM_T = 3  # near-dup threshold; 4×16-bit bands give provable recall 1.0
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.int64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for int64/uint64 arrays (numpy<2 has no
+    bitwise_count): byte-view + 256-entry LUT."""
+    return _POP8[np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)].sum(1)
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """64-bit average-hash of a grayscale raster: 8×8 grid of floor-bounded
+    blocks (block i spans rows [i·h//8, (i+1)·h//8)), bit = block mean >
+    global mean decided by EXACT integer cross-multiplication
+    (block_sum · total_area > total_sum · block_area — no float mean
+    anywhere, so the bit is engine-exact). Bit index = by·8+bx, LSB first;
+    returned as a SIGNED int64 bit pattern (the repo-wide key convention:
+    hashes ride int64 columns)."""
+    h, w = arr.shape
+    a = arr.astype(np.int64)
+    re = (np.arange(9, dtype=np.int64) * h) // 8
+    ce = (np.arange(9, dtype=np.int64) * w) // 8
+    rows = np.add.reduceat(a, re[:-1], axis=0)
+    blocks = np.add.reduceat(rows, ce[:-1], axis=1)  # (8,8) block sums
+    areas = (re[1:] - re[:-1])[:, None] * (ce[1:] - ce[:-1])[None, :]
+    total = int(a.sum())
+    bits = (blocks * (h * w) > total * areas).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64).reshape(8, 8)
+    return int(np.int64((bits * weights).sum().astype(np.uint64).view(np.int64)))
