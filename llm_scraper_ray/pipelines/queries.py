@@ -2255,6 +2255,10 @@ def all_queries():
         "events_auc": _analytics.q_events_auc,
         # perceptual-hash image near-dup pairs (multi-index hamming join)
         "media_phash_dups": q_media_phash_dups,
+        # grouped exact median: G simultaneous selection refinements
+        "orders_median_by_priority": _tpch.q_orders_median_by_priority,
+        # custom-datasource twin: Arrow IPC shards via read_binary_files
+        "events_hourly_ipc": q_events_hourly_ipc,
     }
 
 
@@ -2615,6 +2619,7 @@ def all_oracle_sql():
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_hourly_json": _SQL_EVENTS_HOURLY,
         "events_hourly_csv": _SQL_EVENTS_HOURLY,
+        "events_hourly_ipc": _SQL_EVENTS_HOURLY,
         "session_windows": _SQL_SESSION_WINDOWS,
         "events_lag": _SQL_EVENTS_LAG,
         "events_asof_join": _SQL_EVENTS_ASOF,
@@ -2750,6 +2755,7 @@ def all_oracle_sql():
         "events_value_mad": _analytics.SQL_EVENTS_VALUE_MAD,
         "orders_winsorized_mean": _tpch.SQL_ORDERS_WINSORIZED_MEAN,
         "events_auc": _analytics.SQL_EVENTS_AUC,
+        "orders_median_by_priority": _tpch.SQL_ORDERS_MEDIAN_BY_PRIORITY,
     }
 
 # ---------------------------------------------------------------------------
@@ -4877,5 +4883,66 @@ def q_media_phash_dups(sf_dir: str) -> pd.DataFrame:
     return (
         out[["doc_a", "doc_b", "hamming"]]
         .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def q_events_hourly_ipc(sf_dir: str) -> pd.DataFrame:
+    """Source-format breadth twin #3: the SAME tumbling-window aggregate as
+    ``events_hourly``, read through a CUSTOM datasource — Arrow IPC (Feather
+    v2) files via ``ray.data.read_binary_files`` + a zero-copy in-batch IPC
+    decode (Ray Data has no native IPC reader; this is the pattern for any
+    container format it lacks: binary rows in, ``pa.ipc.open_file`` out,
+    one flat_map-shaped batch transform). The export is sharded into
+    multiple IPC files so the read parallelizes like a real lake layout;
+    bytes are engine-independent (written once by pyarrow from the parquet
+    table). Oracle: identical SQL over the parquet view."""
+    import pyarrow.ipc as _ipc
+    import pyarrow.parquet as _pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache")
+    src = os.path.join(sf_dir, "events.parquet")
+    n_rows = _pq.read_metadata(src).num_rows
+    ipc_dir = os.path.join(base, f"events-ipc-{tag}-n{n_rows}")
+    if not os.path.isdir(ipc_dir):
+        tmp = ipc_dir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        t = _pq.read_table(src, columns=["event_type", "ts", "value"])
+        shard = max(1, t.num_rows // 4)
+        for i in range(0, t.num_rows, shard):
+            with _ipc.new_file(
+                os.path.join(tmp, f"part-{i // shard:04d}.arrow"),
+                t.schema,
+            ) as w:
+                w.write_table(t.slice(i, shard))
+        os.replace(tmp, ipc_dir)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = [
+            _ipc.open_file(pa.BufferReader(buf.as_py())).read_all()
+            for buf in batch["bytes"]
+        ]
+        t = pa.concat_tables(tables)
+        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(epoch_s, 3600), 3600)
+        return pa.Table.from_pydict(
+            {
+                "event_type": t["event_type"],
+                "window_start": win,
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        rd.read_binary_files(ipc_dir)
+        .map_batches(decode, batch_format="pyarrow", batch_size=1)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    return (
+        _round(out, {"sum_value": 2})
+        .sort_values(["event_type", "window_start"])
         .reset_index(drop=True)
     )

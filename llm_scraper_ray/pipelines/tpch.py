@@ -1320,3 +1320,122 @@ SELECT CAST(count(*) AS BIGINT) AS n,
          / count(*) AS winsorized_mean_cents
 FROM c, q GROUP BY q.p05, q.p95
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped exact median: simultaneous per-group selection refinement
+
+
+def q_orders_median_by_priority(sf_dir: str) -> pd.DataFrame:
+    """EXACT median order price PER PRIORITY CLASS — the selection
+    machinery (`exact_kth`'s iterative histogram refinement) generalized to
+    G simultaneous groups in the SAME executions: every refinement pass
+    histograms each still-active group's candidate interval (one packed
+    int64 blob row per (batch, group) — #batches·G partial rows, no
+    per-value groupby), and each group's k-th bin narrows independently
+    until its interval fits one exact value-count pass. G is the grouping
+    key's cardinality (bounded, 5 here); the refinement does NOT multiply
+    executions — all groups ride the same pass, so the cost is
+    max-rounds-over-groups, not sum. Rank = ceil(n_g/2), pinned to DuckDB
+    ``quantile_disc(0.5)``."""
+    base = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "grp": t["o_orderpriority"],
+                "cents": pa.array(
+                    _cents(t["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    ds = base.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def span(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("grp")["cents"].agg(["count", "min", "max"]).reset_index()
+        return g.rename(columns={"count": "n", "min": "lo", "max": "hi"})
+
+    s = (
+        ds.map_batches(span, batch_format="pandas")
+        .to_pandas()
+        .groupby("grp")
+        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    )
+    state = {
+        str(grp): [int(r.n), (int(r.n) + 1) // 2, int(r.lo), int(r.hi)]
+        for grp, r in s.iterrows()
+    }  # grp -> [n, k, lo, hi]
+
+    while True:
+        active = {g: v for g, v in state.items() if v[3] - v[2] + 1 > _MEDIAN_BINS}
+        if not active:
+            break
+        bounds = {g: (v[2], v[3]) for g, v in active.items()}
+
+        def hist(df: pd.DataFrame, bounds=bounds) -> pd.DataFrame:
+            grps, blobs = [], []
+            for g, sub in df.groupby("grp"):
+                b = bounds.get(str(g))
+                if b is None:
+                    continue
+                lo, hi = b
+                c = sub["cents"].to_numpy()
+                c = c[(c >= lo) & (c <= hi)]
+                edges = np.linspace(lo, hi + 1, _MEDIAN_BINS + 1).astype(np.int64)
+                counts, _ = np.histogram(c, bins=edges)
+                grps.append(str(g))
+                blobs.append(counts.astype(np.int64).tobytes())
+            return pd.DataFrame({"grp": grps, "blob": blobs})
+
+        parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+        for g in active:
+            total = np.zeros(_MEDIAN_BINS, np.int64)
+            for blob in parts.loc[parts["grp"] == g, "blob"]:
+                total += np.frombuffer(blob, np.int64)
+            cum = np.cumsum(total)
+            n, k, lo, hi = state[g]
+            edges = np.linspace(lo, hi + 1, _MEDIAN_BINS + 1).astype(np.int64)
+            b = int(np.searchsorted(cum, k))
+            k -= int(cum[b - 1]) if b > 0 else 0
+            state[g] = [n, k, int(edges[b]), int(edges[b + 1]) - 1]
+
+    bounds = {g: (v[2], v[3]) for g, v in state.items()}
+
+    def vc(df: pd.DataFrame, bounds=bounds) -> pd.DataFrame:
+        grps, vals, cnts = [], [], []
+        for g, sub in df.groupby("grp"):
+            lo, hi = bounds[str(g)]
+            c = sub["cents"].to_numpy()
+            c = c[(c >= lo) & (c <= hi)]
+            u, cnt = np.unique(c, return_counts=True)
+            grps.extend([str(g)] * len(u))
+            vals.extend(int(x) for x in u)
+            cnts.extend(int(x) for x in cnt)
+        return pd.DataFrame({"grp": grps, "val": vals, "c": cnts})
+
+    vals = (
+        ds.map_batches(vc, batch_format="pandas")
+        .to_pandas()
+        .groupby(["grp", "val"])["c"]
+        .sum()
+        .reset_index()
+    )
+    out_rows = []
+    for g, (n, k, lo, hi) in sorted(state.items()):
+        sub = vals[vals["grp"] == g].sort_values("val")
+        cum = sub["c"].cumsum().to_numpy()
+        med = int(sub["val"].to_numpy()[int(np.searchsorted(cum, k))])
+        out_rows.append((g, n, med))
+    return pd.DataFrame(out_rows, columns=["o_orderpriority", "n", "median_cents"]).astype(
+        {"n": "int64", "median_cents": "int64"}
+    )
+
+
+SQL_ORDERS_MEDIAN_BY_PRIORITY = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_disc(CAST(floor(o_totalprice * 100) AS BIGINT), 0.5)
+         AS median_cents
+FROM orders GROUP BY 1 ORDER BY 1
+"""
