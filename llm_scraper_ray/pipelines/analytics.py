@@ -5995,3 +5995,141 @@ SELECT n_pos, n_neg,
          / (2 * n_pos * n_neg) AS auc
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (integral of the per-user value step function)
+
+
+def q_events_twap(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """Per-user TIME-WEIGHTED average value — the irregular-time-series
+    integral Σ cᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first), exact in int64
+    (cents × µs; numerator ≤ max_cents · user_span_µs per user). One
+    (user, ts, event_id) sort; consecutive-pair contributions are
+    vectorized within batches, and the ONLY cross-batch information is
+    each batch's first/last row — consecutive rows split by a block seam
+    are reconstructed by merging adjacent edge rows in full-sort-key
+    order (the documented edge-fixup rule; tolerant of coalescing and
+    splitting because every split row-pair lives on exactly one seam).
+    Per-user partial sums shuffle to stable user-hash buckets (a user is
+    whole within its bucket — no per-user groupby at driver or engine
+    key-cardinality cost); the driver merges #batches edge rows plus
+    NB bucket outputs. The float twap is the single terminal division."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy()
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        c = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        same = u[1:] == u[:-1]
+        contrib = np.where(same, c[:-1] * (t[1:] - t[:-1]), 0)
+        # per-user within-batch partials (batch-local pandas groupby —
+        # bounded by the batch's own user count, not global cardinality)
+        g = pd.DataFrame(
+            {"user_id": u, "num": np.concatenate((contrib, [0])), "t": t}
+        ).groupby("user_id", sort=False)
+        part = g.agg(
+            num=("num", "sum"), tmin=("t", "min"), tmax=("t", "max"), n=("t", "size")
+        ).reset_index()
+        part["kind"] = "part"
+        eid = df["event_id"].to_numpy()
+        edge = pd.DataFrame(
+            {
+                "user_id": [int(u[0])],
+                "num": [0],
+                "tmin": [int(t[0])],
+                "tmax": [int(t[-1])],
+                "n": [0],
+                "kind": ["edge"],
+                "last_user": [int(u[-1])],
+                "last_t": [int(t[-1])],
+                "last_c": [int(c[-1])],
+                "bkey_ts": [int(t[0])],
+                "bkey_id": [int(eid[0])],
+            }
+        )
+        part["last_user"] = 0
+        part["last_t"] = 0
+        part["last_c"] = 0
+        part["bkey_ts"] = 0
+        part["bkey_id"] = 0
+        return pd.concat([part, edge], ignore_index=True)
+
+    rows = (
+        _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .materialize()  # two consumers (partials + edges): execute once
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("user_id", sort=False).agg(
+            num=("num", "sum"), tmin=("tmin", "min"), tmax=("tmax", "max"), n=("n", "sum")
+        )
+        return s.reset_index()
+
+    parts = (
+        rows.map_batches(
+            lambda df: df[df["kind"] == "part"].assign(
+                bucket=lambda d: (
+                    _splitmix64(d["user_id"].to_numpy()) % np.uint64(NDIST_NB)
+                ).astype(np.int64)
+            ),
+            batch_format="pandas",
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    per_user = parts.groupby("user_id").agg(
+        num=("num", "sum"), tmin=("tmin", "min"), tmax=("tmax", "max"), n=("n", "sum")
+    )
+
+    edges = (
+        rows.map_batches(lambda df: df[df["kind"] == "edge"], batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "bkey_ts", "bkey_id"], kind="stable")
+        .reset_index(drop=True)
+    )
+    # seam contributions: consecutive batches in sort order whose last/first
+    # rows share a user (each split consecutive-row pair lives on one seam)
+    for i in range(len(edges) - 1):
+        lu = int(edges["last_user"].iloc[i])
+        if lu == int(edges["user_id"].iloc[i + 1]):
+            dt = int(edges["bkey_ts"].iloc[i + 1]) - int(edges["last_t"].iloc[i])
+            per_user.loc[lu, "num"] += int(edges["last_c"].iloc[i]) * dt
+
+    out = per_user.reset_index()
+    out = out[out["n"] >= 2]
+    out["twap_den"] = out["tmax"] - out["tmin"]
+    out = out[out["twap_den"] > 0]
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype("int64").to_numpy(),
+            "twap_num": out["num"].astype("int64").to_numpy(),
+            "twap_den": out["twap_den"].astype("int64").to_numpy(),
+            "twap_cents": (out["num"].to_numpy() / out["twap_den"].to_numpy()).astype(
+                "float64"
+            ),
+        }
+    ).sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENTS_TWAP = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(floor(value * 100) AS BIGINT) AS c, event_id
+  FROM events),
+p AS (
+  SELECT user_id, c, t,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS t2
+  FROM e),
+a AS (
+  SELECT user_id,
+         CAST(sum(c * (t2 - t)) AS BIGINT) AS twap_num,
+         CAST(max(t) - min(t) AS BIGINT) AS twap_den,
+         count(*) AS n
+  FROM p GROUP BY 1)
+SELECT user_id, twap_num, twap_den,
+       CAST(twap_num AS DOUBLE) / twap_den AS twap_cents
+FROM a WHERE n >= 2 AND twap_den > 0 ORDER BY user_id
+"""

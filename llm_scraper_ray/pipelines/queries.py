@@ -2259,6 +2259,10 @@ def all_queries():
         "orders_median_by_priority": _tpch.q_orders_median_by_priority,
         # custom-datasource twin: Arrow IPC shards via read_binary_files
         "events_hourly_ipc": q_events_hourly_ipc,
+        # post-crawl host×depth reporting reduction over the lineage dirs
+        "crawl_host_profile": q_crawl_host_profile,
+        # per-user time-weighted average (irregular-series integral)
+        "events_twap": _analytics.q_events_twap,
     }
 
 
@@ -2285,6 +2289,16 @@ def _crawl_oracle_sqls() -> dict[str, str]:
             'SELECT "round", candidates, "unique", seen_dropped, robots, '
             f"selected, deferred FROM read_parquet('{exp}/metrics.parquet') "
             'ORDER BY "round"'
+        ),
+        # host re-derived from canon_url so the engine's carried host
+        # column is cross-checked against the URL canonicalization
+        "crawl_host_profile": (
+            "SELECT split_part(canon_url, '/', 3) AS host, depth, "
+            "CAST(count(*) AS BIGINT) AS n_pages, "
+            "CAST(count(*) FILTER (fetch_status = 'hit') AS BIGINT) AS n_hits, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            f"FROM read_parquet('{exp}/extracted.parquet') "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
     }
 
@@ -2756,6 +2770,7 @@ def all_oracle_sql():
         "orders_winsorized_mean": _tpch.SQL_ORDERS_WINSORIZED_MEAN,
         "events_auc": _analytics.SQL_EVENTS_AUC,
         "orders_median_by_priority": _tpch.SQL_ORDERS_MEDIAN_BY_PRIORITY,
+        "events_twap": _analytics.SQL_EVENTS_TWAP,
     }
 
 # ---------------------------------------------------------------------------
@@ -4946,3 +4961,64 @@ def q_events_hourly_ipc(sf_dir: str) -> pd.DataFrame:
         .sort_values(["event_type", "window_start"])
         .reset_index(drop=True)
     )
+
+
+def q_crawl_host_profile(sf_dir: str) -> pd.DataFrame:
+    """Crawl-derived host×depth profile — a DISTRIBUTED reduction of the
+    crawl output (per (host, depth): pages, hits, extracted chars), the
+    post-crawl reporting pass a production pipeline runs over the lineage
+    directory. Streams the round outputs via `extracted_dataset` (predicate
+    pushdown on hrank, column-pruned read — never the text/link columns)
+    into one bounded-key groupby (host cardinality = site count, not URL
+    count). Oracle: the SAME reduction in SQL over the sequential oracle's
+    expected extracted table, with host re-derived from canon_url — so the
+    engine's carried `host` column is cross-checked against the URL
+    canonicalization."""
+    from .curation import _MASK63, _md5_lower64
+    from .neardup import NUM_BUCKETS
+
+    eng, result = _crawl_for(sf_dir)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(is_hit=(df["fetch_status"] == "hit").astype("int64"))
+        g = (
+            df.groupby(["host", "depth"], sort=False)
+            .agg(
+                n_pages=("host", "size"),
+                n_hits=("is_hit", "sum"),
+                sum_chars=("n_chars", "sum"),
+            )
+            .reset_index()
+        )
+        # deterministic cross-process host hash (python hash() is
+        # PYTHONHASHSEED-randomized per worker — buckets would split)
+        g["bucket"] = (
+            g["host"].map(lambda h: _md5_lower64(h) & _MASK63) % NUM_BUCKETS
+        ).astype("int64")
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # a host is whole within its bucket — exact in-bucket totals,
+        # no global per-host groupby (the 1 ms/key trap at site counts)
+        return (
+            g.groupby(["host", "depth"], sort=False)
+            .agg(
+                n_pages=("n_pages", "sum"),
+                n_hits=("n_hits", "sum"),
+                sum_chars=("sum_chars", "sum"),
+            )
+            .reset_index()
+        )
+
+    out = (
+        result.extracted_dataset(
+            columns=["host", "depth", "fetch_status", "n_chars", "hrank"]
+        )
+        .map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("depth", "n_pages", "n_hits", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["host", "depth"]).reset_index(drop=True)

@@ -96,3 +96,16 @@ def test_events_auc_heavy_ties(ray_session, tmp_path, bs):
     pos = (types == AUC_POS_TYPE).astype(np.int64)
     assert int(out["u2"].iloc[0]) == _ref_auc2(cents, pos)
     assert int(out["n_pos"].iloc[0]) == int(pos.sum())
+
+
+@pytest.mark.parametrize("bs", [65536, 16, 7])
+def test_events_twap_matches_oracle(ray_session, bs):
+    """Seam fixup stressed: at bs=7 nearly every user's run is split."""
+    from llm_scraper_ray.pipelines.analytics import SQL_EVENTS_TWAP, q_events_twap
+
+    out = q_events_twap(SF, batch_size=bs)
+    exp = _oracle("events", SQL_EVENTS_TWAP)
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+    assert len(out) > 0
