@@ -101,7 +101,9 @@ def _run_bench() -> None:
         # rounds look like — the sandbox corpus is 3 orders smaller.
         budget_scale=float(os.environ.get("LLMSR_BENCH_BUDGET_SCALE", "12")),
     )
-    eng.prepare()  # warm actor pools + bucket caches (session setup, untimed)
+    # warm actor pools + bucket caches (session setup, untimed); preloading
+    # a slice larger than an explicit memory cap would only churn the LRU
+    eng.prepare(preload=not os.environ.get("LLMSR_FETCH_CACHE_RGS"))
     t0 = time.time()
     result = eng.run(resume=False)
     crawl_secs = time.time() - t0

@@ -407,6 +407,17 @@ class CrawlEngine:
             cap = (-(-nb // max(1, self.fetch_concurrency)) + 2) * max(
                 4, rgs_per_bucket + 1
             )
+            # LLMSR_FETCH_CACHE_RGS bounds per-actor cache MEMORY when the
+            # corpus outgrows this host (the slice-sized cap above is the
+            # throughput-optimal working set, but at 1.8M pages × few
+            # actors it exceeds RAM — the preload OOM-killed a 16-CPU leg).
+            # Under an explicit cap the engine trades cross-round row-group
+            # re-decompression (width-scaled work, same per URL at every
+            # pool size) for bounded memory — the real-cluster equivalent
+            # is NUM_BUCKETS growing with the corpus.
+            cap_env = os.environ.get("LLMSR_FETCH_CACHE_RGS")
+            if cap_env:
+                cap = min(cap, int(cap_env))
             self._fetch_actors = [
                 cls.remote(
                     pages_dir=self.corpus.pages_dir,

@@ -635,3 +635,92 @@ def bfs_depths(edges: rd.Dataset, rounds: int = BFS_ROUNDS) -> pd.DataFrame:
             f"round budget for this graph's cross-bucket hop diameter"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# link prediction scores (per-EDGE common neighbors + neighbor Jaccard — the
+# graph-similarity class, vs per-vertex enumeration in triangle_counts)
+
+
+def edge_link_scores(edges: rd.Dataset) -> pd.DataFrame:
+    """Canonical undirected edge Dataset (a, b with a < b, distinct, no
+    self-loops) → per edge: endpoint degrees and the common-neighbor count
+    (= triangles THROUGH the edge). Reuses the min-vertex wedge emission
+    (`_tri_seed`/`_tri_wedges` — each triangle closes exactly once), but the
+    close step credits the triangle's three EDGES (pair-hash-bucketed
+    partials) instead of its vertices; degrees fold in node buckets from
+    the both-direction adjacency. Nothing quadratic reaches the driver —
+    the returned frame is edge-level (the operator's own output size)."""
+    state = edges.map_batches(_tri_seed, batch_format="pandas")
+    state = state.groupby("bucket").map_groups(_tri_wedges, batch_format="pandas")
+
+    def close_edges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _tri_empty(("bucket", "a", "b", "part"))
+        ek = g[g["kind"] == _T_EDGE][["a", "b"]]
+        wk = g[g["kind"] == _T_WEDGE]
+        hit = wk.merge(ek, on=["a", "b"], how="inner")
+        if len(hit) == 0:
+            return _tri_empty(("bucket", "a", "b", "part"))
+        u = hit["a"].to_numpy(np.int64)
+        w = hit["b"].to_numpy(np.int64)
+        c = hit["c"].to_numpy(np.int64)
+        ea = np.concatenate([np.minimum(c, u), np.minimum(c, w), u])
+        eb = np.concatenate([np.maximum(c, u), np.maximum(c, w), w])
+        p = (
+            pd.DataFrame({"a": ea, "b": eb})
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "part"})
+        )
+        p["bucket"] = _pair_bucket(p["a"].to_numpy(np.int64), p["b"].to_numpy(np.int64))
+        return p[["bucket", "a", "b", "part"]].astype("int64")
+
+    def fold_edges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _tri_empty(("a", "b", "n_common"))
+        return (
+            g.groupby(["a", "b"], as_index=False)
+            .agg(n_common=("part", "sum"))
+            .astype("int64")
+        )
+
+    common = (
+        state.groupby("bucket")
+        .map_groups(close_edges, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_edges, batch_format="pandas")
+        .to_pandas()
+    )
+
+    def deg_seed(e: pd.DataFrame) -> pd.DataFrame:
+        a = e["a"].to_numpy(np.int64)
+        b = e["b"].to_numpy(np.int64)
+        n = np.concatenate([a, b])
+        p = pd.DataFrame({"node": n}).groupby("node", as_index=False).size()
+        p = p.rename(columns={"size": "part"})
+        p["bucket"] = p["node"] % NUM_BUCKETS
+        return p[["bucket", "node", "part"]].astype("int64")
+
+    def deg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _tri_empty(("node", "d"))
+        return g.groupby("node", as_index=False).agg(d=("part", "sum")).astype("int64")
+
+    deg = (
+        edges.map_batches(deg_seed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(deg_fold, batch_format="pandas")
+        .to_pandas()
+        .set_index("node")["d"]
+    )
+
+    out = edges.to_pandas()
+    out["deg_a"] = out["a"].map(deg).astype("int64")
+    out["deg_b"] = out["b"].map(deg).astype("int64")
+    if len(common):
+        out = out.merge(common, on=["a", "b"], how="left")
+        out["n_common"] = out["n_common"].fillna(0).astype("int64")
+    else:
+        out["n_common"] = np.int64(0)
+    return out

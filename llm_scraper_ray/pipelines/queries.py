@@ -2263,6 +2263,8 @@ def all_queries():
         "crawl_host_profile": q_crawl_host_profile,
         # per-user time-weighted average (irregular-series integral)
         "events_twap": _analytics.q_events_twap,
+        # graph link prediction: per-edge common neighbors + Jaccard
+        "kg_link_scores": q_kg_link_scores,
     }
 
 
@@ -2437,6 +2439,52 @@ WITH dedup AS (
 SELECT n.node_type, n.node_key, CAST(coalesce(tc.c, 0) AS BIGINT) AS n_triangles
 FROM nodes n LEFT JOIN tc ON tc.h = n.h
 ORDER BY node_type, node_key
+""",
+        "kg_link_scores": f"""
+WITH dedup AS (
+  SELECT subj_type, subj_name, obj_type, obj_name
+  FROM read_parquet('{path}') GROUP BY {key}
+), hashed AS (
+  SELECT subj_type, {gk('subj_name')} AS subj_key,
+         obj_type, {gk('obj_name')} AS obj_key FROM dedup
+), he AS (
+  SELECT
+    CAST(md5_number_lower(subj_type || '|' || subj_key)
+         % 9223372036854775808 AS BIGINT) AS a,
+    CAST(md5_number_lower(obj_type || '|' || obj_key)
+         % 9223372036854775808 AS BIGINT) AS b,
+    subj_type, subj_key, obj_type, obj_key
+  FROM hashed
+), nodes AS (
+  SELECT subj_type AS node_type, subj_key AS node_key, a AS h FROM he
+  UNION
+  SELECT obj_type, obj_key, b FROM he
+), e0 AS (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y FROM he WHERE a <> b
+), adj AS (
+  SELECT x AS n, y AS p FROM e0 UNION ALL SELECT y, x FROM e0
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n
+), cn AS (
+  SELECT e.x, e.y, CAST(count(*) AS BIGINT) AS c
+  FROM e0 e
+  JOIN adj a1 ON a1.n = e.x
+  JOIN adj a2 ON a2.n = e.y AND a2.p = a1.p
+  GROUP BY e.x, e.y
+)
+SELECT na.node_type AS a_type, na.node_key AS a_key,
+       nb.node_type AS b_type, nb.node_key AS b_key,
+       da.d AS deg_a, db.d AS deg_b,
+       CAST(coalesce(cn.c, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(cn.c, 0) AS DOUBLE)
+         / (da.d + db.d - coalesce(cn.c, 0)) AS jaccard
+FROM e0
+JOIN nodes na ON na.h = e0.x
+JOIN nodes nb ON nb.h = e0.y
+JOIN deg da ON da.n = e0.x
+JOIN deg db ON db.n = e0.y
+LEFT JOIN cn ON cn.x = e0.x AND cn.y = e0.y
+ORDER BY a_type, a_key, b_type, b_key
 """,
         "kg_bfs_depths": f"""
 WITH RECURSIVE dedup AS (
@@ -5022,3 +5070,61 @@ def q_crawl_host_profile(sf_dir: str) -> pd.DataFrame:
     for c in ("depth", "n_pages", "n_hits", "sum_chars"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["host", "depth"]).reset_index(drop=True)
+
+
+def q_kg_link_scores(sf_dir: str) -> pd.DataFrame:
+    """Link-prediction scores over the knowledge graph (the
+    graph-SIMILARITY class, vs enumeration/propagation/peeling): per
+    existing edge, the endpoint degrees, the common-neighbor count
+    (= triangles through the edge, closed once via the min-vertex wedge
+    machinery with a per-EDGE credit step — `graph.edge_link_scores`) and
+    the neighbor-Jaccard c/(deg_a+deg_b−c), the single terminal division.
+    All decided quantities are integer counts; oracle = the identical
+    definition as a DuckDB self-join over the sequential oracle's expected
+    triplets with the same node hash."""
+    from ..functions.textnorm import graph_key
+    from .graph import edge_link_scores
+
+    tri = _deduped_triplets_df(sf_dir)
+    cols = [
+        "a_type", "a_key", "b_type", "b_key",
+        "deg_a", "deg_b", "n_common", "jaccard",
+    ]
+    if len(tri) == 0:
+        return pd.DataFrame(columns=cols)
+    ha = _kg_node_hash(tri["subj_type"], tri["subj_name"])
+    hb = _kg_node_hash(tri["obj_type"], tri["obj_name"])
+    lo, hi = np.minimum(ha, hb), np.maximum(ha, hb)
+    edges = (
+        pd.DataFrame({"a": lo, "b": hi})
+        .query("a != b")
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    scored = edge_link_scores(rd.from_pandas(edges))
+    nodes = (
+        pd.DataFrame(
+            {
+                "node_type": pd.concat([tri["subj_type"], tri["obj_type"]]),
+                "node_key": pd.concat(
+                    [tri["subj_name"].map(graph_key), tri["obj_name"].map(graph_key)]
+                ),
+                "h": np.concatenate([ha, hb]),
+            }
+        )
+        .drop_duplicates("h")
+        .set_index("h")
+    )
+    scored["a_type"] = scored["a"].map(nodes["node_type"])
+    scored["a_key"] = scored["a"].map(nodes["node_key"])
+    scored["b_type"] = scored["b"].map(nodes["node_type"])
+    scored["b_key"] = scored["b"].map(nodes["node_key"])
+    scored["jaccard"] = scored["n_common"].to_numpy() / (
+        scored["deg_a"].to_numpy() + scored["deg_b"].to_numpy()
+        - scored["n_common"].to_numpy()
+    )
+    return (
+        scored[cols]
+        .sort_values(["a_type", "a_key", "b_type", "b_key"])
+        .reset_index(drop=True)
+    )
