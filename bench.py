@@ -112,7 +112,9 @@ def _run_bench() -> None:
 
     # query suite (each timed individually; skipped in scaling child runs)
     qsecs: dict[str, float] = {}
-    skip = {"crawl_extracted", "crawl_order", "crawl_metrics"}  # timed above
+    # crawl core timed above as the headline; host_profile rides the same
+    # crawl (it would otherwise re-run one inside the suite)
+    skip = {"crawl_extracted", "crawl_order", "crawl_metrics", "crawl_host_profile"}
     if os.environ.get("LLMSR_BENCH_CRAWL_ONLY"):
         skip = set(all_queries())
     for name, fn in all_queries().items():
