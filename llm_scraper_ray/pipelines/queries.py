@@ -2265,6 +2265,8 @@ def all_queries():
         "events_twap": _analytics.q_events_twap,
         # graph link prediction: per-edge common neighbors + Jaccard
         "kg_link_scores": q_kg_link_scores,
+        # exact Gini coefficient on the rank-weighted prefix scan
+        "orders_gini": _tpch.q_orders_gini,
     }
 
 
@@ -2819,6 +2821,7 @@ def all_oracle_sql():
         "events_auc": _analytics.SQL_EVENTS_AUC,
         "orders_median_by_priority": _tpch.SQL_ORDERS_MEDIAN_BY_PRIORITY,
         "events_twap": _analytics.SQL_EVENTS_TWAP,
+        "orders_gini": _tpch.SQL_ORDERS_GINI,
     }
 
 # ---------------------------------------------------------------------------

@@ -1439,3 +1439,84 @@ SELECT o_orderpriority,
          AS median_cents
 FROM orders GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient: exact inequality statistic on the prefix-sum scan
+
+
+def q_orders_gini(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
+    """EXACT Gini coefficient of order prices —
+    G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the globally sorted values.
+    One sort by cents; each batch emits ONE partial row (count, sum, and
+    its LOCAL rank-weighted sum Σ j·xⱼ, j = in-batch 1-based rank — bounded
+    by batch_size·max_cents·batch_size, inside int64); the driver folds
+    with PYTHON ints (the global Σ i·x = Σ_b [offset_b·S_b + L_b] exceeds
+    int64 at corpus scale — the overflow-safe epilogue pattern, cf.
+    doc_ks_distance). Tie order cannot matter (equal x ⇒ identical
+    contribution under any permutation), so the engine's batch order and
+    DuckDB's row_number agree by construction. Emitted: exact integer
+    numerator/denominator + the single terminal division."""
+    cents = _orders_cents(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        j = np.arange(1, len(c) + 1, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "first_val": pa.array([int(c[0])], pa.int64()),
+                "last_val": pa.array([int(c[-1])], pa.int64()),
+                "n": pa.array([len(c)], pa.int64()),
+                "s": pa.array([int(c.sum())], pa.int64()),
+                "l": pa.array([int((j * c).sum())], pa.int64()),
+            }
+        )
+
+    # batches are contiguous intervals of the sorted stream, so positional
+    # order is recovered by (first_val, last_val): for intervals I before J,
+    # max(I) ≤ min(J); identical (first, last) ⇒ both all-one-value, where
+    # order cannot matter. A single-column sort key has no row tiebreaker —
+    # first_val alone would misorder a [v,v] block after a [v,w] block.
+    parts = (
+        cents.sort("cents")
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()
+        .sort_values(["first_val", "last_val"], kind="stable")
+        .reset_index(drop=True)
+    )
+    # fold in python ints (arbitrary precision): offsets are the prefix
+    # row counts in value order; equal-value batches may interleave at
+    # their seam, but tie permutations leave Σ i·x unchanged
+    w = 0
+    off = 0
+    for r in parts.itertuples(index=False):
+        w += off * int(r.s) + int(r.l)
+        off += int(r.n)
+    n = int(parts["n"].sum())
+    s = int(parts["s"].sum())
+    num = 2 * w - (n + 1) * s
+    den = n * s
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "sum_cents": pd.Series([s], dtype="int64"),
+            "gini_num": pd.Series([num], dtype="int64"),
+            "gini_den": pd.Series([den], dtype="int64"),
+            "gini": pd.Series([num / den], dtype="float64"),
+        }
+    )
+
+
+SQL_ORDERS_GINI = """
+WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(rn * cents) AS BIGINT) AS w FROM r)
+SELECT n, s AS sum_cents,
+       CAST(2 * w - (n + 1) * s AS BIGINT) AS gini_num,
+       CAST(n * s AS BIGINT) AS gini_den,
+       CAST(2 * w - (n + 1) * s AS DOUBLE) / (n * s) AS gini
+FROM t
+"""

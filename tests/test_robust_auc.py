@@ -109,3 +109,34 @@ def test_events_twap_matches_oracle(ray_session, bs):
         out[sorted(out.columns)], exp[sorted(exp.columns)], check_dtype=False
     )
     assert len(out) > 0
+
+
+@pytest.mark.parametrize("bs", [65536, 16, 7])
+def test_orders_gini_matches_oracle(ray_session, bs):
+    from llm_scraper_ray.pipelines.tpch import SQL_ORDERS_GINI, q_orders_gini
+
+    out = q_orders_gini(SF, batch_size=bs)
+    exp = _oracle("orders", SQL_ORDERS_GINI)
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+
+
+@pytest.mark.parametrize("bs", [7, 16])
+def test_orders_gini_heavy_ties(ray_session, tmp_path, bs):
+    """3-value domain at tiny batches: tie blocks span many batch seams,
+    and all-one-value batches force the (first_val, last_val) positional
+    ordering (first_val alone would misorder [v,v] after [v,w])."""
+    from llm_scraper_ray.pipelines.tpch import q_orders_gini
+
+    rng = np.random.default_rng(7)
+    n = 500
+    vals = rng.choice([10.0, 20.0, 30.0], size=n)
+    tab = pa.Table.from_pydict({"o_totalprice": pa.array(vals, pa.float64())})
+    pq.write_table(tab, os.path.join(tmp_path, "orders.parquet"))
+    out = q_orders_gini(str(tmp_path), batch_size=bs)
+    c = np.sort(np.floor(vals * 100.0).astype(np.int64))
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = 2 * int((i * c).sum()) - (n + 1) * int(c.sum())
+    assert int(out["gini_num"].iloc[0]) == num
+    assert int(out["gini_den"].iloc[0]) == n * int(c.sum())
