@@ -386,3 +386,58 @@ SELECT * FROM (
   FROM documents WHERE text IS NULL OR length(text) = 0
 ) ORDER BY check_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (forensic data-quality class)
+
+
+def q_orders_benford(sf_dir: str) -> pd.DataFrame:
+    """First-significant-digit distribution of order prices — the Benford
+    forensic audit a data-quality pass runs over money columns. The digit
+    is extracted by pure integer division (log10-free: 18 vectorized
+    halving-by-10 passes — float log10 misreads exact powers of ten), each
+    batch pre-folds its 9-bin counts into ONE packed row, and the driver
+    sums #batches rows. Counts are exact integers; the per-digit share is
+    the single terminal division both engines perform identically (the
+    Benford expectation log10(1+1/d) is irrational and therefore NOT
+    emitted — a consumer compares shares downstream)."""
+    base = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        d = c[c > 0]
+        for _ in range(18):
+            d = np.where(d >= 10, d // 10, d)
+        counts = np.bincount(d, minlength=10)[1:10].astype(np.int64)
+        return pa.Table.from_pydict({"blob": pa.array([counts.tobytes()], pa.binary())})
+
+    parts = base.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = np.zeros(9, np.int64)
+    for b in parts["blob"]:
+        total += np.frombuffer(b, np.int64)
+    n = int(total.sum())
+    return pd.DataFrame(
+        {
+            "digit": pd.Series(np.arange(1, 10), dtype="int64"),
+            "n": pd.Series(total, dtype="int64"),
+            "share": pd.Series(total / n, dtype="float64"),
+        }
+    )
+
+
+SQL_ORDERS_BENFORD = """
+WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE floor(o_totalprice * 100) > 0),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM c),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+SELECT g.digit, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+       CAST(coalesce(cnt.n, 0) AS DOUBLE) / t.total AS share
+FROM (SELECT unnest(generate_series(1, 9)) AS digit) g
+LEFT JOIN (SELECT digit, count(*) AS n FROM d GROUP BY 1) cnt
+  ON cnt.digit = g.digit, t
+ORDER BY g.digit
+"""

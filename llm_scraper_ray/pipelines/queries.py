@@ -2267,6 +2267,8 @@ def all_queries():
         "kg_link_scores": q_kg_link_scores,
         # exact Gini coefficient on the rank-weighted prefix scan
         "orders_gini": _tpch.q_orders_gini,
+        # Benford first-digit forensic audit (packed 9-bin batch folds)
+        "orders_benford": _linkage.q_orders_benford,
     }
 
 
@@ -2822,6 +2824,7 @@ def all_oracle_sql():
         "orders_median_by_priority": _tpch.SQL_ORDERS_MEDIAN_BY_PRIORITY,
         "events_twap": _analytics.SQL_EVENTS_TWAP,
         "orders_gini": _tpch.SQL_ORDERS_GINI,
+        "orders_benford": _linkage.SQL_ORDERS_BENFORD,
     }
 
 # ---------------------------------------------------------------------------
