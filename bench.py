@@ -256,9 +256,26 @@ def _run_scaling() -> None:
     # width) plus the 32-CPU run's 3x higher steal exposure dominate;
     # at production round sizes (10^8 rows vs 10^5 here) those amortize.
     # All pairs are reported — see BASELINE.md for the full analysis.
-    report["value"] = report.get(
-        "hybrid_4_16", report.get("distributed_4_16", 0.0)
-    )
+    pairs = [
+        report[k]
+        for k in ("hybrid_4_16", "distributed_4_16", "hybrid_8_32", "distributed_8_32")
+        if k in report
+    ]
+    if pairs:
+        report["value"] = pairs[0]
+    else:
+        # no N→4N pair was measured under the restricted LEVELS/PLANES:
+        # fall back to the widest available min→max ratio rather than
+        # emitting a misleading 0.0 headline
+        for plane in ("hybrid", "distributed"):
+            if plane in report and len(report[plane]) >= 2:
+                ks = sorted(int(k) for k in report[plane])
+                lo, hi = ks[0], ks[-1]
+                report["value"] = eff(
+                    report[plane][str(lo)], report[plane][str(hi)], hi / lo
+                )
+                report["value_pair"] = f"{plane}_{lo}_{hi}"
+                break
     report["cpus_lo"], report["cpus_hi"] = min(levels), max(levels)
     print(json.dumps(report))
     shutil.rmtree(run_base, ignore_errors=True)  # free the tmpfs lineage

@@ -6025,10 +6025,14 @@ def q_events_twap(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
         # per-user within-batch partials (batch-local pandas groupby —
         # bounded by the batch's own user count, not global cardinality)
         g = pd.DataFrame(
-            {"user_id": u, "num": np.concatenate((contrib, [0])), "t": t}
+            {"user_id": u, "num": np.concatenate((contrib, [0])), "t": t, "cabs": np.abs(c)}
         ).groupby("user_id", sort=False)
         part = g.agg(
-            num=("num", "sum"), tmin=("t", "min"), tmax=("t", "max"), n=("t", "size")
+            num=("num", "sum"),
+            tmin=("t", "min"),
+            tmax=("t", "max"),
+            n=("t", "size"),
+            cmax=("cabs", "max"),
         ).reset_index()
         part["kind"] = "part"
         eid = df["event_id"].to_numpy()
@@ -6039,6 +6043,7 @@ def q_events_twap(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
                 "tmin": [int(t[0])],
                 "tmax": [int(t[-1])],
                 "n": [0],
+                "cmax": [0],
                 "kind": ["edge"],
                 "last_user": [int(u[-1])],
                 "last_t": [int(t[-1])],
@@ -6063,7 +6068,11 @@ def q_events_twap(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("user_id", sort=False).agg(
-            num=("num", "sum"), tmin=("tmin", "min"), tmax=("tmax", "max"), n=("n", "sum")
+            num=("num", "sum"),
+            tmin=("tmin", "min"),
+            tmax=("tmax", "max"),
+            n=("n", "sum"),
+            cmax=("cmax", "max"),
         )
         return s.reset_index()
 
@@ -6081,8 +6090,26 @@ def q_events_twap(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
         .to_pandas()
     )
     per_user = parts.groupby("user_id").agg(
-        num=("num", "sum"), tmin=("tmin", "min"), tmax=("tmax", "max"), n=("n", "sum")
+        num=("num", "sum"),
+        tmin=("tmin", "min"),
+        tmax=("tmax", "max"),
+        n=("n", "sum"),
+        cmax=("cmax", "max"),
     )
+    # loud overflow guard (silent int64 wrap would drift vs the oracle's
+    # HUGEINT-sums-then-BIGINT-cast-errors behavior): every intermediate
+    # partial sum of a user's numerator is bounded by Σ|cᵢ|·Δtᵢ ≤
+    # max|c| · (tmax − tmin), so this bound certifies the whole fold
+    bad = per_user[
+        per_user["cmax"].astype(object) * (per_user["tmax"] - per_user["tmin"]).astype(object)
+        >= 2**63
+    ]
+    if len(bad):
+        raise OverflowError(
+            "events_twap: int64 numerator bound exceeded for users "
+            f"{bad.index.tolist()[:5]} (max_cents × span_µs ≥ 2^63); "
+            "re-run with a coarser time unit or a python-int fold"
+        )
 
     edges = (
         rows.map_batches(lambda df: df[df["kind"] == "edge"], batch_format="pandas")

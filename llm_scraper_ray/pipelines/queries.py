@@ -2014,16 +2014,63 @@ FROM documents ORDER BY sk LIMIT 50
 
 def all_queries():
     """Registration order matters: the driver checks the FIRST 50 entries.
-    Round 4 rotates the window (VERDICT r3 #2) — slots 1-50 are the crawl
-    core, the two round-3 red rows (fixed), and 45 queries that had never
-    produced a CORRECTNESS row (curation / statistics / graph / windowing);
-    the 47 queries green in CORRECTNESS_r03 moved below the window."""
+    Round 5 rotates the window again (VERDICT r4 #1): slots 1-5 keep the
+    crawl core + the two former red rows as regression canaries; slots 6-50
+    are 45 queries that had never produced a CORRECTNESS row (events
+    windowing / orders robust-stats / media / graph / vocab families).
+    Everything green in CORRECTNESS_r04 moved below the window."""
     return {
         "crawl_extracted": q_crawl_extracted,
         "crawl_order": q_crawl_order,
         "crawl_metrics": q_crawl_metrics,
         "doc_quality_full_sql": q_doc_quality_full_sql,
         "embedding_knn_eval": q_embedding_knn_eval,
+        "crawl_host_profile": q_crawl_host_profile,
+        "events_window_count": _analytics.q_events_window_count,
+        "events_topk_per_user": _analytics.q_events_topk_per_user,
+        "events_sliding": _analytics.q_events_sliding,
+        "events_retention": _analytics.q_events_retention,
+        "events_outliers": _analytics.q_events_outliers,
+        "events_hourly_users": _analytics.q_events_hourly_users,
+        "events_moving_avg": _analytics.q_events_moving_avg,
+        "events_pivot": _analytics.q_events_pivot,
+        "events_transitions": _analytics.q_events_transitions,
+        "events_user_sets": _analytics.q_events_user_sets,
+        "events_chi_square": _curation.q_events_chi_square,
+        "events_seasonal_anomaly": _analytics.q_events_seasonal_anomaly,
+        "events_journeys": _analytics.q_events_journeys,
+        "events_rfm_segments": _analytics.q_events_rfm_segments,
+        "events_cdc_upsert": _analytics.q_events_cdc_upsert,
+        "events_rate_limit": _analytics.q_events_rate_limit,
+        "events_band_join": _analytics.q_events_band_join,
+        "events_attribution": _analytics.q_events_attribution,
+        "events_funnel_windowed": _analytics.q_events_funnel_windowed,
+        "events_scd_intervals": _analytics.q_events_scd_intervals,
+        "events_pattern_match": _analytics.q_events_pattern_match,
+        "events_running_clamp": _analytics.q_events_running_clamp,
+        "events_twap": _analytics.q_events_twap,
+        "events_auc": _analytics.q_events_auc,
+        "events_value_mad": _analytics.q_events_value_mad,
+        "orders_cube": _analytics.q_orders_cube,
+        "orders_rollup": _analytics.q_orders_rollup,
+        "orders_pareto": _analytics.q_orders_pareto,
+        "orders_monthly_locf": _analytics.q_orders_monthly_locf,
+        "orders_diversified_topk": _analytics.q_orders_diversified_topk,
+        "orders_skyline": _analytics.q_orders_skyline,
+        "orders_snapshot_diff": _analytics.q_orders_snapshot_diff,
+        "orders_golden_record": _analytics.q_orders_golden_record,
+        "orders_view_maintenance": _analytics.q_orders_view_maintenance,
+        "orders_exact_median": _tpch.q_orders_exact_median,
+        "orders_winsorized_mean": _tpch.q_orders_winsorized_mean,
+        "orders_median_by_priority": _tpch.q_orders_median_by_priority,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
+        "media_exact_dedup": q_media_exact_dedup,
+        "media_phash_dups": q_media_phash_dups,
+        "kg_bfs_depths": q_kg_bfs_depths,
+        "vocab_heavy_hitters": _curation.q_vocab_heavy_hitters,
+        "doc_bpe_encode": _curation.q_doc_bpe_encode,
+        # --- end of the round-5 driver-checked window (50 entries) ---
         "extract_cascade": q_extract_cascade,
         "judge_panel": q_judge_panel,
         "triplet_validation_text": q_triplet_validation_text,
@@ -2040,10 +2087,8 @@ def all_queries():
         "kg_kcore": q_kg_kcore,
         "doc_dedup_clusters": _curation.q_doc_dedup_clusters,
         "doc_dedup_corpus": _curation.q_doc_dedup_corpus,
-        # incremental ingestion dedup + dup-family telemetry (round 4)
         "doc_incremental_dedup": _curation.q_doc_incremental_dedup,
         "doc_dup_cluster_sizes": _curation.q_doc_dup_cluster_sizes,
-        # iterative BPE merge-table induction (tokenizer training)
         "vocab_bpe_train": _curation.q_vocab_bpe_train,
         "curation_pipeline": q_curation_pipeline,
         "doc_decontaminate": _curation.q_doc_decontaminate,
@@ -2071,10 +2116,6 @@ def all_queries():
         "events_funnel": _analytics.q_events_funnel,
         "events_range_join": _analytics.q_events_range_join,
         "events_debounce": _analytics.q_events_debounce,
-        # --- end of the round-4 driver-checked window (50 entries) ---
-        "events_window_count": _analytics.q_events_window_count,
-        "orders_cube": _analytics.q_orders_cube,
-        "events_retention": _analytics.q_events_retention,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2090,7 +2131,6 @@ def all_queries():
         "events_hourly": q_events_hourly,
         "events_hourly_json": q_events_hourly_json,
         "events_hourly_csv": q_events_hourly_csv,
-        # LSH candidate-set precision/recall vs the exact pair truth
         "neardup_eval": q_neardup_eval,
         "session_windows": q_session_windows,
         "events_lag": q_events_lag,
@@ -2132,102 +2172,32 @@ def all_queries():
         "embedding_topk_pq": q_embedding_topk_pq,
         "event_props_numbers": q_event_props_numbers,
         "order_price_strings": q_order_price_strings,
-        "events_chi_square": _curation.q_events_chi_square,
-        "events_topk_per_user": _analytics.q_events_topk_per_user,
-        "events_sliding": _analytics.q_events_sliding,
         "events_distinct_users": _analytics.q_events_distinct_users,
         "events_distinct_hll": _analytics.q_events_distinct_hll,
-        "orders_rollup": _analytics.q_orders_rollup,
-        "events_outliers": _analytics.q_events_outliers,
-        "events_hourly_users": _analytics.q_events_hourly_users,
-        "events_moving_avg": _analytics.q_events_moving_avg,
         "orders_cust_distribution": _analytics.q_orders_cust_distribution,
         "events_value_histogram": _analytics.q_events_value_histogram,
-        "events_pivot": _analytics.q_events_pivot,
-        "events_transitions": _analytics.q_events_transitions,
-        "events_user_sets": _analytics.q_events_user_sets,
         "lineitem_corr": _analytics.q_lineitem_corr,
         "orders_open_by_month": _analytics.q_orders_open_by_month,
         "nation_segments": _analytics.q_nation_segments,
         "users_week_delta": _analytics.q_users_week_delta,
-        "orders_pareto": _analytics.q_orders_pareto,
-        "events_seasonal_anomaly": _analytics.q_events_seasonal_anomaly,
-        "events_journeys": _analytics.q_events_journeys,
-        "orders_monthly_locf": _analytics.q_orders_monthly_locf,
-        "events_rfm_segments": _analytics.q_events_rfm_segments,
-        "orders_diversified_topk": _analytics.q_orders_diversified_topk,
         "event_value_quantiles": _analytics.q_event_value_quantiles_by_type,
-        # tokenizer application: encode the corpus with the trained merges
-        "doc_bpe_encode": _curation.q_doc_bpe_encode,
-        # real multimodal transforms over the decodable containers
-        "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
-        # positional phrase search + mergeable-sketch heavy hitters
         "doc_phrase_search": _curation.q_doc_phrase_search,
-        "vocab_heavy_hitters": _curation.q_vocab_heavy_hitters,
-        # min-plus propagation over the knowledge graph
-        "kg_bfs_depths": q_kg_bfs_depths,
-        # PPJoin-style prefix-filtered set-similarity join (same exact
-        # pair set as ngram_jaccard_pairs via a different candidate plan)
         "ngram_prefix_pairs": q_ngram_prefix_pairs,
-        # CDC / MERGE: latest-wins change-stream materialization w/ deletes
-        "events_cdc_upsert": _analytics.q_events_cdc_upsert,
-        # a-priori pruned frequent 2-itemset co-occurrence mining
         "word_cooccurrence": _curation.q_word_cooccurrence,
-        # dedup-aware split: near-dup clusters never straddle train/test
         "doc_split_leakage_safe": _curation.q_doc_split_leakage_safe,
-        # multi-dimensional Pareto frontier (mergeable local-skyline cut)
-        "orders_skyline": _analytics.q_orders_skyline,
-        # distributed grouped-scan family (partitioned row_number, one sort,
-        # O(#batches) carry chain): stratified sampling, per-user quota,
-        # deterministic weighted data-mixing order
         "doc_stratified_sample": _curation.q_doc_stratified_sample,
-        "events_rate_limit": _analytics.q_events_rate_limit,
         "doc_mixture_order": _curation.q_doc_mixture_order,
-        # Q21-shape decorrelated multi-EXISTS self-join (one co-located pass)
         "lineitem_lone_return_supplier": _analytics.q_lineitem_lone_return_supplier,
-        # keyed two-snapshot diff: added / removed / changed classification
-        "orders_snapshot_diff": _analytics.q_orders_snapshot_diff,
-        # per-column dataset profile (exact bucketed distinct, min/max, nulls)
         "events_profile": _analytics.q_events_profile,
-        # two-table strict-asof last-touch attribution with channel rollup
-        "events_attribution": _analytics.q_events_attribution,
-        # non-equi band self-join via neighbor-bucket blocking
-        "events_band_join": _analytics.q_events_band_join,
-        # binary content-hash dedup over the simulated media asset library
-        "media_exact_dedup": q_media_exact_dedup,
-        # Q17-shape correlated small-quantity revenue (exact-integer decide)
         "lineitem_small_qty_revenue": _analytics.q_lineitem_small_qty_revenue,
-        # per-part argmin join (Q2's min-supplycost shape, mergeable cut)
         "part_cheapest_supplier": _analytics.q_part_cheapest_supplier,
-        # order-independent partition checksum audit (mergeable sum/xor)
         "orders_partition_checksum": _analytics.q_orders_partition_checksum,
-        # one-pass K-scenario what-if sweep (rows x scenarios broadcast)
         "orders_discount_scenarios": _analytics.q_orders_discount_scenarios,
-        # sorted-neighborhood ER blocking + exact edit-distance verify
         "part_name_snm_pairs": _analytics.q_part_name_snm_pairs,
-        # grouped mode (argmax over counted categories, deterministic ties)
         "customer_mode_segment": _analytics.q_customer_mode_segment,
-        # ordered time-window conversion funnel (per-user anchor chaining;
-        # distinct from events_funnel's un-windowed ordered-subsequence op)
-        "events_funnel_windowed": _analytics.q_events_funnel_windowed,
-        # SCD2 validity-interval reconstruction (run collapse + LEAD)
-        "events_scd_intervals": _analytics.q_events_scd_intervals,
-        # 3-way golden-record merge: field-wise majority vote
-        "orders_golden_record": _analytics.q_orders_golden_record,
-        # incremental materialized-view maintenance (delta merge == recompute)
-        "orders_view_maintenance": _analytics.q_orders_view_maintenance,
-        # MATCH_RECOGNIZE-class sequence-pattern match over user streams
-        "events_pattern_match": _analytics.q_events_pattern_match,
-        # per-dimension embedding feature stats (exact quantized moments)
         "embedding_dim_stats": _analytics.q_embedding_dim_stats,
-        # hashing-trick text vectorization (md5 feature index both engines)
         "doc_feature_hash": _curation.q_doc_feature_hash,
-        # Z-order clustering layout with per-file pruning statistics
         "orders_zorder_layout": _analytics.q_orders_zorder_layout,
-        # clamped running balance via the min-scan closed form
-        "events_running_clamp": _analytics.q_events_running_clamp,
-        # TPC-H-shaped relational classes (pipelines/tpch.py)
         "q7_nation_volume": _tpch.q_q7_nation_volume,
         "q8_market_share": _tpch.q_q8_market_share,
         "q9_product_profit": _tpch.q_q9_product_profit,
@@ -2240,34 +2210,13 @@ def all_queries():
         "q19_disjunctive_revenue": _tpch.q_q19_disjunctive_revenue,
         "supplier_part_share": _tpch.q_supplier_part_share,
         "missed_opportunities": _tpch.q_missed_opportunities,
-        # record linkage / data quality (pipelines/linkage.py)
         "customer_name_ed1_pairs": _linkage.q_customer_name_ed1_pairs,
         "events_activity_bitmap": _linkage.q_events_activity_bitmap,
         "referential_integrity_audit": _linkage.q_referential_integrity_audit,
-        # exact two-sample KS drift test between source length distributions
         "doc_ks_distance": _curation.q_doc_ks_distance,
-        # exact distributed median via iterative histogram refinement
-        "orders_exact_median": _tpch.q_orders_exact_median,
-        # robust statistics on the selection machinery
-        "events_value_mad": _analytics.q_events_value_mad,
-        "orders_winsorized_mean": _tpch.q_orders_winsorized_mean,
-        # exact integer Mann-Whitney ROC-AUC
-        "events_auc": _analytics.q_events_auc,
-        # perceptual-hash image near-dup pairs (multi-index hamming join)
-        "media_phash_dups": q_media_phash_dups,
-        # grouped exact median: G simultaneous selection refinements
-        "orders_median_by_priority": _tpch.q_orders_median_by_priority,
-        # custom-datasource twin: Arrow IPC shards via read_binary_files
         "events_hourly_ipc": q_events_hourly_ipc,
-        # post-crawl host×depth reporting reduction over the lineage dirs
-        "crawl_host_profile": q_crawl_host_profile,
-        # per-user time-weighted average (irregular-series integral)
-        "events_twap": _analytics.q_events_twap,
-        # graph link prediction: per-edge common neighbors + Jaccard
         "kg_link_scores": q_kg_link_scores,
-        # exact Gini coefficient on the rank-weighted prefix scan
         "orders_gini": _tpch.q_orders_gini,
-        # Benford first-digit forensic audit (packed 9-bin batch folds)
         "orders_benford": _linkage.q_orders_benford,
     }
 
@@ -4742,6 +4691,23 @@ ORDER BY query_id
 """
 
 
+def _source_fingerprint(src: str) -> str:
+    """Content fingerprint for the source-format twin export caches: size +
+    head/tail bytes of the parquet (covers footer metadata, so a regenerated
+    table with an unchanged row count still invalidates — ADVICE r4)."""
+    import hashlib
+
+    size = os.path.getsize(src)
+    h = hashlib.md5()
+    h.update(str(size).encode())
+    with open(src, "rb") as f:
+        h.update(f.read(65536))
+        if size > 131072:
+            f.seek(-65536, 2)
+            h.update(f.read(65536))
+    return h.hexdigest()[:10]
+
+
 def q_events_hourly_json(sf_dir: str) -> pd.DataFrame:
     """Source-format breadth: the SAME tumbling-window aggregate as
     ``events_hourly``, but read through ``ray.data.read_json`` from a
@@ -4757,7 +4723,7 @@ def q_events_hourly_json(sf_dir: str) -> pd.DataFrame:
     os.makedirs(base, exist_ok=True)
     src = os.path.join(sf_dir, "events.parquet")
     n_rows = _pq.read_metadata(src).num_rows
-    path = os.path.join(base, f"events-{tag}-n{n_rows}.jsonl")
+    path = os.path.join(base, f"events-{tag}-n{n_rows}-{_source_fingerprint(src)}.jsonl")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         _duck.sql(
@@ -4807,7 +4773,7 @@ def q_events_hourly_csv(sf_dir: str) -> pd.DataFrame:
     os.makedirs(base, exist_ok=True)
     src = os.path.join(sf_dir, "events.parquet")
     n_rows = _pq.read_metadata(src).num_rows
-    path = os.path.join(base, f"events-{tag}-n{n_rows}.csv")
+    path = os.path.join(base, f"events-{tag}-n{n_rows}-{_source_fingerprint(src)}.csv")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         _duck.sql(
@@ -4973,7 +4939,7 @@ def q_events_hourly_ipc(sf_dir: str) -> pd.DataFrame:
     base = os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache")
     src = os.path.join(sf_dir, "events.parquet")
     n_rows = _pq.read_metadata(src).num_rows
-    ipc_dir = os.path.join(base, f"events-ipc-{tag}-n{n_rows}")
+    ipc_dir = os.path.join(base, f"events-ipc-{tag}-n{n_rows}-{_source_fingerprint(src)}")
     if not os.path.isdir(ipc_dir):
         tmp = ipc_dir + ".tmp"
         os.makedirs(tmp, exist_ok=True)

@@ -1489,19 +1489,24 @@ def q_orders_gini(sf_dir: str, batch_size: int = 65536) -> pd.DataFrame:
     # their seam, but tie permutations leave Σ i·x unchanged
     w = 0
     off = 0
+    n = 0
+    s = 0
     for r in parts.itertuples(index=False):
         w += off * int(r.s) + int(r.l)
         off += int(r.n)
-    n = int(parts["n"].sum())
-    s = int(parts["s"].sum())
+        n += int(r.n)
+        s += int(r.s)
     num = 2 * w - (n + 1) * s
     den = n * s
+    # num/den exceed int64 at corpus scale (den = n·s wraps around TPC-H
+    # sf1 magnitudes) — emit exact decimal STRINGS so the arbitrary-
+    # precision contract survives; DuckDB mirrors with HUGEINT → VARCHAR
     return pd.DataFrame(
         {
             "n": pd.Series([n], dtype="int64"),
             "sum_cents": pd.Series([s], dtype="int64"),
-            "gini_num": pd.Series([num], dtype="int64"),
-            "gini_den": pd.Series([den], dtype="int64"),
+            "gini_num": pd.Series([str(num)], dtype="object"),
+            "gini_den": pd.Series([str(den)], dtype="object"),
             "gini": pd.Series([num / den], dtype="float64"),
         }
     )
@@ -1513,10 +1518,10 @@ WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
 r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
 t AS (SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(cents) AS BIGINT) AS s,
-             CAST(sum(rn * cents) AS BIGINT) AS w FROM r)
+             sum(rn * cents) AS w FROM r)
 SELECT n, s AS sum_cents,
-       CAST(2 * w - (n + 1) * s AS BIGINT) AS gini_num,
-       CAST(n * s AS BIGINT) AS gini_den,
-       CAST(2 * w - (n + 1) * s AS DOUBLE) / (n * s) AS gini
+       CAST(2 * w - (n + 1) * s AS VARCHAR) AS gini_num,
+       CAST(CAST(n AS HUGEINT) * s AS VARCHAR) AS gini_den,
+       CAST(2 * w - (n + 1) * s AS DOUBLE) / (CAST(n AS HUGEINT) * s) AS gini
 FROM t
 """
