@@ -61,7 +61,7 @@ import ray
 import ray.data as rd
 
 from ..functions.urls import path_of
-from ..sources.pages import PagesCorpus
+from ..sources.pages import PagesCorpus, bucket_of
 from ..stages.fetch import FetchExtract
 from ..stages.frontier import (
     FRONTIER_SCHEMA,
@@ -106,7 +106,7 @@ def _dispatch_fetch(
     n_act = len(fetch_actors)
     groups: dict[int, list[int]] = {}
     for pos, h in enumerate(selected["url_hash"]):
-        b = bytes.fromhex(h)[0] % num_buckets
+        b = bucket_of(bytes.fromhex(h), num_buckets)
         groups.setdefault(b % n_act, []).append(pos)
     futures = []
     for a_idx, poss in sorted(groups.items()):
@@ -418,6 +418,34 @@ class CrawlEngine:
             cap_env = os.environ.get("LLMSR_FETCH_CACHE_RGS")
             if cap_env:
                 cap = min(cap, int(cap_env))
+            # memory-fit check (VERDICT r4: a 2M-page leg OOM-killed mid-run
+            # because the slice-sized preload exceeded host RAM): estimate
+            # the decoded slice from the on-disk layout and CLAMP the cache
+            # to a budget share of MemAvailable instead of letting the
+            # preload OOM. With corpus-derived NUM_BUCKETS the slice stays
+            # memory-sized and this clamp never engages; it is the safety
+            # net for corpora generated under an older fixed-bucket layout.
+            self._cache_covers_slice = True
+            try:
+                disk = 0
+                for b in range(nb):
+                    p = self.corpus.bucket_path(b)
+                    if os.path.exists(p):
+                        disk += os.path.getsize(p)
+                decoded = disk * 3  # snappy parquet → in-heap decoded tables
+                rg_bytes = max(1, decoded // max(1, self.corpus.n_pages // PAGE_RG_ROWS))
+                avail_kb = 0
+                with open("/proc/meminfo") as f:
+                    for line in f:
+                        if line.startswith("MemAvailable"):
+                            avail_kb = int(line.split()[1])
+                            break
+                budget = (avail_kb * 1024) // (2 * max(1, self.fetch_concurrency))
+                if cap * rg_bytes > budget:
+                    cap = max(8, budget // rg_bytes)
+                    self._cache_covers_slice = False
+            except OSError:
+                pass
             self._fetch_actors = [
                 cls.remote(
                     pages_dir=self.corpus.pages_dir,
@@ -446,6 +474,9 @@ class CrawlEngine:
         preload). A long-lived cluster has warm workers; calling this before
         timing excludes one-time session setup from throughput numbers."""
         seen, fetch_actors = self._ensure_actors()
+        # a clamped (below-slice) cache must not preload: it would only
+        # churn the LRU, and the slice-sized read is exactly what OOMs
+        preload = preload and getattr(self, "_cache_covers_slice", True)
         futures = [a.size.remote() for a in seen.actors]
         n_act = len(fetch_actors)
         for i, a in enumerate(fetch_actors):

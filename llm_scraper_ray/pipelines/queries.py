@@ -3091,7 +3091,9 @@ def q_image_analysis(sf_dir: str) -> pd.DataFrame:
         ImageClassifier,
         ImageSummarizerNER,
     )
-    from .neardup import NUM_BUCKETS
+    from .neardup import nb_for
+
+    NUM_BUCKETS = nb_for(sf_dir)  # corpus-derived partition count
 
     corpus = generate_corpus(sf_dir)
     pages = rd.read_parquet(corpus.pages_dir, columns=["url_hash", "html"])
@@ -3582,7 +3584,9 @@ def q_embedding_dups_lsh(sf_dir: str, broadcast_limit: int = 50_000) -> pd.DataF
 
     import pyarrow.parquet as pq
 
-    from .neardup import _MASK63, _PAIR_MIX, NUM_BUCKETS, grouped_pair_expansion
+    from .neardup import _MASK63, _PAIR_MIX, grouped_pair_expansion, nb_for
+
+    NUM_BUCKETS = nb_for(sf_dir, "embeddings")  # corpus-derived partition count
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     pf = pq.ParquetFile(emb_path)
@@ -4101,7 +4105,9 @@ def q_q18_large_orders(sf_dir: str) -> pd.DataFrame:
     ``Dataset.join`` (no broadcast key sets), and the ``_topk_cut``
     epilogue keeps the driver at O(#blocks · K) rows."""
     from .analytics import _splitmix64
-    from .neardup import NUM_BUCKETS
+    from .neardup import nb_for
+
+    NUM_BUCKETS = nb_for(sf_dir, "lineitem")  # corpus-derived partition count
 
     def li_partials(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -4830,7 +4836,9 @@ def q_media_phash_dups(sf_dir: str) -> pd.DataFrame:
     cluster representatives instead."""
     from ..sources.media import render_image_variant
     from ..stages.multimodal import PHASH_HAM_T, ahash64, decode_pgm, popcount64
-    from .neardup import _MASK63, _PAIR_MIX, NUM_BUCKETS
+    from .neardup import _MASK63, _PAIR_MIX, nb_for
+
+    NUM_BUCKETS = nb_for(sf_dir)  # corpus-derived partition count
 
     def hash_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -4995,7 +5003,9 @@ def q_crawl_host_profile(sf_dir: str) -> pd.DataFrame:
     engine's carried `host` column is cross-checked against the URL
     canonicalization."""
     from .curation import _MASK63, _md5_lower64
-    from .neardup import NUM_BUCKETS
+    from .neardup import nb_for
+
+    NUM_BUCKETS = nb_for(sf_dir)  # corpus-derived partition count
 
     eng, result = _crawl_for(sf_dir)
 

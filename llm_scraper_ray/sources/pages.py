@@ -50,6 +50,30 @@ GEN_VERSION = 9
 GEN_SEED = 42
 NUM_BUCKETS = 256  # fetch parallelism is bucket-affine; 256 keeps bucket→actor assignment balanced (≤6% skew at 30 actors)
 PAGE_RG_ROWS = 512  # row-group size of the bucketed pages layout (range-read granularity)
+# corpus-derived bucket scaling (VERDICT r4: fixed NUM_BUCKETS made the
+# decoded per-bucket slice grow with the corpus until a 2M-page leg OOMed).
+# A bucket's decoded working set is bounded by _BUCKET_TARGET_BYTES; the
+# count only GROWS past the 256 floor, so every corpus small enough for
+# 256 buckets keeps the historical byte-identical layout (and its cache).
+_BUCKET_TARGET_BYTES = 128 << 20
+_PAGE_BYTES_EST = 2048  # decoded html bytes per unit body_weight (~32 KB at w=16)
+
+
+def buckets_for(n_pages: int, body_weight: int) -> int:
+    """Bucket count so one bucket's decoded pages stay ~memory-sized."""
+    raw = (n_pages * _PAGE_BYTES_EST * max(1, body_weight)) // _BUCKET_TARGET_BYTES
+    return max(NUM_BUCKETS, 64 * -(-int(raw) // 64))
+
+
+def bucket_of(digest: bytes, num_buckets: int) -> int:
+    """Pages bucket of a url_hash digest. ≤256 buckets reads one byte (the
+    historical layout — existing corpora stay byte-identical); beyond that
+    it widens to the first two bytes so >256 buckets all receive traffic."""
+    if num_buckets <= 256:
+        return digest[0] % num_buckets
+    return ((digest[0] << 8) | digest[1]) % num_buckets
+
+
 # 2025-06-01T00:00:00Z in microseconds since epoch (fixed constant — no
 # local-timezone dependence; engine-internal warc_ts is always int64 us,
 # declared as Arrow timestamp[us] only in published tables)
@@ -350,10 +374,15 @@ class PagesCorpus:
         return os.path.join(self.root, "politeness.parquet")
 
 
-def _cache_root(sf_dir: str, n_docs: int, weight: int) -> str:
+def _cache_root(sf_dir: str, n_docs: int, weight: int, num_buckets: int) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     base = os.environ.get("LLMSR_CACHE", "/tmp/llmsr_cache")
-    return os.path.join(base, f"pages-{tag}-n{n_docs}-w{weight}-s{GEN_SEED}-v{GEN_VERSION}")
+    # the -b suffix appears only past the 256-bucket floor so every
+    # previously generated corpus keeps its cache directory
+    suffix = "" if num_buckets == NUM_BUCKETS else f"-b{num_buckets}"
+    return os.path.join(
+        base, f"pages-{tag}-n{n_docs}-w{weight}-s{GEN_SEED}-v{GEN_VERSION}{suffix}"
+    )
 
 
 def generate_corpus(
@@ -372,11 +401,14 @@ def generate_corpus(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
     n_docs = docs.num_rows * pages_per_doc
-    root = _cache_root(sf_dir, n_docs, body_weight)
+    nb = buckets_for(n_docs, body_weight)
+    root = _cache_root(sf_dir, n_docs, body_weight, nb)
     marker = os.path.join(root, "COMPLETE.json")
     if os.path.exists(marker) and not force:
         info = json.load(open(marker))
-        return PagesCorpus(root, info["n_pages"], info["n_hosts"])
+        return PagesCorpus(
+            root, info["n_pages"], info["n_hosts"], info.get("num_buckets", NUM_BUCKETS)
+        )
 
     tmp = root + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -395,13 +427,13 @@ def generate_corpus(
     # bytes are identical to the materialize-everything build (same rows,
     # same per-bucket sort, same writer call).
     _FLUSH_ROWS = 32_768
-    pending: list[list[pa.Table]] = [[] for _ in range(NUM_BUCKETS)]
+    pending: list[list[pa.Table]] = [[] for _ in range(nb)]
     pending_rows = 0
-    chunk_n = [0] * NUM_BUCKETS
+    chunk_n = [0] * nb
 
     def _flush_all():
         nonlocal pending_rows
-        for b in range(NUM_BUCKETS):
+        for b in range(nb):
             if not pending[b]:
                 continue
             d = os.path.join(tmp, "pages", f"bucket={b:02d}")
@@ -416,7 +448,7 @@ def generate_corpus(
 
     for t in _iter_rendered(base_texts, base_langs, n_docs, body_weight):
         hashes = t["url_hash"].to_pylist()
-        bucket_ids = pa.array([h[0] % NUM_BUCKETS for h in hashes], pa.int32())
+        bucket_ids = pa.array([bucket_of(h, nb) for h in hashes], pa.int32())
         import pyarrow.compute as pc
 
         for b in pc.unique(bucket_ids).to_pylist():
@@ -438,7 +470,7 @@ def generate_corpus(
             ]
         ),
     )
-    for b in range(NUM_BUCKETS):
+    for b in range(nb):
         d = os.path.join(tmp, "pages", f"bucket={b:02d}")
         os.makedirs(d, exist_ok=True)
         chunks = sorted(
@@ -521,9 +553,11 @@ def generate_corpus(
     )
 
     with open(os.path.join(tmp, "COMPLETE.json"), "w") as f:
-        json.dump({"n_pages": n_docs, "n_hosts": h, "version": GEN_VERSION}, f)
+        json.dump(
+            {"n_pages": n_docs, "n_hosts": h, "version": GEN_VERSION, "num_buckets": nb}, f
+        )
     os.rename(tmp, root)
-    return PagesCorpus(root, n_docs, h)
+    return PagesCorpus(root, n_docs, h, nb)
 
 
 _RENDER_SCHEMA = pa.schema(

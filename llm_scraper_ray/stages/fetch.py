@@ -32,6 +32,7 @@ import pyarrow.parquet as pq
 from ..functions import analysis as A
 from ..functions.html_text import extract_text_and_links
 from ..functions.urls import canonicalize_url, host_of, url_sha1_hex
+from ..sources.pages import bucket_of
 from ..state.tokenbucket import TokenBucket
 
 EXTRACTED_FIELDS = [
@@ -115,7 +116,7 @@ class FetchExtract:
         digests = [bytes.fromhex(h) for h in batch["url_hash"]]
         by_bucket: dict[int, list[int]] = {}
         for i, d in enumerate(digests):
-            by_bucket.setdefault(d[0] % self.num_buckets, []).append(i)
+            by_bucket.setdefault(bucket_of(d, self.num_buckets), []).append(i)
         html_of: dict[int, bytes | None] = {}
         for b, idxs in by_bucket.items():
             got = self.lookup_bucket(b, [digests[i] for i in idxs])

@@ -21,6 +21,8 @@ from collections import OrderedDict
 
 import pyarrow.parquet as pq
 
+from ..sources.pages import bucket_of
+
 
 class BucketRangeReader:
     """Keyed lookup of one value column over the bucketed pages layout."""
@@ -118,7 +120,7 @@ class BucketRangeReader:
         """digests across buckets → {digest: value|None}."""
         by_bucket: dict[int, list[bytes]] = {}
         for d in digs:
-            by_bucket.setdefault(d[0] % self.num_buckets, []).append(d)
+            by_bucket.setdefault(bucket_of(d, self.num_buckets), []).append(d)
         out: dict = {}
         for b, ds_ in by_bucket.items():
             out.update(self.lookup_bucket(b, ds_))

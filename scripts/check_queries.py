@@ -39,9 +39,27 @@ def kinds(df: pd.DataFrame) -> list[str]:
     return [df[c].dtype.kind for c in df.columns]
 
 
+def vhash(df: pd.DataFrame) -> str:
+    """Driver-policy value hash: normalized frame → row-major string → md5.
+    Makes the mirror's pass criterion literally the driver's (sort columns
+    by name, round floats, hash values) rather than just frame-equality."""
+    import hashlib
+
+    h = hashlib.md5()
+    for row in df.itertuples(index=False):
+        h.update("\x1f".join(str(v) for v in row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     # crawl oracle SQL reads the persisted expected tables for ONE sf dir
     # (the driver's compare scale by default) — point it at ours
     os.environ["LLMSR_ORACLE_SF_DIR"] = sf_dir
@@ -71,6 +89,7 @@ def main():
     queries = all_queries()
     oracles = all_oracle_sql()
     failures = 0
+    results: dict = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -81,33 +100,54 @@ def main():
                 got = got.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            results[name] = {"ok": False, "err": f"{type(e).__name__}: {e}"[:300]}
             failures += 1
             continue
         secs = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: {len(got)} rows (rows-only) [{secs:.1f}s]")
+            results[name] = {"ok": True, "rows": len(got), "rows_only": True}
             continue
         want = con.sql(oracles[name]).df()
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            results[name] = {"ok": False, "err": "column mismatch"}
             failures += 1
             continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            results[name] = {"ok": False, "err": f"rows {len(g)} != {len(w)}"}
             failures += 1
             continue
         if kinds(g) != kinds(w):
             print(f"FAIL {name}: dtype kinds {kinds(g)} != {kinds(w)} for {list(g.columns)}")
+            results[name] = {"ok": False, "err": "dtype kind mismatch"}
             failures += 1
             continue
-        try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-            print(f"ok   {name}: {len(g)} rows MATCH [{secs:.1f}s]")
-        except AssertionError as e:
-            print(f"FAIL {name}: value mismatch: {str(e)[:300]}")
+        hg, hw = vhash(g), vhash(w)
+        if hg == hw:
+            print(f"ok   {name}: {len(g)} rows MATCH hash={hg[:10]} [{secs:.1f}s]")
+            results[name] = {"ok": True, "rows": len(g), "hash": hg}
+        else:
+            try:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+                msg = "hash drift but frames equal (stringify ambiguity)"
+            except AssertionError as e:
+                msg = f"value mismatch: {str(e)[:300]}"
+            print(f"FAIL {name}: {msg}")
+            results[name] = {"ok": False, "err": msg}
             failures += 1
     ray.shutdown()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n": len(results), "failures": failures, "queries": results},
+                f,
+                indent=1,
+            )
     sys.exit(1 if failures else 0)
 
 
