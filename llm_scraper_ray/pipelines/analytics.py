@@ -1298,8 +1298,10 @@ def q_events_outliers(sf_dir: str) -> pd.DataFrame:
                 "v": t["value"].to_numpy(zero_copy_only=False),
             }
         )
-        m = df["event_type"].map(lambda ty: stats[ty][0]).to_numpy()
-        sd = df["event_type"].map(lambda ty: stats[ty][1]).to_numpy()
+        # Series.map(dict) is the vectorized (hash-join) form; the stats
+        # dict is #event_types-sized
+        m = df["event_type"].map({k: v[0] for k, v in stats.items()}).to_numpy()
+        sd = df["event_type"].map({k: v[1] for k, v in stats.items()}).to_numpy()
         df["absz"] = np.abs(df["v"].to_numpy() - m) / np.where(sd > 0, sd, 1.0)
         p = df.groupby("event_type", as_index=False).agg(
             part_out=("absz", lambda s: int((s > Z_THRESHOLD).sum())),
@@ -5511,6 +5513,76 @@ def q_embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
             "var_q": np.round(var, 6),
         }
     ).sort_values("dim").reset_index(drop=True)
+
+
+def q_embedding_pca(sf_dir: str, batch_size: int = 2048) -> pd.DataFrame:
+    """PCA spectrum of the embedding table from an EXACT mergeable Gram
+    sketch — the dimensionality audit run before projecting features:
+    per batch one d×d integer Gram fold over the 2^20-quantized vectors
+    (order-independent: integer addition commutes, so the distributed
+    merge is exact, not approximately associative float), the driver sums
+    #batches matrices, centers with the exact integer means
+    (n·G − s·sᵀ, python-object ints past int64 bounds), and ONE d×d
+    float64 eigendecomposition on the metadata-sized result. Emitted per
+    component: eigenvalue of the scaled covariance and explained-variance
+    ratio (6dp), anchored by the exact integer trace. Oracle: the
+    sequential direct formulation (one numpy matmul over all rows —
+    ``oracle_analysis.persist_expected_embedding_pca``); the integer
+    sketch guarantees both sides present the IDENTICAL matrix to the
+    same eigensolver."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t["embedding"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(arr), -1).astype(np.float64)
+        q = np.floor(mat * DIMSTATS_QSCALE).astype(np.int64)
+        g = q.T @ q  # d×d int64 — exact (|q|<2^21 ⇒ n·q² < 2^63 to ~2^20 rows/batch)
+        return pd.DataFrame(
+            {
+                "n": pd.Series([q.shape[0]], dtype="int64"),
+                "maxq": pd.Series([int(np.abs(q).max())], dtype="int64"),
+                "s_blob": pd.Series([q.sum(axis=0).tobytes()], dtype=object),
+                "g_blob": pd.Series([np.ascontiguousarray(g).tobytes()], dtype=object),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    maxq = int(parts["maxq"].max())
+    gs = [np.frombuffer(b, np.int64) for b in parts["g_blob"]]
+    d = int(np.sqrt(len(gs[0])))
+    # loud overflow guard (the twap pattern): every partial Gram entry is
+    # bounded by batch_rows·maxq², and the driver fold by n·maxq²
+    if n * maxq * maxq >= 2**63:
+        raise OverflowError(
+            "embedding_pca: integer Gram bound exceeds int64 "
+            f"(n={n}, max|q|={maxq}); shard the fold or drop the quant scale"
+        )
+    gram = np.sum(gs, axis=0).reshape(d, d)
+    svec = np.sum([np.frombuffer(b, np.int64) for b in parts["s_blob"]], axis=0)
+    # centered scatter n·G − s·sᵀ in python ints (s·sᵀ can pass int64),
+    # then ONE scale to float64: cov = scatter / (n² · QSCALE²)
+    gi = gram.astype(object)
+    si = svec.astype(object)
+    scatter = gi * n - si[:, None] * si[None, :]
+    cov = (scatter / (float(n) * n * DIMSTATS_QSCALE * DIMSTATS_QSCALE)).astype(
+        np.float64
+    )
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    tot = float(evals.sum())
+    return pd.DataFrame(
+        {
+            "comp": np.arange(d, dtype=np.int64),
+            "eigval": np.round(evals, 9),
+            "evr": np.round(evals / tot, 6),
+            "trace_scatter": pd.Series([str(int(scatter.trace()))] * d, dtype=object),
+        }
+    )
 
 
 SQL_EMBEDDING_DIM_STATS = f"""

@@ -98,11 +98,14 @@ def _count_rows(path_dir: str) -> int:
     return pads.dataset(path_dir, format="parquet").count_rows()
 
 
-def _dispatch_fetch(
+def _dispatch_fetch_refs(
     fetch_actors, selected: pd.DataFrame, num_buckets: int, batch_size: int
-) -> pa.Table:
+) -> list:
     """Route selected rows to the persistent FetchExtract actors by pages
-    bucket (``actor[bucket % n]``) so each actor's bucket cache stays hot."""
+    bucket (``actor[bucket % n]`` — each actor's bucket cache stays hot) and
+    return the UNRESOLVED result refs, so callers can overlap the fetch
+    with other work (the round-fixup path injects them into the next
+    round's execution)."""
     n_act = len(fetch_actors)
     groups: dict[int, list[int]] = {}
     for pos, h in enumerate(selected["url_hash"]):
@@ -119,6 +122,13 @@ def _dispatch_fetch(
             futures.append(
                 fetch_actors[a_idx].__call__.remote(sub.iloc[start : start + chunk])
             )
+    return futures
+
+
+def _dispatch_fetch(
+    fetch_actors, selected: pd.DataFrame, num_buckets: int, batch_size: int
+) -> pa.Table:
+    futures = _dispatch_fetch_refs(fetch_actors, selected, num_buckets, batch_size)
     tables = [t for t in ray.get(futures) if t.num_rows > 0]
     if not tables:
         return _EXTRACTED_SCHEMA.empty_table()
@@ -382,6 +392,9 @@ class CrawlEngine:
         self.warc_index = warc_index_for(corpus.pages_dir, corpus.num_buckets)
         self._seen: SeenSet | None = None
         self._fetch_actors: list | None = None
+        # unresolved fixup of the most recent distributed round: its
+        # boundary-host fetch refs overlap the NEXT round's execution
+        self._pending: dict | None = None
 
     def _ensure_actors(self) -> tuple[SeenSet, list]:
         if self._seen is None:
@@ -460,6 +473,7 @@ class CrawlEngine:
     def shutdown(self) -> None:
         """Release the actor pools (their CPU reservations would starve any
         other Ray work in the session)."""
+        self._resolve_pending()  # pending fixup refs die with the actors
         if self._fetch_actors:
             for a in self._fetch_actors:
                 ray.kill(a)
@@ -565,6 +579,17 @@ class CrawlEngine:
                     os.path.join(self._round_dir(rnd - 1), "extracted"),
                     int(prev_m["unique"]),
                 )
+            if self._pending is not None and n_candidates <= self.driver_threshold:
+                # the count is PARTIAL while a fixup fetch is in flight; a
+                # distributed round self-corrects (it injects + resolves),
+                # but the driver path / loop exit need the true count now
+                prev_m = self._resolve_pending()
+                n_candidates = int(prev_m["next_candidates"])
+                src = (
+                    "extracted",
+                    os.path.join(self._round_dir(rnd - 1), "extracted"),
+                    int(prev_m["unique"]),
+                )
             if n_candidates == 0:
                 rnd -= 1
                 finished = True
@@ -577,6 +602,10 @@ class CrawlEngine:
                 finished = True
                 break
             prev_m = m
+
+        # a trailing unresolved fixup (last round distributed, loop ended on
+        # selected==0 / max_rounds / zero candidates) seals synchronously
+        self._resolve_pending()
 
         # metrics re-assembled from the sealed round dirs so a resumed run
         # reports the full history, not just its own rounds
@@ -812,6 +841,7 @@ class CrawlEngine:
         # round simply gets more blocks from the row bound.
         ctrl_blocks = max(4, min(32, -(-n_candidates // 65536)))
 
+        pending_prev = self._pending  # previous round's fixup, still fetching
         t_phase = time.time()
         if src[0] == "seeds":
             cands = rd.read_parquet(src[1], override_num_blocks=ctrl_blocks)
@@ -825,7 +855,39 @@ class CrawlEngine:
             cands = rd.read_parquet(
                 src[1], columns=_EXPAND_COLUMNS, override_num_blocks=link_blocks
             ).map_batches(_expand_round_output, batch_format="pandas", batch_size=65536)
-        (
+            if pending_prev is not None:
+                # the previous round's boundary-host fetch refs feed this
+                # round's expansion DIRECTLY (no parquet roundtrip) — the
+                # fetch overlaps this execution instead of serializing
+                # between rounds. NOTE ``from_arrow_refs`` eagerly fetches
+                # block metadata (measured: construction blocks on pending
+                # refs), so the refs ride INSIDE map tasks instead: one
+                # index row per ref; the task ray.gets its table and
+                # expands it, and the streaming executor interleaves those
+                # waits with the main execution's work.
+                inj_refs = list(pending_prev["refs"])
+                if (
+                    pending_prev["rest_tab"] is not None
+                    and pending_prev["rest_tab"].num_rows
+                ):
+                    inj_refs.append(ray.put(pending_prev["rest_tab"]))
+                if inj_refs:
+
+                    def load_expand(batch: pd.DataFrame, _refs=inj_refs) -> pa.Table:
+                        tabs = [ray.get(_refs[int(i)]) for i in batch["i"]]
+                        df = (
+                            pa.concat_tables(tabs)
+                            .select(_EXPAND_COLUMNS)
+                            .to_pandas()
+                        )
+                        return _expand_round_output(df)
+
+                    inj = rd.from_items(
+                        [{"i": j} for j in range(len(inj_refs))],
+                        override_num_blocks=len(inj_refs),
+                    ).map_batches(load_expand, batch_format="pandas")
+                    cands = cands.union(inj)
+        pipe = (
             cands
             .map_batches(pre_dedup_arrow, batch_format="pyarrow", batch_size=65536)
             .map_batches(robots_seen, batch_format="pyarrow", batch_size=65536)
@@ -833,11 +895,24 @@ class CrawlEngine:
             .map_batches(
                 select_finalize, batch_format="pandas", batch_size=self.select_batch
             )
-            .write_parquet(extracted_dir)
         )
+        pipe.write_parquet(extracted_dir)
+        if os.environ.get("LLMSR_ROUND_STATS"):
+            try:  # per-operator wall/cpu breakdown (diagnostic only)
+                with open(os.path.join(rdir, "stats.txt"), "w") as f:
+                    f.write(pipe.stats())
+            except Exception:
+                pass
         if not os.path.isdir(extracted_dir):  # zero-row write emits nothing
             _write_empty(extracted_dir, _EXTRACTED_SCHEMA)
         secs_exec = round(time.time() - t_phase, 3)
+
+        # the execution consumed the previous round's fixup refs — finishing
+        # it now is (near-)instant: write its authoritative fixtab, seal it,
+        # and take the TRUE candidate count for this round's metrics
+        if pending_prev is not None:
+            prev_sealed = self._resolve_pending()
+            n_candidates = int(prev_sealed["next_candidates"])
 
         # driver fixup: exact selection for boundary hosts, from the
         # placeholder rows the execution emitted (metadata-sized by
@@ -851,25 +926,41 @@ class CrawlEngine:
             columns=["url_hash", "canon_url", "host", "depth", "warc_ts", "fetch_status"],
             filter=pads.field("fetch_status").isin(_P2),
         ).to_pandas()
+        t_fix_read = round(time.time() - t_phase, 3)
+        t_fix_fetch = 0.0
         n_pass2 = len(ph)
+        n_fix_sel = 0
+        fix_refs: list = []
+        rest_tab: pa.Table | None = None
+        fix_counts = {"seen": 0, "robots": 0, "deferred": 0}
+        n_fix_rows = 0
         if n_pass2:
             ph["status"] = ph["fetch_status"].str.slice(6)
             ph = ph.sort_values(["host", "url_hash", "depth"], kind="stable")
             ph = ph.drop_duplicates("url_hash", keep="first")
             fixup = select_topk_vectorized(ph, ray.get(budgets_ref))
-            tables = []
+            n_fix_rows = len(fixup)
             sel = fixup[fixup["selected"]]
+            n_fix_sel = len(sel)
             if len(sel):
+                t_f = time.time()
+                # seen-marks are synchronous (the NEXT round's status filter
+                # must observe them) but the fetch itself is dispatched
+                # WITHOUT waiting: the refs overlap the next round's
+                # execution (_resolve_pending finishes the bookkeeping)
                 seen.add_many([bytes.fromhex(h) for h in sel["url_hash"]])
-                tables.append(self._dispatch_fetch(fetch_actors, sel))
+                fix_refs = _dispatch_fetch_refs(
+                    fetch_actors, sel, nb, bsz
+                )
+                t_fix_fetch = round(time.time() - t_f, 3)
             rest = fixup[~fixup["selected"]]
             if len(rest):
-                tables.append(_passthrough_table(rest))
-            fixtab = (
-                pa.concat_tables(tables) if tables else _EXTRACTED_SCHEMA.empty_table()
-            )
-            pq.write_table(fixtab, os.path.join(extracted_dir, "pass2-fix.parquet"))
+                rest_tab = _passthrough_table(rest)
+                for s_, c_ in rest["status"].value_counts().items():
+                    key = "deferred" if s_ == "ok" else str(s_)
+                    fix_counts[key] = fix_counts.get(key, 0) + int(c_)
         secs_fixup = round(time.time() - t_phase, 3)
+        t_phase = time.time()
 
         # metrics + next-round candidate count from ONE thin column scan of
         # the round output (fetch_status + the n_links scalar — vectorized,
@@ -891,20 +982,70 @@ class CrawlEngine:
         m = {
             "round": rnd,
             "candidates": int(n_candidates),
-            "unique": out.num_rows - n_placeholder,
-            "seen_dropped": counts.get("seen", 0),
-            "robots": counts.get("robots", 0),
-            "selected": int(n_sel),
-            "deferred": counts.get("deferred", 0),
+            "unique": out.num_rows - n_placeholder + n_fix_rows,
+            "seen_dropped": counts.get("seen", 0) + fix_counts["seen"],
+            "robots": counts.get("robots", 0) + fix_counts["robots"],
+            "selected": int(n_sel) + int(n_fix_sel),
+            "deferred": counts.get("deferred", 0) + fix_counts["deferred"],
             "new_candidates": n_new,
-            "next_candidates": n_new + counts.get("deferred", 0),
+            "next_candidates": n_new
+            + counts.get("deferred", 0)
+            + fix_counts["deferred"],
             "path": "distributed",
             "secs_exec": secs_exec,
             "secs_fixup": secs_fixup,
+            "secs_fix_read": t_fix_read,
+            "secs_fix_fetch": t_fix_fetch,
+            "n_pass2": int(n_pass2),
+            "n_fix_sel": int(n_fix_sel),
+            "secs_scan": round(time.time() - t_phase, 3),
         }
+        t_phase = time.time()
         seen.snapshot_to(os.path.join(rdir, "seen"))
+        m["secs_snapshot"] = round(time.time() - t_phase, 3)
         m["secs"] = round(time.time() - t_start, 3)
-        self._seal(rdir, m)
+        if n_pass2:
+            # seal deferred: the fixup fetch is still in flight. The next
+            # distributed round injects the refs into its execution and
+            # calls _resolve_pending (instant by then); a driver round, the
+            # loop exit, or shutdown() resolves synchronously instead. An
+            # unsealed round replays from the previous sealed one on resume
+            # (idempotent: seen adds are set-inserts, fetch deterministic).
+            self._pending = {
+                "rdir": rdir,
+                "extracted_dir": extracted_dir,
+                "refs": fix_refs,
+                "rest_tab": rest_tab,
+                "m": m,
+            }
+        else:
+            self._seal(rdir, m)
+        return m
+
+    def _resolve_pending(self) -> dict | None:
+        """Finish the most recent distributed round's fixup: wait for its
+        boundary-host fetch refs (already consumed — i.e. free — when the
+        next round's execution ran), write the authoritative pass2-fix
+        rows into its round dir, fold their outlink count into the round
+        metrics, and seal."""
+        p = self._pending
+        if p is None:
+            return None
+        t0 = time.time()
+        tabs = [t for t in ray.get(list(p["refs"])) if t.num_rows] if p["refs"] else []
+        if p["rest_tab"] is not None and p["rest_tab"].num_rows:
+            tabs.append(p["rest_tab"])
+        fixtab = pa.concat_tables(tabs) if tabs else _EXTRACTED_SCHEMA.empty_table()
+        pq.write_table(fixtab, os.path.join(p["extracted_dir"], "pass2-fix.parquet"))
+        m = p["m"]
+        n_links = (
+            int(pc.sum(fixtab["n_links"]).as_py() or 0) if fixtab.num_rows else 0
+        )
+        m["new_candidates"] += n_links
+        m["next_candidates"] += n_links
+        m["secs_fix_resolve"] = round(time.time() - t0, 3)
+        self._seal(p["rdir"], m)
+        self._pending = None
         return m
 
     # -- shared helpers -----------------------------------------------------

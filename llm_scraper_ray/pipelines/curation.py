@@ -2488,7 +2488,7 @@ def q_vocab_top_terms_by_source(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     cand = cand.sort_values(["n", "word"], ascending=[False, True], kind="stable")
-    out = cand.groupby("source", as_index=False).head(VOCAB_SRC_TOP_K)
+    out = cand.groupby("source", as_index=False).head(VOCAB_SRC_TOP_K).copy()
     out["rank"] = out.groupby("source").cumcount() + 1
     return (
         out[["source", "rank", "word", "n"]]

@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ANALYSIS_ORACLE_VERSION = 1
+ANALYSIS_ORACLE_VERSION = 2
 
 
 def _cache_path(sf_dir: str, name: str) -> str:
@@ -517,7 +517,7 @@ def persist_expected_media_resize(sf_dir: str) -> str:
     import numpy as np
 
     from ..sources.media import render_media
-    from ..stages.multimodal import decode_pgm
+    from ..stages.multimodal import decode_image
 
     ids = (
         pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
@@ -529,7 +529,7 @@ def persist_expected_media_resize(sf_dir: str) -> str:
         kind, payload = render_media(d)
         if kind != "image":
             continue
-        w, h, arr = decode_pgm(payload)
+        w, h, arr = decode_image(payload)
         w2, h2 = w // 2, h // 2
         blocks = arr[: h2 * 2, : w2 * 2].astype(np.int64).reshape(h2, 2, w2, 2)
         small = blocks.sum(axis=(1, 3)) // 4
@@ -546,6 +546,102 @@ def persist_expected_media_resize(sf_dir: str) -> str:
         path,
         pd.DataFrame(
             rows, columns=["media_id", "out_w", "out_h", "out_sum", "out_crc"]
+        ).astype("int64"),
+    )
+
+
+def persist_expected_embedding_pca(sf_dir: str) -> str:
+    """Expected PCA spectrum, sequentially with the DIRECT formulation:
+    one numpy matmul over ALL quantized rows at once (vs the engine's
+    batch-folded mergeable sketch), python-int centering, same
+    eigensolver on the identical integer-derived matrix."""
+    path = _cache_path(sf_dir, "embpca")
+    if os.path.exists(path):
+        return path
+    import numpy as np
+
+    from .analytics import DIMSTATS_QSCALE
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    arr = t["embedding"].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    mat = flat.reshape(len(arr), -1).astype(np.float64)
+    q = np.floor(mat * DIMSTATS_QSCALE).astype(np.int64)
+    n, d = q.shape
+    gram = (q.T @ q).astype(object)
+    s = q.sum(axis=0).astype(object)
+    scatter = gram * n - s[:, None] * s[None, :]
+    cov = (scatter / (float(n) * n * DIMSTATS_QSCALE * DIMSTATS_QSCALE)).astype(
+        np.float64
+    )
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    tot = float(evals.sum())
+    df = pd.DataFrame(
+        {
+            "comp": np.arange(d, dtype=np.int64),
+            "eigval": np.round(evals, 9),
+            "evr": np.round(evals / tot, 6),
+            "trace_scatter": pd.Series([str(int(scatter.trace()))] * d, dtype=object),
+        }
+    )
+    return _write(path, df)
+
+
+def persist_expected_audio_features(sf_dir: str) -> str:
+    """Expected transcript-proxy rows, sequentially and with an INDEPENDENT
+    formulation: per-frame python slice sums (vs the engine's one
+    cumulative-sum pass) and an explicit run-walk segmenter (vs the
+    engine's vectorized run-start mask)."""
+    path = _cache_path(sf_dir, "audiofeat")
+    if os.path.exists(path):
+        return path
+    import numpy as np
+
+    from ..sources.media import render_media
+    from ..stages.multimodal import (
+        FRAME_LEN,
+        FRAME_STRIDE,
+        ZC_PER_TOKEN,
+        decode_wav,
+    )
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for d in sorted(int(x) for x in ids):
+        kind, payload = render_media(d)
+        if kind != "audio":
+            continue
+        _, pcm = decode_wav(payload)
+        frames = []
+        for start in range(0, pcm.size - FRAME_LEN + 1, FRAME_STRIDE):
+            seg = pcm[start : start + FRAME_LEN].astype(np.int64)
+            sb = np.signbit(seg)
+            frames.append((int(np.abs(seg).sum()), int(np.count_nonzero(sb[1:] != sb[:-1]))))
+        if not frames:
+            continue
+        nf = len(frames)
+        total = sum(e for e, _ in frames)
+        n_speech = n_segments = zc_speech = 0
+        in_run = False
+        for e, z in frames:
+            if e * nf > total:
+                n_speech += 1
+                zc_speech += z
+                if not in_run:
+                    n_segments += 1
+                in_run = True
+            else:
+                in_run = False
+        rows.append((d, nf, n_speech, n_segments, zc_speech // ZC_PER_TOKEN))
+    return _write(
+        path,
+        pd.DataFrame(
+            rows,
+            columns=["media_id", "n_frames", "n_speech", "n_segments", "est_tokens"],
         ).astype("int64"),
     )
 
@@ -610,7 +706,7 @@ def persist_expected_media_phash(sf_dir: str) -> str:
     import numpy as np
 
     from ..sources.media import render_image_variant
-    from ..stages.multimodal import decode_pgm
+    from ..stages.multimodal import decode_image
 
     ids = sorted(
         int(x)
@@ -622,7 +718,7 @@ def persist_expected_media_phash(sf_dir: str) -> str:
     )
     hashes = []
     for d in ids:
-        w, h, arr = decode_pgm(render_image_variant(d))
+        w, h, arr = decode_image(render_image_variant(d))
         a = arr.astype(np.int64)
         gmean = Fraction(int(a.sum()), h * w)
         bits = 0

@@ -2218,6 +2218,10 @@ def all_queries():
         "kg_link_scores": q_kg_link_scores,
         "orders_gini": _tpch.q_orders_gini,
         "orders_benford": _linkage.q_orders_benford,
+        # whisper-shaped transcript proxy (M11 real kernel; VERDICT r4 #7)
+        "media_audio_features": q_media_audio_features,
+        # PCA spectrum from an exact mergeable integer Gram sketch
+        "embedding_pca": _analytics.q_embedding_pca,
     }
 
 
@@ -2521,6 +2525,8 @@ def _analysis_oracle_sqls() -> dict[str, str]:
         persist_expected_media,
         persist_expected_bpe,
         persist_expected_bpe_encode,
+        persist_expected_audio_features,
+        persist_expected_embedding_pca,
         persist_expected_media_frames,
         persist_expected_media_phash,
         persist_expected_media_resize,
@@ -2561,6 +2567,15 @@ def _analysis_oracle_sqls() -> dict[str, str]:
             "SELECT media_id, frame_no, energy, zero_crossings FROM "
             f"read_parquet('{persist_expected_media_frames(sf)}') "
             "ORDER BY media_id, frame_no"
+        ),
+        "media_audio_features": (
+            "SELECT media_id, n_frames, n_speech, n_segments, est_tokens FROM "
+            f"read_parquet('{persist_expected_audio_features(sf)}') "
+            "ORDER BY media_id"
+        ),
+        "embedding_pca": (
+            "SELECT comp, eigval, evr, trace_scatter FROM "
+            f"read_parquet('{persist_expected_embedding_pca(sf)}') ORDER BY comp"
         ),
         "neardup_eval": (
             f"""WITH RECURSIVE {_NGRAM_PAIRS_CTE},
@@ -3300,6 +3315,38 @@ def q_media_frames(sf_dir: str) -> pd.DataFrame:
 
 
 MEDIA_LIB = 64  # distinct media assets in the simulated library
+
+
+def q_media_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Whisper-SHAPED audio featurization (M11's real kernel behind the
+    stub seam): WAV payloads → actor-pool ``AudioTranscriptProxy`` (exact
+    integer energy/zero-crossing frames → strict-integer-mean speech
+    segmentation → token-count envelope). Oracle: sequential independent
+    formulation (``oracle_analysis.persist_expected_audio_features``)."""
+    from ..sources.media import render_media
+    from ..stages.multimodal import AudioTranscriptProxy
+
+    def to_audio(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in batch["doc_id"].to_pylist():
+            kind, payload = render_media(int(d))
+            if kind == "audio":
+                ids.append(int(d))
+                payloads.append(payload)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(to_audio, batch_format="pyarrow", batch_size=256)
+        .map_batches(AudioTranscriptProxy(), batch_format="pandas", batch_size=64)
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
 
 
 def q_media_exact_dedup(sf_dir: str) -> pd.DataFrame:
@@ -4835,7 +4882,7 @@ def q_media_phash_dups(sf_dir: str) -> pd.DataFrame:
     production corpus caps per-key expansion (cf. DF_CAP) or emits
     cluster representatives instead."""
     from ..sources.media import render_image_variant
-    from ..stages.multimodal import PHASH_HAM_T, ahash64, decode_pgm, popcount64
+    from ..stages.multimodal import PHASH_HAM_T, ahash64, decode_image, popcount64
     from .neardup import _MASK63, _PAIR_MIX, nb_for
 
     NUM_BUCKETS = nb_for(sf_dir)  # corpus-derived partition count
@@ -4844,7 +4891,7 @@ def q_media_phash_dups(sf_dir: str) -> pd.DataFrame:
         ids = batch["doc_id"].to_pylist()
         hs = np.empty(len(ids), np.int64)
         for i, d in enumerate(ids):
-            _, _, arr = decode_pgm(render_image_variant(int(d)))
+            _, _, arr = decode_image(render_image_variant(int(d)))
             hs[i] = ahash64(arr)
         return pa.Table.from_pydict(
             {

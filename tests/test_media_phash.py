@@ -31,14 +31,35 @@ def test_media_phash_pairs_match_bruteforce_oracle(ray_session):
 
 def test_ahash_bits_are_exact_integers(ray_session):
     from llm_scraper_ray.sources.media import render_image_variant
-    from llm_scraper_ray.stages.multimodal import ahash64, decode_pgm
+    from llm_scraper_ray.stages.multimodal import ahash64, decode_image
 
     # determinism + sensitivity: same doc → same hash; a one-cell re-edit
     # (different doc, same asset) moves ≤ a few bits
-    _, _, a0 = decode_pgm(render_image_variant(7))
-    _, _, a1 = decode_pgm(render_image_variant(7))
+    _, _, a0 = decode_image(render_image_variant(7))
+    _, _, a1 = decode_image(render_image_variant(7))
     assert ahash64(a0) == ahash64(a1)
     h, w = a0.shape
     flipped = a0.copy()
     flipped[: h // 8, : w // 8] = 255 - flipped[: h // 8, : w // 8].astype(np.int64)
     assert ahash64(flipped) != ahash64(a0)
+
+
+def test_variant_jpeg_class_present(ray_session):
+    """doc_id % 3 == 2 variants ship as real baseline JPEGs; both container
+    classes decode and same-asset pairs still land within the hamming
+    threshold (the phash query's JPEG coverage)."""
+    from llm_scraper_ray.sources.media import PHASH_LIB, render_image_variant
+    from llm_scraper_ray.stages.multimodal import ahash64, decode_image, popcount64
+
+    # PHASH_LIB % 3 == 0, so every variant of one asset shares a container:
+    # asset 2 is all-JPEG (2 % 3 == 2), asset 1 all-PGM
+    ja, jb = 2, 2 + PHASH_LIB  # same asset, both JPEG
+    p0, p1 = render_image_variant(ja), render_image_variant(jb)
+    assert p0[:2] == b"\xff\xd8" and p1[:2] == b"\xff\xd8"
+    assert render_image_variant(1)[:2] == b"P5"
+    _, _, a0 = decode_image(p0)
+    _, _, a1 = decode_image(p1)
+    d = popcount64(
+        np.array([np.uint64(ahash64(a0)) ^ np.uint64(ahash64(a1))]).view(np.int64)
+    )[0]
+    assert d <= 6  # same asset, 0-3 cell edits per variant
