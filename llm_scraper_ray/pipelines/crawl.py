@@ -243,6 +243,38 @@ def _expand_round_output(batch: pd.DataFrame) -> pa.Table:
     return pa.concat_tables([deferred_t, new])
 
 
+def _expand_round_output_arrow(t: pa.Table) -> pa.Table:
+    """Zero-copy Arrow twin of :func:`_expand_round_output` for the
+    distributed path (the pandas loop was a 1.5 s single-task prologue in
+    every heavy round): ``list_flatten`` + ``list_parent_indices`` explode
+    the outlink lists in row-major order — exactly the python loop's
+    extend order, so outputs are row-identical."""
+    st = t["fetch_status"]
+    deferred = t.filter(pc.equal(st, "deferred"))
+    hits = t.filter(pc.equal(st, "hit"))
+    deferred_t = deferred.select(
+        ["url_hash", "canon_url", "host", "depth", "warc_ts"]
+    ).cast(FRONTIER_SCHEMA)
+    links = hits["links"].combine_chunks()
+    parent = pc.list_parent_indices(links)
+    new = pa.Table.from_pydict(
+        {
+            "url_hash": pc.list_flatten(hits["link_hashes"].combine_chunks()),
+            "canon_url": pc.list_flatten(links),
+            "host": pc.list_flatten(hits["link_hosts"].combine_chunks()),
+            "depth": pc.cast(
+                pc.add(pc.take(hits["depth"].combine_chunks(), parent), 1),
+                pa.int32(),
+            ),
+            "warc_ts": pc.cast(
+                pc.list_flatten(hits["link_warcts"].combine_chunks()), pa.int64()
+            ),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+    return pa.concat_tables([deferred_t, new])
+
+
 @dataclass
 class CrawlResult:
     run_dir: str
@@ -534,6 +566,26 @@ class CrawlEngine:
     # -- main loop ---------------------------------------------------------
 
     def run(self, resume: bool = True) -> CrawlResult:
+        # smaller blocks for the crawl's control-plane stream (metadata-thin
+        # rows): the default 128 MB target coalesced a whole round's
+        # expand/pre_dedup into 1-2 tasks and gave the sort only ~3 output
+        # partitions — i.e. 3 select_finalize tasks each running 4-5
+        # SERIAL dispatch waves into the fetch pool (measured r3@16cpu:
+        # select wall 27-54 s at 7 s CPU). 16 MB ⇒ ~12-20 blocks per heavy
+        # round: parallel prologue, balanced sort partitions, and enough
+        # concurrent dispatchers to keep the actor pool saturated. Restored
+        # after the run so suite queries keep the default geometry.
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        saved_tmbs = ctx.target_max_block_size
+        ctx.target_max_block_size = 16 << 20
+        try:
+            return self._run_inner(resume)
+        finally:
+            ctx.target_max_block_size = saved_tmbs
+
+    def _run_inner(self, resume: bool = True) -> CrawlResult:
         done_marker = os.path.join(self.run_dir, "DONE.json")
         if not resume:
             shutil.rmtree(self.run_dir, ignore_errors=True)
@@ -854,7 +906,9 @@ class CrawlEngine:
             link_blocks = max(4, min(32, -(-prev_unique // 16384)))
             cands = rd.read_parquet(
                 src[1], columns=_EXPAND_COLUMNS, override_num_blocks=link_blocks
-            ).map_batches(_expand_round_output, batch_format="pandas", batch_size=65536)
+            ).map_batches(
+                _expand_round_output_arrow, batch_format="pyarrow", batch_size=65536
+            )
             if pending_prev is not None:
                 # the previous round's boundary-host fetch refs feed this
                 # round's expansion DIRECTLY (no parquet roundtrip) — the
@@ -875,12 +929,9 @@ class CrawlEngine:
 
                     def load_expand(batch: pd.DataFrame, _refs=inj_refs) -> pa.Table:
                         tabs = [ray.get(_refs[int(i)]) for i in batch["i"]]
-                        df = (
-                            pa.concat_tables(tabs)
-                            .select(_EXPAND_COLUMNS)
-                            .to_pandas()
+                        return _expand_round_output_arrow(
+                            pa.concat_tables(tabs).select(_EXPAND_COLUMNS)
                         )
-                        return _expand_round_output(df)
 
                     inj = rd.from_items(
                         [{"i": j} for j in range(len(inj_refs))],
