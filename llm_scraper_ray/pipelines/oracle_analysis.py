@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ANALYSIS_ORACLE_VERSION = 2
+ANALYSIS_ORACLE_VERSION = 3
 
 
 def _cache_path(sf_dir: str, name: str) -> str:

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MEDIA_VERSION = 2
+MEDIA_VERSION = 3
 
 _CACHE_ROOT = "/tmp/llmsr_cache"
 
@@ -85,6 +85,26 @@ def render_jpeg(media_id: int, truth: dict | None = None) -> bytes:
     return payload
 
 
+def render_png(media_id: int, truth: dict | None = None) -> bytes:
+    """PNG (from-scratch codec, ``functions/png.py``): same content recipe,
+    LOSSLESS container — truth pins the exact encoded pixels."""
+    from ..functions.png import encode_gray
+
+    r = _rng(media_id)
+    w = 8 + int(r.randint(0, 57))  # 8..64
+    h = 8 + int(r.randint(0, 57))
+    gx = np.linspace(0, 200, w, dtype=np.float64)
+    gy = np.linspace(0, 55, h, dtype=np.float64)
+    img = (gy[:, None] + gx[None, :] + r.randint(0, 32, size=(h, w))).clip(0, 255)
+    arr = img.astype(np.uint8)
+    if truth is not None:
+        truth.update(
+            width=w, height=h, sample_rate=0,
+            n_samples=w * h, sum_vals=int(arr.astype(np.int64).sum()),
+        )
+    return encode_gray(arr)
+
+
 def render_wav(media_id: int, truth: dict | None = None) -> bytes:
     """Mono 16-bit PCM WAV: deterministic sine tone + noise."""
     r = _rng(media_id)
@@ -116,6 +136,8 @@ def render_media(media_id: int, truth: dict | None = None) -> tuple[str, bytes]:
     if media_id % 2 == 0:
         if media_id % 4 == 2:
             return "image", render_jpeg(media_id, truth)
+        if media_id % 8 == 4:
+            return "image", render_png(media_id, truth)
         return "image", render_pgm(media_id, truth)
     return "audio", render_wav(media_id, truth)
 
@@ -197,4 +219,8 @@ def render_image_variant(doc_id: int, lib: int = PHASH_LIB) -> bytes:
         from ..functions.jpeg import encode_gray
 
         return encode_gray(arr, 92)
+    if doc_id % 3 == 1:  # ... and every third as a real (lossless) PNG
+        from ..functions.png import encode_gray as encode_png
+
+        return encode_png(arr)
     return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()

@@ -156,6 +156,10 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         from ..functions.jpeg import decode_gray
 
         return decode_gray(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import decode_gray as png_decode_gray
+
+        return png_decode_gray(payload)
     raise NotImplementedError("unsupported image container (PIL-class stub boundary)")
 
 

@@ -99,3 +99,74 @@ def test_embedding_pca_matches_oracle(ray_session, bs):
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
     assert (np.diff(out["eigval"].to_numpy()) <= 1e-12).all()  # descending
     assert abs(out["evr"].sum() - 1.0) < 1e-3
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (23, 41), (64, 64), (1, 7)])
+def test_png_roundtrip_lossless(shape):
+    from llm_scraper_ray.functions.png import decode_gray, encode_gray
+
+    h, w = shape
+    arr = np.random.default_rng(h * 7 + w).integers(0, 256, (h, w), dtype=np.uint8)
+    w2, h2, dec = decode_gray(encode_gray(arr))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(dec, arr)  # lossless container
+
+
+def test_png_all_filter_types_decode():
+    """Streams from ANY compliant grayscale-8 encoder parse: hand-build an
+    IDAT using each of the five standard filter types on known lines."""
+    import struct
+    import zlib
+
+    from llm_scraper_ray.functions.png import _chunk, _SIG, decode_gray
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (5, 6), dtype=np.uint8).astype(np.int32)
+    lines = []
+    prev = np.zeros(6, np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y]
+        enc = np.zeros(6, np.int32)
+        for x in range(6):
+            a = int(cur[x - 1]) if x else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+            enc[x] = (int(cur[x]) - pred) & 0xFF
+        lines.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 0, 0, 0, 0)
+    payload = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _chunk(b"IEND", b"")
+    )
+    w, h, dec = decode_gray(payload)
+    assert (w, h) == (6, 5)
+    assert np.array_equal(dec, img.astype(np.uint8))
+
+
+def test_media_decode_recovers_png_truth(ray_session):
+    from llm_scraper_ray.pipelines.queries import q_media_decode
+    from llm_scraper_ray.sources.media import persist_media_truth, render_media
+
+    kind, payload = render_media(4)
+    assert kind == "image" and payload[:4] == b"\x89PNG"
+    out = q_media_decode(SF)
+    exp = duckdb.sql(
+        "SELECT media_id, kind, width, height, sample_rate, n_samples, sum_vals "
+        f"FROM read_parquet('{persist_media_truth(SF)}') ORDER BY media_id"
+    ).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)

@@ -52,11 +52,12 @@ def test_variant_jpeg_class_present(ray_session):
     from llm_scraper_ray.stages.multimodal import ahash64, decode_image, popcount64
 
     # PHASH_LIB % 3 == 0, so every variant of one asset shares a container:
-    # asset 2 is all-JPEG (2 % 3 == 2), asset 1 all-PGM
+    # asset 2 all-JPEG (2 % 3 == 2), asset 1 all-PNG, asset 0 all-PGM
     ja, jb = 2, 2 + PHASH_LIB  # same asset, both JPEG
     p0, p1 = render_image_variant(ja), render_image_variant(jb)
     assert p0[:2] == b"\xff\xd8" and p1[:2] == b"\xff\xd8"
-    assert render_image_variant(1)[:2] == b"P5"
+    assert render_image_variant(1)[:4] == b"\x89PNG"
+    assert render_image_variant(0)[:2] == b"P5"
     _, _, a0 = decode_image(p0)
     _, _, a1 = decode_image(p1)
     d = popcount64(
