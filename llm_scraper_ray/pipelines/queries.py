@@ -2222,6 +2222,9 @@ def all_queries():
         "media_audio_features": q_media_audio_features,
         # PCA spectrum from an exact mergeable integer Gram sketch
         "embedding_pca": _analytics.q_embedding_pca,
+        # TPC-H Q4/Q6 shapes (decorrelated EXISTS max-join; exact filter-fold)
+        "q4_order_priority": _tpch.q_q4_order_priority,
+        "q6_forecast_revenue": _tpch.q_q6_forecast_revenue,
     }
 
 
@@ -2771,6 +2774,8 @@ def all_oracle_sql():
         "q10_returned_revenue": _tpch.SQL_Q10_RETURNED_REVENUE,
         "part_value_concentration": _tpch.SQL_PART_VALUE_CONCENTRATION,
         "q12_priority_class": _tpch.SQL_Q12_PRIORITY_CLASS,
+        "q4_order_priority": _tpch.SQL_Q4_ORDER_PRIORITY,
+        "q6_forecast_revenue": _tpch.SQL_Q6_FORECAST_REVENUE,
         "q14_promo_effect": _tpch.SQL_Q14_PROMO_EFFECT,
         "q15_top_supplier": _tpch.SQL_Q15_TOP_SUPPLIER,
         "supplier_part_counts": _tpch.SQL_SUPPLIER_PART_COUNTS,

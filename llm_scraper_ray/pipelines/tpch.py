@@ -1525,3 +1525,150 @@ SELECT n, s AS sum_cents,
        CAST(2 * w - (n + 1) * s AS DOUBLE) / (CAST(n AS HUGEINT) * s) AS gini
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Q4: order-priority checking (decorrelated EXISTS via a mergeable per-order
+# max) — adapted to this schema (no l_commitdate/l_receiptdate: "late" =
+# any lineitem shipped > 60 days after the order date)
+
+_Q4_LATE_US = 60 * 24 * 3600 * 1_000_000
+
+
+def q_q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q4 shape: per order priority, how many orders have at least
+    one LATE lineitem. EXISTS(any late line) ⇔ max(l_shipdate) over the
+    order's lines exceeds the cutoff, so the correlated subquery
+    decorrelates into a mergeable per-orderkey MAX partial folded inside
+    ``map_batches`` (batch-local groupby — no corpus-cardinality key
+    groupby), ONE bucketed shuffle join against orders, and a
+    #priorities-key fold. Timestamps compare as exact int64 µs."""
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "ship_us": pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        p = df.groupby("l_orderkey", as_index=False)["ship_us"].max()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        li_partials, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        # batch-local: finish the per-order max (join partials may repeat an
+        # orderkey across input blocks), decide lateness, count per priority
+        df = pd.DataFrame(
+            {
+                "k": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "ship_us": t["ship_us"].to_numpy(zero_copy_only=False),
+                "od_us": pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                "pri": t["o_orderpriority"].to_pylist(),
+            }
+        )
+        g = df.groupby("k", as_index=False).agg(
+            ship_us=("ship_us", "max"), od_us=("od_us", "first"), pri=("pri", "first")
+        )
+        late = g[g["ship_us"] > g["od_us"] + _Q4_LATE_US]
+        p = late.groupby("pri", as_index=False).size()
+        return pa.Table.from_pandas(
+            p.rename(columns={"pri": "o_orderpriority", "size": "n"}),
+            preserve_index=False,
+        )
+
+    joined = li.join(
+        orders,
+        "inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("o_orderpriority", as_index=False)["n"]
+        .sum()
+    )
+    out["order_count"] = out["n"].astype("int64")
+    return (
+        out[["o_orderpriority", "order_count"]]
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+SQL_Q4_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + CAST(5184000 AS BIGINT) * 1000000
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecast revenue change — one exact-integer filter+fold pass
+
+
+def q_q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q6 shape: Σ extendedprice·discount over the (discount band,
+    quantity cap) slice — ONE column-pruned scan, per-batch exact integer
+    fold (cents × discount basis points; the single float division is
+    terminal). Predicate on the quantized integers on BOTH sides, so the
+    slice is decided identically."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bp = np.floor(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (bp >= 5) & (bp <= 7) & (qty < 24)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([int(keep.sum())], pa.int64()),
+                "num": pa.array([int((cents[keep] * bp[keep]).sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    num = int(parts["num"].sum())
+    return pd.DataFrame(
+        {
+            "n_lines": pd.Series([n], dtype="int64"),
+            "revenue_num": pd.Series([num], dtype="int64"),
+            "revenue": pd.Series([round(num / 10000.0, 2)], dtype="float64"),
+        }
+    )
+
+
+SQL_Q6_FORECAST_REVENUE = """
+WITH q AS (
+  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(floor(l_discount * 100) AS BIGINT) AS bp
+  FROM lineitem
+  WHERE CAST(floor(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+    AND l_quantity < 24)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(cents * bp), 0) AS BIGINT) AS revenue_num,
+       round(CAST(coalesce(sum(cents * bp), 0) AS BIGINT) / 10000.0, 2) AS revenue
+FROM q
+"""

@@ -95,3 +95,33 @@ def test_q8_share_is_quotient_of_exact_ints(ray_session):
     assert out["nat_cents"].dtype.kind == "i" and out["tot_cents"].dtype.kind == "i"
     recomputed = (out["nat_cents"] / out["tot_cents"]).round(6)
     assert (recomputed == out["mkt_share"]).all()
+
+
+def test_q4_order_priority(ray_session):
+    import duckdb
+
+    from llm_scraper_ray.pipelines.tpch import SQL_Q4_ORDER_PRIORITY, q_q4_order_priority
+
+    out = q_q4_order_priority(SF)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    exp = con.sql(SQL_Q4_ORDER_PRIORITY).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert out["order_count"].sum() > 0
+
+
+def test_q6_forecast_revenue(ray_session):
+    import duckdb
+
+    from llm_scraper_ray.pipelines.tpch import (
+        SQL_Q6_FORECAST_REVENUE,
+        q_q6_forecast_revenue,
+    )
+
+    out = q_q6_forecast_revenue(SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')")
+    exp = con.sql(SQL_Q6_FORECAST_REVENUE).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert int(out["revenue_num"].iloc[0]) > 0
