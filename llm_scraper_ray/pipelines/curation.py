@@ -360,6 +360,45 @@ def repetition_counts(text: str, k: int = 5) -> tuple[int, int, int, int]:
     return n, top2, dup5, n5
 
 
+def q_doc_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Compression-ratio quality signal — the Gopher-class "too
+    compressible ⇒ boilerplate/repetition, too incompressible ⇒ noise"
+    curation filter real pipelines run (zlib level 6 as the reference
+    compressor): per doc the exact compressed/raw byte counts and an
+    integer keep decision by cross-multiplication (no float ratio
+    decides). One column-pruned pass; DEFLATE runs per batch in the task
+    pool. Oracle: the sequential per-doc loop over the same published
+    DEFLATE parameters (orchestration-independent; byte counts are
+    container facts, like the media truths)."""
+    import zlib
+
+    def part(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        raw = [len(x.encode("utf-8")) for x in texts]
+        comp = [len(zlib.compress(x.encode("utf-8"), 6)) for x in texts]
+        # keep iff 20% <= comp/raw: 5*comp >= 1*raw (pure-integer decide);
+        # the high side never triggers on text (DEFLATE < raw for prose)
+        keep = [5 * c >= r for c, r in zip(comp, raw)]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([int(d) for d in ids], pa.int64()),
+                "raw_bytes": pa.array(raw, pa.int64()),
+                "comp_bytes": pa.array(comp, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()

@@ -646,6 +646,27 @@ def persist_expected_audio_features(sf_dir: str) -> str:
     )
 
 
+def persist_expected_compression(sf_dir: str) -> str:
+    """Expected compression-ratio rows: plain sequential per-doc loop over
+    the same zlib level-6 parameters (the byte counts are facts of the
+    published DEFLATE format, like the media container truths)."""
+    path = _cache_path(sf_dir, "compratio")
+    if os.path.exists(path):
+        return path
+    import zlib
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for d, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        b = text.encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        rows.append((int(d), len(b), c, 5 * c >= len(b)))
+    df = pd.DataFrame(rows, columns=["doc_id", "raw_bytes", "comp_bytes", "keep"])
+    return _write(path, df.sort_values("doc_id").reset_index(drop=True))
+
+
 def persist_expected_media_frames(sf_dir: str) -> str:
     """Expected strided audio frames (len 1024, stride 512), sequentially
     and with an INDEPENDENT formulation (per-frame slice sums vs the

@@ -2225,6 +2225,8 @@ def all_queries():
         # TPC-H Q4/Q6 shapes (decorrelated EXISTS max-join; exact filter-fold)
         "q4_order_priority": _tpch.q_q4_order_priority,
         "q6_forecast_revenue": _tpch.q_q6_forecast_revenue,
+        # Gopher-class compression-ratio curation filter (zlib byte facts)
+        "doc_compression_ratio": _curation.q_doc_compression_ratio,
     }
 
 
@@ -2529,6 +2531,7 @@ def _analysis_oracle_sqls() -> dict[str, str]:
         persist_expected_bpe,
         persist_expected_bpe_encode,
         persist_expected_audio_features,
+        persist_expected_compression,
         persist_expected_embedding_pca,
         persist_expected_media_frames,
         persist_expected_media_phash,
@@ -2579,6 +2582,10 @@ def _analysis_oracle_sqls() -> dict[str, str]:
         "embedding_pca": (
             "SELECT comp, eigval, evr, trace_scatter FROM "
             f"read_parquet('{persist_expected_embedding_pca(sf)}') ORDER BY comp"
+        ),
+        "doc_compression_ratio": (
+            "SELECT doc_id, raw_bytes, comp_bytes, keep FROM "
+            f"read_parquet('{persist_expected_compression(sf)}') ORDER BY doc_id"
         ),
         "neardup_eval": (
             f"""WITH RECURSIVE {_NGRAM_PAIRS_CTE},
