@@ -463,6 +463,7 @@ class CrawlEngine:
             cap_env = os.environ.get("LLMSR_FETCH_CACHE_RGS")
             if cap_env:
                 cap = min(cap, int(cap_env))
+            cap_rgs_unclamped = cap
             # memory-fit check (VERDICT r4: a 2M-page leg OOM-killed mid-run
             # because the slice-sized preload exceeded host RAM): estimate
             # the decoded slice from the on-disk layout and CLAMP the cache
@@ -477,7 +478,10 @@ class CrawlEngine:
                     p = self.corpus.bucket_path(b)
                     if os.path.exists(p):
                         disk += os.path.getsize(p)
-                decoded = disk * 3  # snappy parquet → in-heap decoded tables
+                # snappy parquet → in-heap decoded arrow tables + python
+                # cache structures: ×5 measured envelope (×3 under-estimated
+                # on the 1.8M-page corpus — an actor died mid-preload)
+                decoded = disk * 5
                 rg_bytes = max(1, decoded // max(1, self.corpus.n_pages // PAGE_RG_ROWS))
                 avail_kb = 0
                 with open("/proc/meminfo") as f:
@@ -485,10 +489,20 @@ class CrawlEngine:
                         if line.startswith("MemAvailable"):
                             avail_kb = int(line.split()[1])
                             break
-                budget = (avail_kb * 1024) // (2 * max(1, self.fetch_concurrency))
+                # quarter of MemAvailable across the pool: the other three
+                # quarters cover Ray's object store (reserved lazily, ~40%
+                # of RAM), execution blocks and worker heaps — a /2 budget
+                # measured as still-OOM on the 1.8M-page corpus
+                budget = (avail_kb * 1024) // (4 * max(1, self.fetch_concurrency))
                 if cap * rg_bytes > budget:
                     cap = max(8, budget // rg_bytes)
                     self._cache_covers_slice = False
+                    print(
+                        f"[crawl] fetch cache CLAMPED to {cap} row groups/actor "
+                        f"(slice would be ~{cap_rgs_unclamped * rg_bytes >> 20} MiB "
+                        f"vs a {budget >> 20} MiB budget) — bounded-memory mode, "
+                        "no preload; expect cross-round re-decompression"
+                    )
             except OSError:
                 pass
             self._fetch_actors = [
